@@ -1,0 +1,244 @@
+package graft
+
+import graft.core._
+import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
+
+/** Command-line modes mirroring the reference executable's Train / NER /
+  * Compare / Ox surface (/root/reference/app/Main.hs:59-184,226-328),
+  * driver-independent (pure core; the Spark pipeline has its own mains).
+  *
+  * Usage:
+  *   train <out-model.json> [nSents] [seed]   train on the synthetic corpus
+  *   train-file <in.nes> <out-model.json>     train on an ENAMEX file
+  *   ner <model.json> < raw.txt               one sentence per line -> ENAMEX
+  *   ox < raw.txt                             dump extracted observations
+  *   compare <ref.nes> <cmp.nes>              per-type TP/FP/FN + P/R/F
+  *   synth <out.nes> [nSents] [seed]          write a synthetic ENAMEX corpus
+  */
+object Cli {
+
+  /** UTF-8 regardless of platform default (JVM may default to ASCII). */
+  private def stdinLines: Iterator[String] =
+    scala.io.Source.fromInputStream(System.in)(scala.io.Codec.UTF8).getLines()
+  private val utf8Out = new java.io.PrintStream(System.out, true, "UTF-8")
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "train" :: out :: rest =>
+      val n = rest.headOption.map(_.toInt).getOrElse(500)
+      val seed = rest.drop(1).headOption.map(_.toLong).getOrElse(42L)
+      val model = NerfModel.trainOnForests(Synth.corpus(n, seed),
+        log = s => System.err.println(s))
+      NerfModel.save(model, Paths.get(out))
+      System.err.println(s"[cli] model written to $out")
+    case "train-file" :: in :: out :: Nil =>
+      val forests = Files.readAllLines(Paths.get(in)).asScala.toVector
+        .filter(_.nonEmpty).map(l => Forest.reTokenize(Forest.parseEnamex(l)))
+      val model = NerfModel.trainOnForests(forests, log = s => System.err.println(s))
+      NerfModel.save(model, Paths.get(out))
+      System.err.println(s"[cli] model written to $out")
+    case "ner" :: modelPath :: Nil =>
+      val model = NerfModel.load(Paths.get(modelPath))
+      stdinLines.foreach { line =>
+        utf8Out.println(Forest.renderEnamex(model.ner(line)))
+      }
+    case "ox" :: Nil =>
+      val conf = NerfModel.defaultSchema
+      stdinLines.foreach { line =>
+        val toks = Tokenizer.tokenize(line)
+        val obs = Features.schematize(conf, toks)
+        toks.zip(obs).foreach { case (t, o) =>
+          println(s"$t\t${o.toList.sorted.mkString(" ")}")
+        }
+        println()
+      }
+    case "compare" :: refPath :: cmpPath :: Nil =>
+      def readForests(p: String) =
+        Files.readAllLines(Paths.get(p)).asScala.toVector
+          .filter(_.nonEmpty).map(Forest.parseEnamex)
+      val refs = readForests(refPath)
+      val cmps = readForests(cmpPath)
+      require(refs.length == cmps.length,
+        s"sentence count mismatch: ${refs.length} vs ${cmps.length}")
+      val stats = CompareStats.compare(refs.zip(cmps))
+      val keys = (stats.keySet - CompareStats.AllKey).toList.sorted :+ CompareStats.AllKey
+      keys.foreach { k =>
+        val s = stats(k)
+        println(f"$k%-34s tp=${s.tp}%5d fp=${s.fp}%5d fn=${s.fn}%5d " +
+          f"P=${s.precision}%.4f R=${s.recall}%.4f F=${s.f1}%.4f")
+      }
+    case "synth" :: out :: rest =>
+      val n = rest.headOption.map(_.toInt).getOrElse(500)
+      val seed = rest.drop(1).headOption.map(_.toLong).getOrElse(42L)
+      Files.write(Paths.get(out),
+        Synth.corpusLines(n, seed).mkString("\n").getBytes("UTF-8"))
+      System.err.println(s"[cli] $n sentences written to $out")
+    case _ =>
+      System.err.println("usage: train|train-file|ner|ox|compare|synth ... (see scaladoc)")
+      sys.exit(2)
+  }
+}
+
+/** A trained model bundle: schema config + CRF weights, JSON-serialized —
+  * the Spark jobs broadcast this (reference's binary `Nerf` model,
+  * /root/reference/src/NLP/Nerf.hs:35-41, re-expressed as JSON).
+  */
+final case class NerfModel(schema: Features.SchemaConf, crf: Crf.Model)
+    extends Serializable {
+
+  /** End-to-end NER on a raw sentence: tokenize -> features -> Viterbi ->
+    * IOB-decode (/root/reference/src/NLP/Nerf.hs:94-99).
+    */
+  def ner(sentence: String): List[NeTree] = {
+    val toks = Tokenizer.tokenize(sentence)
+    if (toks.isEmpty) Nil
+    else {
+      val obs = Features.schematize(schema, toks)
+      val labels = crf.tag(obs).map(Iob.parseLabel)
+      Iob.decodeForest(toks.zip(labels))
+    }
+  }
+
+  /** Mentions as flat spans (token indices) for the Spark pipeline. */
+  def mentions(sentence: String): (Vector[String], Vector[Span]) = {
+    val forest = ner(sentence)
+    Forest.toSpans(forest)
+  }
+}
+
+object NerfModel {
+
+  def defaultSchema: Features.SchemaConf = Features.SchemaConf.default(
+    neDicts = List(Synth.neDictionary),
+    intDict = Some(Synth.intTriggerDict),
+    extDict = Some(Synth.extTriggerDict))
+
+  def trainOnForests(forests: Seq[List[NeTree]],
+                     cfg: Sgd.Config = Sgd.Config(),
+                     schema: Features.SchemaConf = defaultSchema,
+                     log: String => Unit = _ => ()): NerfModel = {
+    val sents = forests.map { f =>
+      val enc = Iob.encodeForest(f)
+      Sgd.TrainSent(
+        Features.schematize(schema, enc.map(_._1)),
+        enc.map(p => Iob.renderLabel(p._2)).toArray)
+    }
+    NerfModel(schema, Sgd.train(sents, cfg, log))
+  }
+
+  // ---- JSON (de)serialization; hand-rolled, no extra deps ----
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def save(m: NerfModel, path: Path): Unit = {
+    val sb = new StringBuilder
+    sb ++= "{\"labels\":["
+    sb ++= m.crf.labels.map(jstr).mkString(",")
+    sb ++= "],\"sing\":["
+    sb ++= m.crf.sing.toArray.map(_.toString).mkString(",")
+    sb ++= "],\"trans\":["
+    sb ++= m.crf.trans.data.map(_.toString).mkString(",")
+    sb ++= "],\"obs\":{"
+    // obs entries: value -> [id]; weights stored densely per obs id
+    val obsEntries = m.crf.obsIds.toSeq.sortBy(_._2).map { case (k, id) =>
+      s"${jstr(k)}:$id"
+    }
+    sb ++= obsEntries.mkString(",")
+    sb ++= "},\"obsLabels\":["
+    sb ++= m.crf.obsLabels.map(a => a.mkString("[", ",", "]")).mkString(",")
+    sb ++= "],\"obsWeights\":["
+    sb ++= m.crf.obsWeights.map(a => a.mkString("[", ",", "]")).mkString(",")
+    sb ++= "]}"
+    Files.createDirectories(path.toAbsolutePath.getParent)
+    Files.write(path, sb.toString.getBytes("UTF-8"))
+  }
+
+  def load(path: Path): NerfModel = {
+    val txt = new String(Files.readAllBytes(path), "UTF-8")
+    val p = new MiniJson(txt)
+    val obj = p.parse().asInstanceOf[Map[String, Any]]
+    val labels = obj("labels").asInstanceOf[List[Any]].map(_.toString).toArray
+    val sing = breeze.linalg.DenseVector(
+      obj("sing").asInstanceOf[List[Any]].map(_.asInstanceOf[Double]).toArray)
+    val transData = obj("trans").asInstanceOf[List[Any]].map(_.asInstanceOf[Double]).toArray
+    val l = labels.length
+    val trans = new breeze.linalg.DenseMatrix(l, l, transData)
+    val obsIds = obj("obs").asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Double].toInt }
+    val obsLabels = obj("obsLabels").asInstanceOf[List[Any]]
+      .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[Double].toInt).toArray).toArray
+    val obsWeights = obj("obsWeights").asInstanceOf[List[Any]]
+      .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[Double]).toArray).toArray
+    NerfModel(defaultSchema,
+      Crf.Model(labels, obsIds, sing, trans, obsLabels, obsWeights))
+  }
+}
+
+/** Minimal JSON parser (objects, arrays, strings, numbers) — enough for
+  * the model file; avoids adding dependencies (offline sandbox).
+  */
+private final class MiniJson(s: String) {
+  private var i = 0
+  def parse(): Any = { skip(); value() }
+  private def skip(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+  private def value(): Any = s.charAt(i) match {
+    case '{' =>
+      i += 1; skip()
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      if (s.charAt(i) == '}') { i += 1 }
+      else {
+        var done = false
+        while (!done) {
+          skip()
+          val k = str()
+          skip(); require(s.charAt(i) == ':'); i += 1; skip()
+          m(k) = value()
+          skip()
+          if (s.charAt(i) == ',') { i += 1 } else { require(s.charAt(i) == '}'); i += 1; done = true }
+        }
+      }
+      m.toMap
+    case '[' =>
+      i += 1; skip()
+      val b = scala.collection.mutable.ListBuffer.empty[Any]
+      if (s.charAt(i) == ']') { i += 1 }
+      else {
+        var done = false
+        while (!done) {
+          skip(); b += value(); skip()
+          if (s.charAt(i) == ',') { i += 1 } else { require(s.charAt(i) == ']'); i += 1; done = true }
+        }
+      }
+      b.toList
+    case '"' => str()
+    case _ =>
+      val start = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      s.substring(start, i).toDouble
+  }
+  private def str(): String = {
+    require(s.charAt(i) == '"'); i += 1
+    val b = new StringBuilder
+    while (s.charAt(i) != '"') {
+      if (s.charAt(i) == '\\') {
+        i += 1
+        s.charAt(i) match {
+          case 'n' => b += '\n'; case 't' => b += '\t'; case 'r' => b += '\r'
+          case 'u' => b += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 4
+          case c => b += c
+        }
+      } else b += s.charAt(i)
+      i += 1
+    }
+    i += 1
+    b.result()
+  }
+}

@@ -1,0 +1,256 @@
+package graft.core
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import scala.collection.mutable
+
+/** Deterministic SGD trainer for the linear-chain CRF.
+  *
+  * Mirrors the documented training setup of the reference: stochastic
+  * gradient descent over labeled sentences with L2 regularization and a
+  * decaying gain schedule, defaults batchSize=30, regVar=10.0, iterNum=10,
+  * gain0=1.0, tau=5.0 (/root/reference/app/Main.hs:119-123; SGD provided
+  * by the public `sgd-0.2.3` package, invoked via `CRF.train` at
+  * /root/reference/src/NLP/Nerf.hs:79-91 with `presentFeats`).
+  *
+  * The gradient is observed-minus-expected feature counts (expected via
+  * forward–backward), computed only for features present in training
+  * data. Batch order is a seeded shuffle -> bit-for-bit reproducible
+  * runs, which the golden decodings rely on (SURVEY.md §7.4.2).
+  */
+object Sgd {
+
+  final case class Config(
+      batchSize: Int = 30,
+      regVar: Double = 10.0,
+      iterNum: Int = 10,
+      gain0: Double = 1.0,
+      tau: Double = 5.0,
+      seed: Long = 42L)
+
+  /** A training sentence: per-position observation sets + gold labels. */
+  final case class TrainSent(obs: Array[Set[String]], labels: Array[String])
+
+  def train(data: Seq[TrainSent], cfg: Config = Config(),
+            log: String => Unit = _ => ()): Crf.Model = {
+    require(data.nonEmpty, "empty training set")
+
+    // ---- codecs ----
+    val labelIds = mutable.LinkedHashMap.empty[String, Int]
+    data.foreach(_.labels.foreach(l => labelIds.getOrElseUpdate(l, labelIds.size)))
+    val L = labelIds.size
+    val obsIds = mutable.LinkedHashMap.empty[String, Int]
+    data.foreach(_.obs.foreach(_.foreach(o => obsIds.getOrElseUpdate(o, obsIds.size))))
+    val O = obsIds.size
+
+    // encoded sentences
+    val enc: Array[(Array[Array[Int]], Array[Int])] = data.map { s =>
+      val obs = s.obs.map(_.iterator.map(obsIds).toArray.sorted)
+      val lbs = s.labels.map(labelIds)
+      (obs, lbs)
+    }.toArray
+
+    // ---- present features (Nerf.hs:90 presentFeats) ----
+    // feature ids: [0,L) sing; [L, L+L*L) trans(prev*L+cur); then obs feats
+    val singBase = 0
+    val transBase = L
+    val obsFeatIds = mutable.HashMap.empty[Long, Int] // key = oid.toLong*L + y
+    var nextId = transBase + L * L
+    val singPresent = new Array[Boolean](L)
+    val transPresent = new Array[Boolean](L * L)
+    enc.foreach { case (obs, lbs) =>
+      if (lbs.nonEmpty) {
+        singPresent(lbs(0)) = true
+        var k = 1
+        while (k < lbs.length) { transPresent(lbs(k - 1) * L + lbs(k)) = true; k += 1 }
+        k = 0
+        while (k < lbs.length) {
+          val y = lbs(k)
+          obs(k).foreach { oid =>
+            val key = oid.toLong * L + y
+            if (!obsFeatIds.contains(key)) { obsFeatIds(key) = nextId; nextId += 1 }
+          }
+          k += 1
+        }
+      }
+    }
+    val F = nextId
+    log(s"[sgd] labels=$L obs=$O features=$F sentences=${enc.length}")
+
+    // per-obs present labels (sorted) + their feature ids, for fast scoring
+    val obsLabelsB = Array.fill(O)(mutable.ArrayBuffer.empty[(Int, Int)])
+    obsFeatIds.foreach { case (key, fid) =>
+      val oid = (key / L).toInt; val y = (key % L).toInt
+      obsLabelsB(oid) += ((y, fid))
+    }
+    val obsLabelArr: Array[Array[Int]] = obsLabelsB.map(_.sortBy(_._1).map(_._1).toArray)
+    val obsFeatArr: Array[Array[Int]] = obsLabelsB.map(_.sortBy(_._1).map(_._2).toArray)
+
+    val w = new Array[Double](F)
+
+    def mkModel(): Crf.Model = {
+      val sing = DenseVector.tabulate(L)(y => if (singPresent(y)) w(singBase + y) else 0.0)
+      val trans = DenseMatrix.tabulate(L, L)((p, c) =>
+        if (transPresent(p * L + c)) w(transBase + p * L + c) else 0.0)
+      val ow = obsFeatArr.map(_.map(w))
+      Crf.Model(labelIds.keys.toArray, obsIds.toMap, sing, trans, obsLabelArr, ow)
+    }
+
+    // obs scores for one encoded sentence under current weights
+    def obsScoresEnc(obs: Array[Array[Int]]): Array[Array[Double]] =
+      obs.map { oids =>
+        val s = new Array[Double](L)
+        oids.foreach { oid =>
+          val ls = obsLabelArr(oid); val fs = obsFeatArr(oid)
+          var i = 0
+          while (i < ls.length) { s(ls(i)) += w(fs(i)); i += 1 }
+        }
+        s
+      }
+
+    val n = enc.length
+    val cfgBatch = math.max(1, math.min(cfg.batchSize, n))
+    val rnd = new scala.util.Random(cfg.seed)
+    var done = 0.0 // fractional epochs processed (sgd gain schedule)
+
+    val grad = new mutable.HashMap[Int, Double]()
+    def gAdd(fid: Int, v: Double): Unit =
+      if (fid >= 0) grad(fid) = grad.getOrElse(fid, 0.0) + v
+
+    for (epoch <- 1 to cfg.iterNum) {
+      val order = rnd.shuffle((0 until n).toVector)
+      var off = 0
+      while (off < n) {
+        val batch = order.slice(off, off + cfgBatch)
+        off += cfgBatch
+        grad.clear()
+        batch.foreach { bi =>
+          val (obs, lbs) = enc(bi)
+          val m = lbs.length
+          if (m > 0) {
+            // observed counts
+            gAdd(singBase + lbs(0), 1.0)
+            var k = 1
+            while (k < m) {
+              val idx = lbs(k - 1) * L + lbs(k)
+              if (transPresent(idx)) gAdd(transBase + idx, 1.0)
+              k += 1
+            }
+            k = 0
+            while (k < m) {
+              obs(k).foreach { oid =>
+                val fid = obsFeatIds.getOrElse(oid.toLong * L + lbs(k), -1)
+                gAdd(fid, 1.0)
+              }
+              k += 1
+            }
+            // expected counts via forward-backward
+            val os = obsScoresEnc(obs)
+            val (alpha, beta, logZ) = fbLocal(os)
+            k = 0
+            while (k < m) {
+              val marg = new Array[Double](L)
+              var y = 0
+              while (y < L) { marg(y) = math.exp(alpha(k)(y) + beta(k)(y) - logZ); y += 1 }
+              if (k == 0) {
+                y = 0
+                while (y < L) { if (singPresent(y)) gAdd(singBase + y, -marg(y)); y += 1 }
+              }
+              obs(k).foreach { oid =>
+                val ls = obsLabelArr(oid); val fs = obsFeatArr(oid)
+                var i = 0
+                while (i < ls.length) { gAdd(fs(i), -marg(ls(i))); i += 1 }
+              }
+              if (k > 0) {
+                // pairwise marginals for present transitions
+                var prev = 0
+                while (prev < L) {
+                  var cur = 0
+                  while (cur < L) {
+                    val idx = prev * L + cur
+                    if (transPresent(idx)) {
+                      val lp = alpha(k - 1)(prev) + w(transBase + idx) + os(k)(cur) + beta(k)(cur) - logZ
+                      gAdd(transBase + idx, -math.exp(lp))
+                    }
+                    cur += 1
+                  }
+                  prev += 1
+                }
+              }
+              k += 1
+            }
+          }
+        }
+        // gain schedule: gain0 * tau / (tau + done-epochs)
+        val gain = cfg.gain0 * cfg.tau / (cfg.tau + done)
+        // L2: w *= (1 - gain * batch/(regVar*n)) applied to touched coords is
+        // insufficient; apply cheap global decay per batch
+        val decay = 1.0 - gain * batch.length / (cfg.regVar * n)
+        if (decay < 1.0) {
+          var i = 0
+          while (i < F) { w(i) *= decay; i += 1 }
+        }
+        grad.foreach { case (fid, g) => w(fid) += gain * g }
+        done += batch.length.toDouble / n
+      }
+      log(f"[sgd] epoch $epoch%2d done; gain=${cfg.gain0 * cfg.tau / (cfg.tau + done)}%.4f")
+    }
+
+    // local forward-backward over os using current w (transition weights)
+    def fbLocal(os: Array[Array[Double]]) = {
+      val m = os.length
+      val alpha = Array.ofDim[Double](m, L)
+      val beta = Array.ofDim[Double](m, L)
+      val tmp = new Array[Double](L)
+      var y = 0
+      while (y < L) {
+        alpha(0)(y) = (if (singPresent(y)) w(singBase + y) else 0.0) + os(0)(y); y += 1
+      }
+      var k = 1
+      while (k < m) {
+        var cur = 0
+        while (cur < L) {
+          var prev = 0
+          while (prev < L) {
+            val idx = prev * L + cur
+            tmp(prev) = alpha(k - 1)(prev) + (if (transPresent(idx)) w(transBase + idx) else 0.0)
+            prev += 1
+          }
+          alpha(k)(cur) = logSumExp(tmp) + os(k)(cur)
+          cur += 1
+        }
+        k += 1
+      }
+      y = 0
+      while (y < L) { beta(m - 1)(y) = 0.0; y += 1 }
+      k = m - 2
+      while (k >= 0) {
+        var cur = 0
+        while (cur < L) {
+          var nxt = 0
+          while (nxt < L) {
+            val idx = cur * L + nxt
+            tmp(nxt) = (if (transPresent(idx)) w(transBase + idx) else 0.0) + os(k + 1)(nxt) + beta(k + 1)(nxt)
+            nxt += 1
+          }
+          beta(k)(cur) = logSumExp(tmp)
+          cur += 1
+        }
+        k -= 1
+      }
+      (alpha, beta, logSumExp(alpha(m - 1)))
+    }
+
+    mkModel()
+  }
+
+  @inline private def logSumExp(xs: Array[Double]): Double = {
+    var m = Double.NegativeInfinity
+    var i = 0
+    while (i < xs.length) { if (xs(i) > m) m = xs(i); i += 1 }
+    if (m == Double.NegativeInfinity) return m
+    var s = 0.0
+    i = 0
+    while (i < xs.length) { s += math.exp(xs(i) - m); i += 1 }
+    m + math.log(s)
+  }
+}

@@ -1,0 +1,308 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TokenizerSpec extends AnyFunSuite {
+  import Tokenizer._
+
+  test("whitespace split") {
+    assert(tokenize("ala ma  kota") == Vector("ala", "ma", "kota"))
+  }
+  test("punctuation split off edges, one char per token") {
+    assert(tokenize("Hello, world!") == Vector("Hello", ",", "world", "!"))
+    assert(tokenize("(quoted).") == Vector("(", "quoted", ")", "."))
+  }
+  test("internal punctuation preserved") {
+    assert(tokenize("rock-and-roll isn't split") ==
+      Vector("rock-and-roll", "isn't", "split"))
+  }
+  test("URIs protected from punctuation splitting") {
+    assert(tokenize("see http://x.org/a,b. now") ==
+      Vector("see", "http://x.org/a,b.", "now"))
+  }
+  test("essence counts non-space chars") {
+    assert(essence("a b  c") == 3)
+  }
+}
+
+class EnamexSpec extends AnyFunSuite {
+  import Forest._
+
+  test("roundtrip flat sentence") {
+    val line = "ala ma kota ."
+    assert(renderEnamex(parseEnamex(line)) == line)
+  }
+  test("nested tags parse to nested nodes") {
+    val line = "trener <persName><persName.forename>Mirko</persName.forename> " +
+      "<persName.surname>Jozica</persName.surname></persName> odszedl ."
+    val f = parseEnamex(line)
+    assert(f.length == 4)
+    val per = f(1).asInstanceOf[NeNode]
+    assert(per.neType == "persName")
+    assert(per.children.map(_.asInstanceOf[NeNode].neType) ==
+      List("persName.forename", "persName.surname"))
+    assert(renderEnamex(f) == line)
+  }
+  test("escapes roundtrip") {
+    val f = List(NeLeaf("a<b"), NeLeaf("c d"), NeLeaf("e\\f"))
+    assert(parseEnamex(renderEnamex(f)) == f)
+  }
+  test("real reference corpus lines parse and roundtrip") {
+    val src = scala.io.Source.fromFile("/root/reference/example/train.nes")("UTF-8")
+    val lines = try src.getLines().take(200).toVector finally src.close()
+    lines.foreach { l =>
+      val f = parseEnamex(l)
+      assert(f.nonEmpty)
+      assert(parseEnamex(renderEnamex(f)) == f, s"roundtrip failed: $l")
+    }
+  }
+}
+
+class SpanSpec extends AnyFunSuite {
+  import Forest._
+
+  val nested = parseEnamex(
+    "x <a><b>p q</b> <c>r</c></a> y <d>z</d>")
+
+  test("toSpans flattens with depth") {
+    val (toks, spans) = toSpans(nested)
+    assert(toks == Vector("x", "p", "q", "r", "y", "z"))
+    assert(spans.toSet == Set(
+      Span("b", 1, 3, 1), Span("c", 3, 4, 1), Span("a", 1, 4, 0),
+      Span("d", 5, 6, 0)))
+  }
+  test("fromSpans inverts toSpans") {
+    val (toks, spans) = toSpans(nested)
+    assert(fromSpans(toks, spans) == nested)
+  }
+  test("charSpans ignore whitespace and count NE nodes only") {
+    val f = parseEnamex("ab <t>cd ef</t>")
+    assert(charSpans(f) == Set(("t", 2, 6)))
+  }
+}
+
+class SyncSpec extends AnyFunSuite {
+  import Forest._
+
+  test("sync replaces leaves with intersecting new tokens") {
+    // old: one leaf "U.S." inside tag; new tokenization splits it
+    val f = parseEnamex("in <t>U.S.</t> now")
+    val newToks = Vector("in", "U", ".", "S", ".", "now")
+    val synced = sync(f, newToks)
+    assert(renderEnamex(synced) == "in <t>U . S .</t> now")
+  }
+  test("sync with identical tokenization is identity") {
+    val f = parseEnamex("a <t>b c</t> d")
+    assert(sync(f, Vector("a", "b", "c", "d")) == f)
+  }
+  test("sync merges tokens spanning old boundaries") {
+    // old tokens "a" "b" both intersect new token "ab"
+    val f = parseEnamex("<t>a b</t> c")
+    val synced = sync(f, Vector("ab", "c"))
+    assert(renderEnamex(synced) == "<t>ab</t> c")
+  }
+  test("reTokenize splits punctuation into the tag") {
+    val f = parseEnamex("ok <t>Acme, Inc.</t> done")
+    val out = reTokenize(f)
+    assert(renderEnamex(out) == "ok <t>Acme , Inc .</t> done")
+  }
+}
+
+class IobSpec extends AnyFunSuite {
+  import Iob._
+
+  val forest = Forest.parseEnamex(
+    "w1 <a><b>t1 t2</b> <c>t3</c></a> w2")
+
+  test("encode produces outermost-first stacks") {
+    val enc = encodeForest(forest)
+    assert(enc.map(_._1) == Vector("w1", "t1", "t2", "t3", "w2"))
+    assert(enc.map(p => renderLabel(p._2)) == Vector(
+      "O", "B-a;B-b", "I-a;I-b", "I-a;B-c", "O"))
+  }
+  test("decode inverts encode") {
+    assert(decodeForest(encodeForest(forest)) == forest)
+  }
+  test("decode repairs I-without-B") {
+    val tagged = Seq(
+      ("x", parseLabel("I-a")), ("y", parseLabel("I-a")), ("z", parseLabel("O")))
+    assert(Forest.renderEnamex(decodeForest(tagged)) == "<a>x y</a> z")
+  }
+  test("adjacent same-type entities stay separate on B") {
+    val tagged = Seq(("x", parseLabel("B-a")), ("y", parseLabel("B-a")))
+    assert(Forest.renderEnamex(decodeForest(tagged)) == "<a>x</a> <a>y</a>")
+  }
+  test("label parse/render roundtrip") {
+    val ls = Seq("O", "B-a", "B-a;I-b.c", "I-x;B-y;I-z")
+    ls.foreach(l => assert(renderLabel(parseLabel(l)) == l))
+  }
+  test("roundtrip on reference corpus") {
+    val src = scala.io.Source.fromFile("/root/reference/example/train.nes")("UTF-8")
+    val lines = try src.getLines().take(300).toVector finally src.close()
+    lines.foreach { l =>
+      val f = Forest.parseEnamex(l)
+      assert(decodeForest(encodeForest(f)) == f, s"IOB roundtrip failed: $l")
+    }
+  }
+}
+
+class FeaturesSpec extends AnyFunSuite {
+  import Features._
+
+  test("shape and pack") {
+    assert(shape("McKay-3") == "XxXxxod")
+    assert(pack(shape("AAbb99..")) == "Xxdo")
+  }
+  test("prefix/suffix with negative lengths") {
+    assert(prefix(2, "dogs").contains("do"))
+    assert(prefix(-1, "dogs").contains("dog"))
+    assert(prefix(0, "dogs").contains(""))
+    assert(prefix(5, "dogs").isEmpty)
+    assert(prefix(-5, "dogs").isEmpty)
+    assert(suffix(2, "dogs").contains("gs"))
+    assert(suffix(-1, "dogs").contains("ogs"))
+  }
+  test("splitOrth emits lowercased and original-if-upper") {
+    val conf = SchemaConf(splitOrthC = Some(List(0)))
+    val obs = schematize(conf, Vector("Abc"))
+    assert(obs(0) == Set("1~abc", "2~Abc"))
+    val obs2 = schematize(conf, Vector("abc"))
+    assert(obs2(0) == Set("1~abc"))
+  }
+  test("out-of-range positions are silent but keep index slots stable") {
+    val conf = SchemaConf(splitOrthC = Some(List(-1, 0)))
+    val obs = schematize(conf, Vector("Abc", "def"))
+    // position 0: slot1=low(-1) none, slot2=low(0), slot3=up(-1) none, slot4=up(0)
+    assert(obs(0) == Set("2~abc", "4~Abc"))
+    assert(obs(1) == Set("1~abc", "2~def", "3~Abc"))
+  }
+  test("lemma block groups under one slot") {
+    val conf = SchemaConf(lemmaC = Some((List(0), 1)))
+    val obs = schematize(conf, Vector("ab"))
+    // group slot 1, deltas [0,-1]: prefixes ""(0), "a"(-1); suffixes
+    // ""(0), "b"(-1) — delta 0 is the empty affix per the monad-ox
+    // relative-length convention pinned in Features.prefix
+    assert(obs(0) == Set("1.1~", "1.2~a", "1.3~", "1.4~b"))
+  }
+  test("dict block emits all labels under one slot") {
+    val dict = Map("Paris" -> List("city", "person"))
+    val conf = SchemaConf(dictC = Some((List(0), List(dict))))
+    val obs = schematize(conf, Vector("Paris"))
+    assert(obs(0) == Set("1~city", "1~person"))
+  }
+  test("block order fixes inter-block indices") {
+    val conf = SchemaConf(
+      splitOrthC = Some(List(0)), shapeC = Some(List(0)))
+    val obs = schematize(conf, Vector("Ab"))
+    assert(obs(0) == Set("1~ab", "2~Ab", "3~Xx"))
+  }
+  test("shape pair links current and previous") {
+    val conf = SchemaConf(shapePairC = Some(List(0)))
+    val obs = schematize(conf, Vector("Ab", "cd"))
+    assert(obs(0) == Set.empty[String]) // no previous token
+    assert(obs(1) == Set("1~xx-Xx"))
+  }
+}
+
+class CrfSpec extends AnyFunSuite {
+
+  /** Hand-built model: 2 labels, obs "hot"->label1, trans favors staying. */
+  private def tinyModel: Crf.Model = {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    Crf.Model(
+      labels = Array("O", "B-x"),
+      obsIds = Map("w~hot" -> 0),
+      sing = DenseVector(1.0, 0.0),
+      trans = DenseMatrix((1.0, 0.0), (0.0, -1.0)),
+      obsLabels = Array(Array(1)),
+      obsWeights = Array(Array(3.0)))
+  }
+
+  test("viterbi picks obs-favored label") {
+    val m = tinyModel
+    val sent = Array(Set("w~cold"), Set("w~hot"), Set("w~cold"))
+    assert(m.tag(sent).toSeq == Seq("O", "B-x", "O"))
+  }
+  test("viterbi transition weight can override weak obs") {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    // strong stay-transitions; one weak obs for label 1 at pos 1
+    val m = Crf.Model(
+      labels = Array("O", "B-x"),
+      obsIds = Map("h" -> 0),
+      sing = DenseVector(5.0, 0.0),
+      trans = DenseMatrix((5.0, 0.0), (0.0, 5.0)),
+      obsLabels = Array(Array(1)),
+      obsWeights = Array(Array(0.5)))
+    val sent = Array(Set("h"), Set("h"), Set("h"))
+    // starting at O (sing 5) and staying beats switching for 0.5 gains
+    assert(m.tag(sent).toSeq == Seq("O", "O", "O"))
+  }
+  test("unknown observations are dropped") {
+    val m = tinyModel
+    assert(m.tag(Array(Set("zzz~unknown"))).toSeq == Seq("O"))
+  }
+  test("forward-backward marginals sum to 1 per position") {
+    val m = tinyModel
+    val os = m.obsScores(Array(Set("w~hot"), Set("w~cold"), Set("w~hot")))
+    val (a, b, logZ) = Crf.forwardBackward(m, os)
+    for (k <- os.indices) {
+      val s = (0 until m.numLabels).map(y => math.exp(a(k)(y) + b(k)(y) - logZ)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"pos $k sums to $s")
+    }
+  }
+  test("viterbi score >= random path scores") {
+    val m = tinyModel
+    val sent = Array(Set("w~hot"), Set("w~cold"), Set("w~hot"), Set("w~cold"))
+    val os = m.obsScores(sent)
+    def score(path: Seq[Int]): Double = {
+      var s = m.sing(path.head) + os(0)(path.head)
+      for (k <- 1 until path.length)
+        s += m.trans(path(k - 1), path(k)) + os(k)(path(k))
+      s
+    }
+    val best = score(m.viterbi(sent).toSeq)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val p = Seq.fill(sent.length)(rnd.nextInt(2))
+      assert(score(p) <= best + 1e-9)
+    }
+  }
+}
+
+class SgdSpec extends AnyFunSuite {
+
+  private def toTrainSent(conf: Features.SchemaConf)(f: List[NeTree]): Sgd.TrainSent = {
+    val enc = Iob.encodeForest(f)
+    val toks = enc.map(_._1)
+    Sgd.TrainSent(
+      Features.schematize(conf, toks),
+      enc.map(p => Iob.renderLabel(p._2)).toArray)
+  }
+
+  test("training learns the synthetic grammar (token accuracy > 0.97)") {
+    val conf = Features.SchemaConf.default(
+      neDicts = List(Synth.neDictionary),
+      intDict = Some(Synth.intTriggerDict),
+      extDict = Some(Synth.extTriggerDict))
+    val train = Synth.corpus(150, seed = 1).map(toTrainSent(conf))
+    val eval = Synth.corpus(40, seed = 2).map(toTrainSent(conf))
+    val model = Sgd.train(train, Sgd.Config(iterNum = 8, seed = 42))
+    var ok = 0L; var tot = 0L
+    eval.foreach { s =>
+      val pred = model.tag(s.obs)
+      pred.zip(s.labels).foreach { case (p, g) => if (p == g) ok += 1; tot += 1 }
+    }
+    val acc = ok.toDouble / tot
+    assert(acc > 0.97, s"accuracy $acc")
+  }
+
+  test("training is deterministic") {
+    val conf = Features.SchemaConf.default(neDicts = List(Synth.neDictionary))
+    val train = Synth.corpus(40, seed = 3).map(toTrainSent(conf))
+    val m1 = Sgd.train(train, Sgd.Config(iterNum = 3, seed = 9))
+    val m2 = Sgd.train(train, Sgd.Config(iterNum = 3, seed = 9))
+    assert(m1.sing == m2.sing)
+    assert(m1.trans == m2.trans)
+    assert(m1.obsWeights.flatten.toSeq == m2.obsWeights.flatten.toSeq)
+  }
+}
