@@ -49,24 +49,33 @@ object Synth {
   final case class KbEntity(id: String, neType: String, canonical: String,
                             aliases: Vector[String])
 
-  /** Build the knowledge base the linker resolves against. Persons get a
-    * surname-only alias; orgs get a squashed alias (e.g. "AlphaSystems").
+  /** Build the knowledge base the linker resolves against. Covers the
+    * full cross-product the grammar can generate. Persons get a
+    * surname-only alias (deliberately ambiguous — the canonicalizer's
+    * alias-uniqueness rule must not merge through it); orgs get a
+    * squashed alias (e.g. "AlphaSystems"). Every other org also exists as
+    * a second-source duplicate entry (`orgdup:`) sharing the squashed
+    * alias — the canonicalization stage must merge those (SURVEY.md §2.9).
     */
   def knowledgeBase: Vector[KbEntity] = {
     val persons = for {
-      (f, i) <- forenames.zipWithIndex
-      s = surnames(i % surnames.length)
+      f <- forenames
+      s <- surnames
     } yield KbEntity(s"per:${f}_$s", "persName", s"$f $s", Vector(s"$f $s", s))
     val orgs = for {
-      (w1, i) <- orgWords1.zipWithIndex
-      w2 = orgWords2(i % orgWords2.length)
+      w1 <- orgWords1
+      w2 <- orgWords2
     } yield KbEntity(s"org:${w1}_$w2", "orgName", s"$w1 $w2",
       Vector(s"$w1 $w2", s"$w1$w2", w1))
+    val orgDups = orgs.zipWithIndex.collect { case (o, i) if i % 2 == 0 =>
+      KbEntity(s"orgdup:${o.canonical.replace(' ', '_')}", "orgName",
+        o.canonical, Vector(o.canonical.replace(" ", "")))
+    }
     val ctys = countries.map(c =>
       KbEntity(s"cty:$c", "placeName.country", c, Vector(c)))
     val cits = cities.map(c =>
       KbEntity(s"cit:$c", "placeName.settlement", c, Vector(c)))
-    persons ++ orgs ++ ctys ++ cits
+    persons ++ orgs ++ orgDups ++ ctys ++ cits
   }
 
   /** Gazetteer dictionaries for the dictB feature blocks: surface form ->
@@ -186,28 +195,32 @@ object Synth {
     k
   }
 
-  /** Synthesize `nFiles` rows of the flagship input table. Each file's
-    * content embeds `sentsPerFile` grammar sentences as code comments,
-    * interleaved with deterministic code-ish filler lines.
+  /** One row of the flagship input table, deterministic per (i, seed) —
+    * per-row seeding so the table can be generated *distributed* (Spark
+    * `range(n).map(repoRow)`) with results independent of partitioning.
+    * Each file's content embeds `sentsPerFile` grammar sentences as code
+    * comments, interleaved with code-ish filler lines.
     */
-  def repoTable(nFiles: Int, sentsPerFile: Int = 8, nRepos: Int = 50,
-                seed: Long = 42L): Vector[RepoRow] = {
-    val r = new Random(seed)
-    Vector.tabulate(nFiles) { i =>
-      val repoIdx = zipfRepo(r, nRepos)
-      val repo = f"org/repo$repoIdx%03d"
-      val lang = langs(r.nextInt(langs.length))
-      val path = f"src/pkg${r.nextInt(20)}%02d/file$i%06d.$lang"
-      val commit = hex40(s"$repo/$path@$seed")
-      val lines = (0 until sentsPerFile).flatMap { j =>
-        val sent = Forest.renderEnamex(sentence(r))
-        // plain text of the sentence (tags stripped) as a comment line
-        val plain = Forest.parseEnamex(sent).flatMap(_.leaves).mkString(" ")
-        List(s"// $plain", s"val x$j = ${r.nextInt(1000)}")
-      }
-      RepoRow(repo, path, commit, lang, lines.mkString("\n"))
+  def repoRow(i: Long, sentsPerFile: Int = 8, nRepos: Int = 50,
+              seed: Long = 42L): RepoRow = {
+    val r = new Random(seed * 1000003L + i * 7919L)
+    val repoIdx = zipfRepo(r, nRepos)
+    val repo = f"org/repo$repoIdx%03d"
+    val lang = langs(r.nextInt(langs.length))
+    val path = f"src/pkg${r.nextInt(20)}%02d/file$i%06d.$lang"
+    val commit = hex40(s"$repo/$path@$seed")
+    val lines = (0 until sentsPerFile).flatMap { j =>
+      val forest = sentence(r)
+      val plain = forest.flatMap(_.leaves).mkString(" ")
+      List(s"// $plain", s"val x$j = ${r.nextInt(1000)}")
     }
+    RepoRow(repo, path, commit, lang, lines.mkString("\n"))
   }
+
+  /** Driver-side table materialization (tests / small fixtures). */
+  def repoTable(nFiles: Int, sentsPerFile: Int = 8, nRepos: Int = 50,
+                seed: Long = 42L): Vector[RepoRow] =
+    Vector.tabulate(nFiles)(i => repoRow(i.toLong, sentsPerFile, nRepos, seed))
 
   /** Extract the comment sentences back out of a content blob — the
     * pipeline's sentence segmentation for synthetic code files.

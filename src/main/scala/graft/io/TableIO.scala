@@ -1,0 +1,121 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style table contract on plain parquet + JSON manifests.
+  *
+  * The sandbox has no Iceberg runtime jar (SURVEY.md §1.4), so the
+  * north-rule requirements — per-partition commit files, checkpoint
+  * resume, lineage + counter metrics, snapshot row invariant — are
+  * implemented directly: each bucket's commit is a temp-file +
+  * atomic-rename JSON manifest carrying row counts and an
+  * order-independent content checksum. Swappable for real Iceberg behind
+  * these same entry points.
+  */
+object TableIO {
+
+  // ------------------------------------------------------------------
+  // Input snapshot with sha256 invariant column
+  // ------------------------------------------------------------------
+
+  /** Write the input table with a `content_sha256` snapshot column
+    * (BASELINE.json north_star per-row invariant) + table manifest.
+    */
+  def writeSnapshot(df: DataFrame, dir: String, snapshotId: String): Unit = {
+    val withSha = df.withColumn("content_sha256", sha2(col("content"), 256))
+    withSha.write.mode("overwrite").parquet(s"$dir/data")
+    val rows = df.sparkSession.read.parquet(s"$dir/data").count()
+    val manifest =
+      s"""{"snapshot_id":"$snapshotId","rows":$rows,"format":"parquet","invariant":"content_sha256"}"""
+    atomicWrite(s"$dir/_snapshot.json", manifest)
+  }
+
+  /** Re-verify the per-row invariant: rows whose current sha256(content)
+    * differs from the snapshot column. Must return 0.
+    */
+  def verifySnapshot(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/data")
+      .where(sha2(col("content"), 256) =!= col("content_sha256"))
+      .count()
+
+  // ------------------------------------------------------------------
+  // Resumable bucketed output (checkpoint per partition)
+  // ------------------------------------------------------------------
+
+  final case class BucketCommit(bucket: Int, rows: Long, checksum: Long)
+
+  private def commitPath(dir: String, k: Int) = s"$dir/_commits/bucket-$k.json"
+
+  def committedBuckets(dir: String, buckets: Int): Set[Int] =
+    (0 until buckets).filter(k => Files.exists(Paths.get(commitPath(dir, k)))).toSet
+
+  /** Write `df` bucketed by `pmod(hash(bucketCols), buckets)`, committing
+    * each bucket atomically (write data → manifest via temp+rename).
+    * Buckets with an existing commit manifest are skipped — re-running
+    * after a crash resumes exactly where it stopped, and counters are
+    * never double-counted (they live in the per-bucket manifest).
+    *
+    * Returns the commits performed in this invocation.
+    */
+  def writeResumable(df: DataFrame, dir: String, buckets: Int,
+                     bucketCols: Seq[String],
+                     lineage: Map[String, String] = Map.empty): Seq[BucketCommit] = {
+    val spark = df.sparkSession
+    Files.createDirectories(Paths.get(s"$dir/_commits"))
+    val done = committedBuckets(dir, buckets)
+    val bucketed = df.withColumn("_bucket",
+      pmod(hash(bucketCols.map(col): _*), lit(buckets)))
+    // one pass over the input, written as bucket-partitioned parquet;
+    // resume skips completed buckets before any compute
+    val todo = (0 until buckets).filterNot(done)
+    val results = todo.map { k =>
+      val part = bucketed.where(col("_bucket") === k).drop("_bucket")
+        .sortWithinPartitions(bucketCols.head)
+      val path = s"$dir/bucket=$k"
+      part.write.mode("overwrite").parquet(path)
+      val written = spark.read.parquet(path)
+      // order-independent checksum over all columns
+      val agg = written
+        .select(xxhash64(written.columns.map(col): _*).as("h"))
+        .agg(count(lit(1)).as("rows"),
+             // XOR-fold: order-independent, overflow-free (ANSI mode)
+             coalesce(expr("bit_xor(h)"), lit(0L)).as("checksum"))
+        .collect()(0)
+      val c = BucketCommit(k, agg.getLong(0), agg.getLong(1))
+      val lineageJson = lineage.map { case (k2, v) =>
+        s""""${k2}":"${v}"""" }.mkString(",")
+      atomicWrite(commitPath(dir, k),
+        s"""{"bucket":${c.bucket},"rows":${c.rows},"checksum":${c.checksum},"lineage":{$lineageJson}}""")
+      c
+    }
+    results
+  }
+
+  /** Read back all committed bucket manifests (lineage + counters). */
+  def readCommits(dir: String, buckets: Int): Seq[BucketCommit] =
+    (0 until buckets).flatMap { k =>
+      val p = Paths.get(commitPath(dir, k))
+      if (!Files.exists(p)) None
+      else {
+        val txt = new String(Files.readAllBytes(p), "UTF-8")
+        val rows = "\"rows\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        val sum = "\"checksum\":(-?\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        Some(BucketCommit(k, rows.getOrElse(0L), sum.getOrElse(0L)))
+      }
+    }
+
+  /** Temp-file + atomic-rename commit (provably-once manifest publish,
+    * SURVEY.md §7.4.5).
+    */
+  private def atomicWrite(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.toAbsolutePath.getParent)
+    val tmp = Paths.get(path + ".tmp")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

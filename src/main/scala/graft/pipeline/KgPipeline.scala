@@ -1,0 +1,283 @@
+package graft.pipeline
+
+import graft.core._
+import graft.NerfModel
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The flagship knowledge-graph construction pipeline (BASELINE.json
+  * north_rule): CRF mention detection as a typed Dataset map with the
+  * model broadcast to executors, entity linking via a broadcast
+  * dictionary hash join + similarity scorer, canonicalization via
+  * connected components over alias edges, and (subj, pred, obj) triple
+  * materialization with salted repartitioning.
+  *
+  * Scale notes (designed for 1000-executor / 100 TB inputs, tested on
+  * local[32]):
+  *  - NER is a shuffle-free narrow stage: tokenize → features → Viterbi →
+  *    IOB-decode fused in one `flatMap` closure over the broadcast model,
+  *    mirroring the reference's function-composition pipeline
+  *    (/root/reference/src/NLP/Nerf.hs:94-99) — SURVEY.md §4.3.
+  *  - the KB/alias table is tiny vs the corpus → `broadcast()` join, no
+  *    shuffle of the big side for candidate generation.
+  *  - the only wide operations are the per-mention argmax (partial-agg
+  *    `max_by`, one shuffle on mentionId) and the CC fixpoint over the
+  *    *distinct* alias edge set (orders of magnitude smaller than the
+  *    corpus).
+  *  - popular-repo skew is defused by a salted repartition before the
+  *    partitioned triple write.
+  */
+object KgPipeline {
+
+  final case class RepoFile(repo: String, path: String, commit: String,
+                            lang: String, content: String)
+
+  final case class MentionRow(repo: String, path: String, commit: String,
+                              sentIdx: Int, begin: Int, end: Int, depth: Int,
+                              neType: String, surface: String,
+                              context: String)
+
+  // ------------------------------------------------------------------
+  // Sentence extraction
+  // ------------------------------------------------------------------
+
+  private val commentPrefixes = List("// ", "# ", "-- ", "* ")
+
+  /** Pull NER-able sentences out of a source file's content: comment
+    * lines with their marker stripped; whole lines for prose files.
+    */
+  def sentencesOf(lang: String, content: String): Vector[String] = {
+    val lines = content.split('\n').toVector
+    if (lang == "md" || lang == "txt") lines.filter(_.trim.nonEmpty)
+    else lines.flatMap { l =>
+      val t = l.trim
+      commentPrefixes.collectFirst {
+        case p if t.startsWith(p) => t.substring(p.length)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Stage 1: mention detection (narrow, model broadcast)
+  // ------------------------------------------------------------------
+
+  def detectMentions(spark: SparkSession, files: Dataset[RepoFile],
+                     model: NerfModel): Dataset[MentionRow] = {
+    import spark.implicits._
+    val bModel = spark.sparkContext.broadcast(model)
+    files.flatMap { f =>
+      val m = bModel.value
+      sentencesOf(f.lang, f.content).zipWithIndex.flatMap { case (sent, si) =>
+        val (toks, spans) = m.mentions(sent)
+        spans.map { sp =>
+          MentionRow(f.repo, f.path, f.commit, si, sp.begin, sp.end, sp.depth,
+            sp.neType, toks.slice(sp.begin, sp.end).mkString(" "),
+            toks.mkString(" "))
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Stage 2: entity linking (broadcast dict join + scorer, SURVEY §2.9)
+  // ------------------------------------------------------------------
+
+  /** KB alias table: (alias_norm, entity_id, entity_type, canonical). */
+  def kbAliasDf(spark: SparkSession, kb: Seq[Synth.KbEntity]): DataFrame = {
+    import spark.implicits._
+    kb.flatMap(e => e.aliases.map(a => (a.toLowerCase, e.id, e.neType, e.canonical)))
+      .toDF("alias_norm", "entity_id", "entity_type", "canonical")
+  }
+
+  /** Link mentions to KB entities: candidate generation via broadcast
+    * hash join on (blocking key = first alias token), then a
+    * similarity score:
+    *   score = 8·exact + (4 − levenshtein)·fuzzy + 3·typeMatch
+    *           + contextOverlap
+    * and argmax per mention via partial-aggregating `max_by`.
+    * Only the outermost, type-compatible mention layers participate
+    * (nested sub-mentions like forename inherit via the parent span).
+    */
+  def linkMentions(spark: SparkSession, mentions: Dataset[MentionRow],
+                   kbAliases: DataFrame): DataFrame = {
+    val m = mentions.toDF()
+      .withColumn("mention_id",
+        concat_ws("#", col("repo"), col("path"), col("sentIdx"),
+          col("begin"), col("end"), col("depth")))
+      .withColumn("surface_norm", lower(col("surface")))
+      .withColumn("block_key", split(col("surface_norm"), " ").getItem(0))
+
+    val kb = kbAliases
+      .withColumn("block_key", split(col("alias_norm"), " ").getItem(0))
+
+    val scored = m
+      .join(broadcast(kb), Seq("block_key"))
+      .withColumn("lev", levenshtein(col("surface_norm"), col("alias_norm")))
+      .where(col("lev") <= lit(4))
+      .withColumn("type_match",
+        when(col("neType") === col("entity_type"), 1)
+          .when(substring_index(col("neType"), ".", 1) ===
+                substring_index(col("entity_type"), ".", 1), 1)
+          .otherwise(0))
+      .withColumn("ctx_overlap",
+        // context disambiguation against the *canonical* name, not just
+        // the matched alias: a surname-only mention in a sentence that
+        // spells the full name scores highest for the right entity
+        size(array_intersect(
+          split(lower(col("context")), " "),
+          split(lower(col("canonical")), " "))))
+      .withColumn("score",
+        when(col("lev") === 0, lit(8)).otherwise(lit(0)) +
+          (lit(4) - col("lev")) + col("type_match") * lit(3) +
+          col("ctx_overlap"))
+
+    scored.groupBy("mention_id", "repo", "path", "commit", "sentIdx",
+        "begin", "end", "depth", "neType", "surface_norm")
+      .agg(
+        max_by(col("entity_id"), struct(col("score"), col("entity_id"))).as("entity_id"),
+        max(col("score")).as("score"))
+  }
+
+  // ------------------------------------------------------------------
+  // Stage 3: canonicalization — connected components over alias edges
+  // (iterated DataFrame self-joins to a fixpoint; no RDD/GraphX, per
+  //  input_hint — SURVEY.md §2.9)
+  // ------------------------------------------------------------------
+
+  /** Minimum-label propagation (hash-to-min) over an undirected edge
+    * set. Returns (node, component) where component = min node id in the
+    * component. Edge sets here are alias clusters: tiny diameter, so the
+    * fixpoint converges in a handful of rounds; `localCheckpoint`
+    * truncates lineage each round.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    // undirected, distinct edge set (the only wide dep on the full input)
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = und
+        .join(labels.withColumnRenamed("node", "dst")
+                    .withColumnRenamed("comp", "ncomp"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("ncomp")).as("ncomp"))
+      val next = labels.join(viaNeighbor, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .where(col("n.comp") =!= col("o.comp")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Build alias edges from linked mentions + the KB itself, run CC, and
+    * return (entity_id, canon_id).
+    *
+    * Ambiguity guard: an alias string shared by *multiple* entities (a
+    * bare surname, a one-word org prefix) must not act as a merge bridge
+    * — only aliases pointing to exactly one entity create edges.
+    */
+  def canonicalize(spark: SparkSession, linked: DataFrame,
+                   kbAliases: DataFrame): DataFrame = {
+    // KB-internal edges: every alias of an entity <-> the entity id
+    val kbEdges = kbAliases.select(
+      col("entity_id").as("src"),
+      concat(lit("alias:"), col("alias_norm")).as("dst"))
+    // mention-derived edges: observed surface <-> linked entity
+    val obsEdges = linked.select(
+      col("entity_id").as("src"),
+      concat(lit("alias:"), col("surface_norm")).as("dst"))
+    val allEdges = kbEdges.union(obsEdges).distinct()
+    val uniqueAliases = allEdges.groupBy("dst")
+      .agg(countDistinct(col("src")).as("n"))
+      .where(col("n") <= 2) // entity + at most one duplicate-source entity
+      .select("dst")
+    val comps = connectedComponents(allEdges.join(uniqueAliases, Seq("dst")))
+    // canonical representative: the min *entity* id in the component
+    comps.where(!col("node").startsWith("alias:"))
+      .groupBy("comp").agg(min(col("node")).as("canon_id"))
+      .join(comps.where(!col("node").startsWith("alias:")), Seq("comp"))
+      .select(col("node").as("entity_id"), col("canon_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Stage 4: triple materialization (O5)
+  // ------------------------------------------------------------------
+
+  /** (subj, pred, obj) + provenance:
+    *   (repo/path#sent:span, hasEntity, canonId)
+    *   (canonId, hasType, neType)
+    */
+  def triples(linked: DataFrame, canon: DataFrame): DataFrame = {
+    val withCanon = linked.join(canon, Seq("entity_id"), "left")
+      .withColumn("canon_id", coalesce(col("canon_id"), col("entity_id")))
+    val mentionTriples = withCanon.select(
+      concat(col("repo"), lit("/"), col("path"), lit("#"),
+        col("sentIdx"), lit(":"), col("begin"), lit("-"), col("end")).as("subj"),
+      lit("hasEntity").as("pred"),
+      col("canon_id").as("obj"),
+      col("repo").as("src_repo"), col("path").as("src_path"),
+      col("commit").as("src_commit"))
+    val typeTriples = withCanon.select(
+      col("canon_id").as("subj"),
+      lit("hasType").as("pred"),
+      col("neType").as("obj"),
+      col("repo").as("src_repo"), col("path").as("src_path"),
+      col("commit").as("src_commit")).distinct()
+    mentionTriples.unionByName(typeTriples)
+  }
+
+  /** Salted repartition on (repo, salt) before a partitioned write —
+    * defuses Zipf-hot repos (north_rule skew handling).
+    */
+  def saltedForWrite(df: DataFrame, salts: Int = 16): DataFrame =
+    df.repartition(
+      col("src_repo"),
+      pmod(hash(col("src_path")), lit(salts)))
+
+  // ------------------------------------------------------------------
+  // End-to-end
+  // ------------------------------------------------------------------
+
+  final case class Result(mentions: Dataset[MentionRow], linked: DataFrame,
+                          canon: DataFrame, triples: DataFrame)
+
+  def run(spark: SparkSession, files: Dataset[RepoFile],
+          model: NerfModel): Result = {
+    val ments = detectMentions(spark, files, model)
+    val kb = kbAliasDf(spark, Synth.knowledgeBase)
+    val linked = linkMentions(spark, ments, kb)
+    val canon = canonicalize(spark, linked, kb).cache()
+    Result(ments, linked, canon, triples(linked, canon))
+  }
+
+  /** Synthesize the flagship input table as a Dataset, generated
+    * *distributed* with per-row seeding (partitioning-independent;
+    * BASELINE.md bench protocol step 1). No driver-side materialization —
+    * the same code path scales to arbitrary row counts.
+    */
+  def synthInput(spark: SparkSession, nFiles: Long, sentsPerFile: Int = 8,
+                 seed: Long = 42L, partitions: Int = 0): Dataset[RepoFile] = {
+    import spark.implicits._
+    val base = if (partitions > 0) spark.range(0L, nFiles, 1L, partitions)
+               else spark.range(nFiles)
+    base.map { i =>
+      val r = Synth.repoRow(i, sentsPerFile, seed = seed)
+      RepoFile(r.repo, r.path, r.commit, r.lang, r.content)
+    }
+  }
+}

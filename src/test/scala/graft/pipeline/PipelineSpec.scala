@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import graft.core._
+import graft.{NerfModel, KgMain}
+import graft.io.TableIO
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = SparkTestSession.spark
+  lazy val model = KgMain.model
+
+  test("detectMentions finds entities in synthesized files, partition-independent") {
+    import spark.implicits._
+    val files1 = KgPipeline.synthInput(spark, 50, partitions = 1)
+    val files4 = KgPipeline.synthInput(spark, 50, partitions = 4)
+    val m1 = KgPipeline.detectMentions(spark, files1, model)
+      .collect().sortBy(m => (m.repo, m.path, m.sentIdx, m.begin, m.end, m.depth))
+    val m4 = KgPipeline.detectMentions(spark, files4, model)
+      .collect().sortBy(m => (m.repo, m.path, m.sentIdx, m.begin, m.end, m.depth))
+    assert(m1.nonEmpty, "no mentions detected")
+    assert(m1.toSeq == m4.toSeq, "mention set depends on partitioning")
+  }
+
+  test("mentions match per-sentence golden decodings (P/R = 1 vs core ner)") {
+    import spark.implicits._
+    val files = KgPipeline.synthInput(spark, 30, partitions = 2)
+    val got = KgPipeline.detectMentions(spark, files, model).collect()
+    // oracle: run the same model sequentially on the driver
+    val expected = files.collect().flatMap { f =>
+      KgPipeline.sentencesOf(f.lang, f.content).zipWithIndex.flatMap {
+        case (s, si) =>
+          val (toks, spans) = model.mentions(s)
+          spans.map(sp => (f.repo, f.path, si, sp.begin, sp.end, sp.depth, sp.neType))
+      }
+    }.toSet
+    val gotSet = got.map(m => (m.repo, m.path, m.sentIdx, m.begin, m.end, m.depth, m.neType)).toSet
+    assert(gotSet == expected)
+  }
+
+  test("linking resolves exact-surface mentions to the right KB entity") {
+    import spark.implicits._
+    val files = KgPipeline.synthInput(spark, 40, partitions = 2)
+    val ments = KgPipeline.detectMentions(spark, files, model)
+    val kb = KgPipeline.kbAliasDf(spark, Synth.knowledgeBase)
+    val linked = KgPipeline.linkMentions(spark, ments, kb)
+    val rows = linked.collect()
+    assert(rows.nonEmpty)
+    // every persName mention whose surface is exactly a vocabulary
+    // "Forename Surname" pair must link to per:Forename_Surname
+    val fore = Synth.forenames.map(_.toLowerCase).toSet
+    val sur = Synth.surnames.map(_.toLowerCase).toSet
+    val persons = rows.filter { r =>
+      r.getAs[String]("neType") == "persName" &&
+        (r.getAs[String]("surface_norm").split(" ") match {
+          case Array(f, s) => fore(f) && sur(s)
+          case _ => false
+        })
+    }
+    assert(persons.nonEmpty)
+    persons.foreach { r =>
+      val surf = r.getAs[String]("surface_norm").split(" ")
+        .map(_.capitalize).mkString("_")
+      assert(r.getAs[String]("entity_id") == s"per:$surf",
+        s"${r.getAs[String]("surface_norm")} -> ${r.getAs[String]("entity_id")}")
+    }
+  }
+
+  test("connected components: min-label over a known graph") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("p", "p"))
+      .toDF("src", "dst")
+    val comps = KgPipeline.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps("a") == "a" && comps("b") == "a" && comps("c") == "a")
+    assert(comps("x") == "x" && comps("y") == "x")
+    assert(comps("p") == "p")
+  }
+
+  test("canonicalization merges shared-alias entities; triples materialize") {
+    import spark.implicits._
+    val files = KgPipeline.synthInput(spark, 60, partitions = 2)
+    val result = KgPipeline.run(spark, files, model)
+    val t = result.triples.collect()
+    assert(t.nonEmpty)
+    val preds = t.map(_.getAs[String]("pred")).toSet
+    assert(preds == Set("hasEntity", "hasType"))
+    // every hasEntity object has at least one hasType triple
+    val canonIds = t.filter(_.getAs[String]("pred") == "hasEntity")
+      .map(_.getAs[String]("obj")).toSet
+    val typed = t.filter(_.getAs[String]("pred") == "hasType")
+      .map(_.getAs[String]("subj")).toSet
+    assert(canonIds.subsetOf(typed))
+  }
+
+  test("snapshot write + sha256 invariant holds; resumable write resumes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_test").toString
+    val files = KgPipeline.synthInput(spark, 30, partitions = 2)
+    TableIO.writeSnapshot(files.toDF(), s"$dir/snap", "test-snap")
+    assert(TableIO.verifySnapshot(spark, s"$dir/snap") == 0)
+
+    val result = KgPipeline.run(spark, files, model)
+    val salted = KgPipeline.saltedForWrite(result.triples, salts = 4)
+
+    // write only buckets 0-1, simulate crash, then resume
+    val all = TableIO.writeResumable(salted, s"$dir/t1", 4, Seq("src_repo", "src_path"))
+    assert(all.map(_.bucket).toSet == Set(0, 1, 2, 3))
+    // delete two commit markers to simulate partial failure
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/t1/_commits/bucket-2.json"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/t1/_commits/bucket-3.json"))
+    val resumed = TableIO.writeResumable(salted, s"$dir/t1", 4, Seq("src_repo", "src_path"))
+    assert(resumed.map(_.bucket).toSet == Set(2, 3), "resume must only redo missing buckets")
+    // checksums of redone buckets match the originals (deterministic recompute)
+    val orig = all.filter(c => c.bucket >= 2).map(c => c.bucket -> c.checksum).toMap
+    resumed.foreach(c => assert(c.checksum == orig(c.bucket)))
+    // total rows over commits == triple count
+    val committed = TableIO.readCommits(s"$dir/t1", 4).map(_.rows).sum
+    assert(committed == result.triples.count())
+  }
+
+  test("golden gate: triple-set P/R vs committed golden = 1.0") {
+    import spark.implicits._
+    val files = KgPipeline.synthInput(spark, 25, partitions = 2)
+    val got = KgPipeline.run(spark, files, model).triples
+      .select("subj", "pred", "obj").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val goldenPath = "src/test/resources/golden/triples_25.tsv"
+    val p = java.nio.file.Paths.get(goldenPath)
+    if (!java.nio.file.Files.exists(p)) {
+      // first run pins the golden (committed to git thereafter)
+      java.nio.file.Files.createDirectories(p.getParent)
+      val lines = got.toSeq.sorted.map { case (s, pr, o) => s"$s\t$pr\t$o" }
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      info(s"golden pinned: ${got.size} triples")
+    } else {
+      val want = scala.io.Source.fromFile(goldenPath)("UTF-8").getLines()
+        .map { l => val a = l.split('\t'); (a(0), a(1), a(2)) }.toSet
+      val tp = got.intersect(want).size.toDouble
+      val precision = tp / got.size
+      val recall = tp / want.size
+      assert(precision >= 0.95 && recall >= 0.95,
+        s"P=$precision R=$recall vs golden (need >= 0.95); got=${got.size} want=${want.size}")
+      assert(got == want, "expect exact match against our own golden")
+    }
+  }
+}
