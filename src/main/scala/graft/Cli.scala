@@ -48,7 +48,7 @@ object Cli {
         val toks = Tokenizer.tokenize(line)
         val obs = Features.schematize(conf, toks)
         toks.zip(obs).foreach { case (t, o) =>
-          println(s"$t\t${o.toList.sorted.mkString(" ")}")
+          println(s"$t\t${o.render.mkString(" ")}")
         }
         println()
       }
@@ -94,7 +94,8 @@ final case class NerfModel(schema: Features.SchemaConf, crf: Crf.Model)
     if (toks.isEmpty) Nil
     else {
       val obs = Features.schematize(schema, toks)
-      val labels = crf.tag(obs).map(Iob.parseLabel)
+      val parsed = crf.parsedLabels
+      val labels = crf.viterbi(obs).map(parsed)
       Iob.decodeForest(toks.zip(labels))
     }
   }
@@ -146,13 +147,13 @@ object NerfModel {
     sb ++= m.crf.sing.toArray.map(_.toString).mkString(",")
     sb ++= "],\"trans\":["
     sb ++= m.crf.trans.data.map(_.toString).mkString(",")
-    sb ++= "],\"obs\":{"
-    // obs entries: value -> [id]; weights stored densely per obs id
-    val obsEntries = m.crf.obsIds.toSeq.sortBy(_._2).map { case (k, id) =>
-      s"${jstr(k)}:$id"
-    }
-    sb ++= obsEntries.mkString(",")
-    sb ++= "},\"obsLabels\":["
+    sb ++= "],\"obs\":["
+    // per save-site objects: { value: obsId, ... }
+    sb ++= m.crf.obsIds.map { siteMap =>
+      siteMap.toSeq.sortBy(_._2)
+        .map { case (k, id) => s"${jstr(k)}:$id" }.mkString("{", ",", "}")
+    }.mkString(",")
+    sb ++= "],\"obsLabels\":["
     sb ++= m.crf.obsLabels.map(a => a.mkString("[", ",", "]")).mkString(",")
     sb ++= "],\"obsWeights\":["
     sb ++= m.crf.obsWeights.map(a => a.mkString("[", ",", "]")).mkString(",")
@@ -171,8 +172,10 @@ object NerfModel {
     val transData = obj("trans").asInstanceOf[List[Any]].map(_.asInstanceOf[Double]).toArray
     val l = labels.length
     val trans = new breeze.linalg.DenseMatrix(l, l, transData)
-    val obsIds = obj("obs").asInstanceOf[Map[String, Any]]
-      .map { case (k, v) => k -> v.asInstanceOf[Double].toInt }
+    val obsIds = obj("obs").asInstanceOf[List[Any]].map { site =>
+      site.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[Double].toInt }
+    }.toArray
     val obsLabels = obj("obsLabels").asInstanceOf[List[Any]]
       .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[Double].toInt).toArray).toArray
     val obsWeights = obj("obsWeights").asInstanceOf[List[Any]]

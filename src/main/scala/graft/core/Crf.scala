@@ -26,7 +26,8 @@ object Crf {
   /** Codec + dense weight views for fast inference.
     *
     * @param labels     label id -> rendered joined-IOB label
-    * @param obsIds     observation string -> id (unknown obs dropped)
+    * @param obsIds     per save-site: observation value -> obs id
+    *                   (unknown observations dropped, crf-chain1 codec)
     * @param sing       initial-label weights, length L
     * @param trans      transition weights, (prev, cur), L×L
     * @param obsLabels  for each obs id, label ids with a present feature
@@ -34,7 +35,7 @@ object Crf {
     */
   final case class Model(
       labels: Array[String],
-      obsIds: Map[String, Int],
+      obsIds: Array[Map[String, Int]],
       sing: DenseVector[Double],
       trans: DenseMatrix[Double],
       obsLabels: Array[Array[Int]],
@@ -45,26 +46,39 @@ object Crf {
     @transient lazy val labelIds: Map[String, Int] =
       labels.zipWithIndex.toMap
 
+    /** labels parsed to IOB atom stacks, cached (hot path: one decode
+      * per tagged token otherwise).
+      */
+    @transient lazy val parsedLabels: Array[Iob.Label] =
+      labels.map(Iob.parseLabel)
+
     /** Per-position accumulated observation scores: out(k)(y) = sum of
       * weights of present (obs, y) features at position k.
       */
-    def obsScores(sent: Array[Set[String]]): Array[Array[Double]] = {
+    def obsScores(sent: Array[Features.PosObs]): Array[Array[Double]] = {
       val L = numLabels
+      val nSites = obsIds.length
       sent.map { obs =>
         val s = new Array[Double](L)
-        obs.foreach { o =>
-          obsIds.get(o).foreach { oid =>
-            val ls = obsLabels(oid); val ws = obsWeights(oid)
-            var i = 0
-            while (i < ls.length) { s(ls(i)) += ws(i); i += 1 }
+        var j = 0
+        while (j < obs.size) {
+          val site = obs.sites(j)
+          if (site < nSites) {
+            val oid = obsIds(site).getOrElse(obs.values(j), -1)
+            if (oid >= 0) {
+              val ls = obsLabels(oid); val ws = obsWeights(oid)
+              var i = 0
+              while (i < ls.length) { s(ls(i)) += ws(i); i += 1 }
+            }
           }
+          j += 1
         }
         s
       }
     }
 
     /** Most-probable label sequence (max-product in log domain). */
-    def viterbi(sent: Array[Set[String]]): Array[Int] = {
+    def viterbi(sent: Array[Features.PosObs]): Array[Int] = {
       val n = sent.length
       val L = numLabels
       if (n == 0) return Array.empty
@@ -104,7 +118,7 @@ object Crf {
       path
     }
 
-    def tag(sent: Array[Set[String]]): Array[String] =
+    def tag(sent: Array[Features.PosObs]): Array[String] =
       viterbi(sent).map(labels)
   }
 

@@ -6,96 +6,128 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Re-implements the reference's 12 config-driven schema blocks
   * (/root/reference/src/NLP/Nerf/Schema.hs:105-212,248-362) plus the Ox
-  * index bookkeeping of the public `monad-ox` package (each `save` site
-  * gets a deterministic hierarchical index `[Int]`; `group` nests one
-  * level; observation identity = (index path, value), so two identical
-  * texts emitted by different blocks are distinct features —
-  * /root/reference/src/NLP/Nerf/Types.hs:23).
+  * index bookkeeping of the public `monad-ox` package: each `save` site
+  * gets a deterministic index; observation identity = (index, value), so
+  * two identical texts emitted by different blocks are distinct features
+  * (/root/reference/src/NLP/Nerf/Types.hs:23).
   *
-  * Our frozen conventions (SURVEY.md §7.4 pinning; documented because the
-  * dep sources are not vendored):
-  *  - index path: top-level saves count 1,2,3,… in call order; a `group`
-  *    occupies one slot and its inner saves get `slot.1`, `slot.2`, …;
-  *    `save(None)` still consumes a slot (stable site numbering);
-  *    `saves` (multi-value) puts all values under one slot.
-  *  - rendered feature key: `"<i>.<j>~<value>"`.
+  * Our frozen conventions (SURVEY.md §7.4 pinning; documented because
+  * the dep sources are not vendored):
+  *  - the hierarchical `[Int]` Ox path is flattened to one scalar
+  *    `siteId` = the ordinal of the save call within the per-position
+  *    schema program. Every save site executes exactly once per position
+  *    (disabled/out-of-range saves still consume their ordinal), so the
+  *    numbering is stable and (siteId, value) pairs are unique within a
+  *    position — the reference's per-position set-dedup
+  *    (`S.fromList`, Schema.hs:359) is then a no-op and is omitted.
+  *  - `saves` (multi-value dictionary hits) emits all values under one
+  *    siteId.
   *  - shape alphabet: upper→'X', lower→'x', digit→'d', other→'o'
   *    (Schema.hs:156-161).
-  *  - prefix/suffix of negative length n takes `len+n` chars; out-of-range
-  *    lengths yield no observation (Schema.hs:144-153 uses `[0,-1..-n]`).
+  *  - prefix/suffix of negative length n takes `len+n` chars;
+  *    out-of-range lengths yield no observation (Schema.hs:144-153 uses
+  *    `[0,-1..-n]`).
+  *
+  * Hot-path note: this runs once per token of a 100 TB corpus. The
+  * representation is two parallel arrays per position (site ids +
+  * value strings, the latter usually sharing the token's backing
+  * storage) — no per-observation boxing, hashing, or string
+  * concatenation (measured: the dominant memory-bandwidth cost at high
+  * executor thread counts).
   */
 object Features {
+
+  /** Observations at one sentence position: parallel arrays, index i
+    * pairing sites(i) with values(i).
+    */
+  final class PosObs(val sites: Array[Int], val values: Array[String])
+      extends Serializable {
+    def size: Int = sites.length
+    def render: List[String] =
+      sites.indices.map(i => s"${sites(i)}~${values(i)}").toList
+    override def equals(o: Any): Boolean = o match {
+      case p: PosObs =>
+        java.util.Arrays.equals(sites, p.sites) &&
+          java.util.Arrays.equals(values.asInstanceOf[Array[AnyRef]],
+            p.values.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+    override def hashCode: Int =
+      java.util.Arrays.hashCode(sites) * 31 +
+        java.util.Arrays.hashCode(values.asInstanceOf[Array[AnyRef]])
+  }
 
   // ---------------- Ox emulation ----------------
 
   final class Ox {
-    private val out = ArrayBuffer.empty[String]
-    private val path = ArrayBuffer.empty[Int] // counters of enclosing groups
-    private var counter = 0                   // counter at current level
+    private val siteBuf = new ArrayBuffer[Int](32)
+    private val valueBuf = new ArrayBuffer[String](32)
+    private var site = 0
 
-    private def key(): String =
-      if (path.isEmpty) counter.toString
-      else path.mkString(".") + "." + counter
-
-    def save(v: Option[String]): Unit = {
-      counter += 1
-      v.foreach(x => out += key() + "~" + x)
+    def save(v: String): Unit = { // null = no observation, slot consumed
+      if (v != null) { siteBuf += site; valueBuf += v }
+      site += 1
     }
 
     def saves(vs: Iterable[String]): Unit = {
-      counter += 1
-      val k = key()
-      vs.foreach(x => out += k + "~" + x)
+      vs.foreach { x => siteBuf += site; valueBuf += x }
+      site += 1
     }
 
-    def group(body: => Unit): Unit = {
-      counter += 1
-      path += counter
-      val saved = counter
-      counter = 0
-      body
-      path.remove(path.length - 1)
-      counter = saved
-    }
-
-    def result(): Set[String] = out.toSet // dedup, as S.fromList (Schema.hs:359)
+    def result(): PosObs = new PosObs(siteBuf.toArray, valueBuf.toArray)
   }
 
   // ---------------- basic accessors ----------------
 
-  private def orthAt(sent: IndexedSeq[String], i: Int): Option[String] =
-    if (i >= 0 && i < sent.length) Some(sent(i)) else None
+  @inline private def orthAt(sent: IndexedSeq[String], i: Int): String =
+    if (i >= 0 && i < sent.length) sent(i) else null
 
-  private def lowOrthAt(sent: IndexedSeq[String], i: Int): Option[String] =
-    orthAt(sent, i).map(_.toLowerCase)
-
-  /** Affix helper: non-negative n = take n chars; negative n = take len+n
-    * chars; out of range -> None.
-    */
-  def prefix(n: Int, w: String): Option[String] = {
-    val len = w.length
-    val m = if (n >= 0) n else len + n
-    if (m >= 0 && m <= len) Some(w.substring(0, m)) else None
+  @inline private def lowOrthAt(sent: IndexedSeq[String], i: Int): String = {
+    val w = orthAt(sent, i)
+    if (w == null) null else w.toLowerCase
   }
 
-  def suffix(n: Int, w: String): Option[String] = {
+  /** Affix helper: non-negative n = take n chars; negative n = take
+    * len+n chars; out of range -> null.
+    */
+  def prefix(n: Int, w: String): String = {
     val len = w.length
     val m = if (n >= 0) n else len + n
-    if (m >= 0 && m <= len) Some(w.substring(len - m)) else None
+    if (m >= 0 && m <= len) w.substring(0, m) else null
+  }
+
+  def suffix(n: Int, w: String): String = {
+    val len = w.length
+    val m = if (n >= 0) n else len + n
+    if (m >= 0 && m <= len) w.substring(len - m) else null
   }
 
   /** Character shape (Schema.hs:156-161). */
-  def shape(w: String): String = w.map { c =>
-    if (c.isUpper) 'X' else if (c.isLower) 'x'
-    else if (c.isDigit) 'd' else 'o'
+  def shape(w: String): String = {
+    val b = new java.lang.StringBuilder(w.length)
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      b.append(
+        if (Character.isUpperCase(c)) 'X'
+        else if (Character.isLowerCase(c)) 'x'
+        else if (Character.isDigit(c)) 'd' else 'o')
+      i += 1
+    }
+    b.toString
   }
 
   /** Run-length-collapsed shape (Schema.hs:164-170). */
   def pack(s: String): String = {
-    val b = new StringBuilder
+    val b = new java.lang.StringBuilder(s.length)
     var last: Char = 0
-    s.foreach { c => if (c != last) { b += c; last = c } }
-    b.result()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != last) { b.append(c); last = c }
+      i += 1
+    }
+    b.toString
   }
 
   // ---------------- schema configuration ----------------
@@ -139,8 +171,8 @@ object Features {
   }
 
   // ---------------- blocks ----------------
-  // Each mirrors the reference's save-call order exactly so that index
-  // paths are stable (fromBlock: absolute positions = range.map(_ + k),
+  // Each mirrors the reference's save-call order exactly so that site
+  // ids are stable (fromBlock: absolute positions = range.map(_ + k),
   // Schema.hs:99-102).
 
   private type Sent = IndexedSeq[String]
@@ -150,66 +182,87 @@ object Features {
 
   private def splitOrthB(ox: Ox, sent: Sent, ks: List[Int]): Unit = {
     ks.foreach(i => ox.save(lowOrthAt(sent, i)))
-    ks.foreach(i => ox.save(orthAt(sent, i).filter(_.exists(_.isUpper))))
+    ks.foreach { i =>
+      val w = orthAt(sent, i)
+      ox.save(if (w != null && hasUpper(w)) w else null)
+    }
+  }
+
+  @inline private def hasUpper(w: String): Boolean = {
+    var i = 0
+    while (i < w.length) {
+      if (Character.isUpperCase(w.charAt(i))) return true
+      i += 1
+    }
+    false
   }
 
   private def lowPrefixesB(ox: Ox, sent: Sent, ks: List[Int], ns: List[Int]): Unit =
     ks.foreach { i =>
-      ns.foreach(n => ox.save(lowOrthAt(sent, i).flatMap(prefix(n, _))))
+      val w = lowOrthAt(sent, i)
+      ns.foreach(n => ox.save(if (w == null) null else prefix(n, w)))
     }
 
   private def lowSuffixesB(ox: Ox, sent: Sent, ks: List[Int], ns: List[Int]): Unit =
     ks.foreach { i =>
-      ns.foreach(n => ox.save(lowOrthAt(sent, i).flatMap(suffix(n, _))))
+      val w = lowOrthAt(sent, i)
+      ns.foreach(n => ox.save(if (w == null) null else suffix(n, w)))
     }
 
   private def lemmaB(ox: Ox, sent: Sent, ks: List[Int], n: Int): Unit =
     ks.foreach { i =>
-      ox.group {
-        val deltas = (0 to n).map(-_).toList // [0, -1 .. -n] (Schema.hs:152)
-        deltas.foreach(d => ox.save(lowOrthAt(sent, i).flatMap(prefix(d, _))))
-        deltas.foreach(d => ox.save(lowOrthAt(sent, i).flatMap(suffix(d, _))))
-      }
+      val w = lowOrthAt(sent, i)
+      // deltas [0, -1 .. -n] (Schema.hs:152); the reference nests these
+      // under an Ox.group — flattened here, identity preserved by the
+      // sequential site numbering
+      var d = 0
+      while (d >= -n) { ox.save(if (w == null) null else prefix(d, w)); d -= 1 }
+      d = 0
+      while (d >= -n) { ox.save(if (w == null) null else suffix(d, w)); d -= 1 }
     }
 
   private def shapeB(ox: Ox, sent: Sent, ks: List[Int]): Unit =
-    ks.foreach(i => ox.save(orthAt(sent, i).map(shape)))
+    ks.foreach { i =>
+      val w = orthAt(sent, i)
+      ox.save(if (w == null) null else shape(w))
+    }
 
   private def packedB(ox: Ox, sent: Sent, ks: List[Int]): Unit =
-    ks.foreach(i => ox.save(orthAt(sent, i).map(w => pack(shape(w)))))
+    ks.foreach { i =>
+      val w = orthAt(sent, i)
+      ox.save(if (w == null) null else pack(shape(w)))
+    }
 
   private def shapePairB(ox: Ox, sent: Sent, ks: List[Int]): Unit =
     ks.foreach { i =>
-      val v = for {
-        a <- orthAt(sent, i).map(shape)
-        b <- orthAt(sent, i - 1).map(shape)
-      } yield a + "-" + b
-      ox.save(v)
+      val a = orthAt(sent, i); val b = orthAt(sent, i - 1)
+      ox.save(if (a == null || b == null) null else shape(a) + "-" + shape(b))
     }
 
   private def packedPairB(ox: Ox, sent: Sent, ks: List[Int]): Unit =
     ks.foreach { i =>
-      val v = for {
-        a <- orthAt(sent, i).map(w => pack(shape(w)))
-        b <- orthAt(sent, i - 1).map(w => pack(shape(w)))
-      } yield a + "-" + b
-      ox.save(v)
+      val a = orthAt(sent, i); val b = orthAt(sent, i - 1)
+      ox.save(if (a == null || b == null) null
+              else pack(shape(a)) + "-" + pack(shape(b)))
     }
+
+  private val noHits: List[String] = Nil
 
   private def dictB(ox: Ox, sent: Sent, ks: List[Int],
                     dict: Map[String, List[String]]): Unit =
     ks.foreach { i =>
-      val hits = orthAt(sent, i).flatMap(dict.get).getOrElse(Nil)
-      ox.saves(hits.sorted) // S.toList ordering (Schema.hs:206-212)
+      val w = orthAt(sent, i)
+      val hits = if (w == null) noHits else dict.getOrElse(w, noHits)
+      ox.saves(hits) // dict lists are pre-sorted (S.toList, Schema.hs:206-212)
     }
 
   // ---------------- schematize ----------------
 
-  /** Extract per-position observation sets for a sentence
+  /** Extract per-position observations for a sentence
     * (Schema.hs:341-362: blocks composed in fixed order; fresh Ox per
     * position).
     */
-  def schematize(conf: SchemaConf, tokens: IndexedSeq[String]): Array[Set[String]] = {
+  def schematize(conf: SchemaConf, tokens: IndexedSeq[String]): Array[PosObs] = {
     val n = tokens.length
     Array.tabulate(n) { k =>
       val ox = new Ox
@@ -230,5 +283,20 @@ object Features {
       conf.extTrigsC.foreach { case (r, d) => dictB(ox, tokens, abs(r), d) }
       ox.result()
     }
+  }
+
+  /** Total number of save sites for a config (site ids are < this). */
+  def numSites(conf: SchemaConf): Int = {
+    def len(o: Option[List[Int]]): Int = o.map(_.length).getOrElse(0)
+    len(conf.orthC) +
+      2 * len(conf.splitOrthC) +
+      conf.lowPrefixesC.map { case (r, ns) => r.length * ns.length }.getOrElse(0) +
+      conf.lowSuffixesC.map { case (r, ns) => r.length * ns.length }.getOrElse(0) +
+      conf.lemmaC.map { case (r, n) => r.length * 2 * (n + 1) }.getOrElse(0) +
+      len(conf.shapeC) + len(conf.packedC) +
+      len(conf.shapePairC) + len(conf.packedPairC) +
+      conf.dictC.map { case (r, ds) => r.length * ds.length }.getOrElse(0) +
+      conf.intTrigsC.map(_._1.length).getOrElse(0) +
+      conf.extTrigsC.map(_._1.length).getOrElse(0)
   }
 }

@@ -27,8 +27,8 @@ object Sgd {
       tau: Double = 5.0,
       seed: Long = 42L)
 
-  /** A training sentence: per-position observation sets + gold labels. */
-  final case class TrainSent(obs: Array[Set[String]], labels: Array[String])
+  /** A training sentence: per-position observations + gold labels. */
+  final case class TrainSent(obs: Array[Features.PosObs], labels: Array[String])
 
   def train(data: Seq[TrainSent], cfg: Config = Config(),
             log: String => Unit = _ => ()): Crf.Model = {
@@ -38,13 +38,31 @@ object Sgd {
     val labelIds = mutable.LinkedHashMap.empty[String, Int]
     data.foreach(_.labels.foreach(l => labelIds.getOrElseUpdate(l, labelIds.size)))
     val L = labelIds.size
-    val obsIds = mutable.LinkedHashMap.empty[String, Int]
-    data.foreach(_.obs.foreach(_.foreach(o => obsIds.getOrElseUpdate(o, obsIds.size))))
-    val O = obsIds.size
+    // per save-site value -> global obs id (observation identity is the
+    // (site, value) pair)
+    val nSites = data.iterator.flatMap(_.obs.iterator)
+      .flatMap(_.sites.iterator).maxOption.getOrElse(-1) + 1
+    val obsIds = Array.fill(nSites)(mutable.LinkedHashMap.empty[String, Int])
+    var obsCount = 0
+    data.foreach(_.obs.foreach { p =>
+      var j = 0
+      while (j < p.size) {
+        val m = obsIds(p.sites(j))
+        if (!m.contains(p.values(j))) { m(p.values(j)) = obsCount; obsCount += 1 }
+        j += 1
+      }
+    })
+    val O = obsCount
 
     // encoded sentences
     val enc: Array[(Array[Array[Int]], Array[Int])] = data.map { s =>
-      val obs = s.obs.map(_.iterator.map(obsIds).toArray.sorted)
+      val obs = s.obs.map { p =>
+        val a = new Array[Int](p.size)
+        var j = 0
+        while (j < p.size) { a(j) = obsIds(p.sites(j))(p.values(j)); j += 1 }
+        java.util.Arrays.sort(a)
+        a
+      }
       val lbs = s.labels.map(labelIds)
       (obs, lbs)
     }.toArray
@@ -92,7 +110,8 @@ object Sgd {
       val trans = DenseMatrix.tabulate(L, L)((p, c) =>
         if (transPresent(p * L + c)) w(transBase + p * L + c) else 0.0)
       val ow = obsFeatArr.map(_.map(w))
-      Crf.Model(labelIds.keys.toArray, obsIds.toMap, sing, trans, obsLabelArr, ow)
+      Crf.Model(labelIds.keys.toArray, obsIds.map(_.toMap), sing, trans,
+        obsLabelArr, ow)
     }
 
     // obs scores for one encoded sentence under current weights

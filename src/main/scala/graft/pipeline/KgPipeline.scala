@@ -101,15 +101,30 @@ object KgPipeline {
     */
   def linkMentions(spark: SparkSession, mentions: Dataset[MentionRow],
                    kbAliases: DataFrame): DataFrame = {
+    // precompute per-MENTION derived columns before the candidate join:
+    // anything computed after it runs once per candidate (~30x) instead
+    // of once per mention
     val m = mentions.toDF()
       .withColumn("mention_id",
         concat_ws("#", col("repo"), col("path"), col("sentIdx"),
           col("begin"), col("end"), col("depth")))
       .withColumn("surface_norm", lower(col("surface")))
       .withColumn("block_key", split(col("surface_norm"), " ").getItem(0))
+      // context narrowed to capitalized tokens (the only ones that can
+      // match a canonical name) — the candidate join replicates this
+      // array ~30x per mention, so its width is a shuffle/CPU multiplier
+      .withColumn("ctx_toks",
+        transform(filter(split(col("context"), " "),
+          t => t.substr(1, 1) >= "A" && t.substr(1, 1) <= "Z"),
+          t => lower(t)))
+      .withColumn("ne_root", substring_index(col("neType"), ".", 1))
+      .drop("context")
 
+    // per-ALIAS derived columns precomputed on the tiny broadcast side
     val kb = kbAliases
       .withColumn("block_key", split(col("alias_norm"), " ").getItem(0))
+      .withColumn("canon_toks", split(lower(col("canonical")), " "))
+      .withColumn("type_root", substring_index(col("entity_type"), ".", 1))
 
     val scored = m
       .join(broadcast(kb), Seq("block_key"))
@@ -117,26 +132,31 @@ object KgPipeline {
       .where(col("lev") <= lit(4))
       .withColumn("type_match",
         when(col("neType") === col("entity_type"), 1)
-          .when(substring_index(col("neType"), ".", 1) ===
-                substring_index(col("entity_type"), ".", 1), 1)
+          .when(col("ne_root") === col("type_root"), 1)
           .otherwise(0))
       .withColumn("ctx_overlap",
         // context disambiguation against the *canonical* name, not just
         // the matched alias: a surname-only mention in a sentence that
         // spells the full name scores highest for the right entity
-        size(array_intersect(
-          split(lower(col("context")), " "),
-          split(lower(col("canonical")), " "))))
+        size(array_intersect(col("ctx_toks"), col("canon_toks"))))
       .withColumn("score",
         when(col("lev") === 0, lit(8)).otherwise(lit(0)) +
           (lit(4) - col("lev")) + col("type_match") * lit(3) +
           col("ctx_overlap"))
 
-    scored.groupBy("mention_id", "repo", "path", "commit", "sentIdx",
-        "begin", "end", "depth", "neType", "surface_norm")
+    // argmax per mention: partial-aggregating max_by collapses the
+    // candidate explosion map-side; shuffle volume = #mentions. The
+    // non-key columns are functionally dependent on mention_id and ride
+    // along in the (cheap, single-column) grouping key's payload.
+    scored.groupBy("mention_id")
       .agg(
         max_by(col("entity_id"), struct(col("score"), col("entity_id"))).as("entity_id"),
-        max(col("score")).as("score"))
+        max(col("score")).as("score"),
+        first(col("repo")).as("repo"), first(col("path")).as("path"),
+        first(col("commit")).as("commit"), first(col("sentIdx")).as("sentIdx"),
+        first(col("begin")).as("begin"), first(col("end")).as("end"),
+        first(col("depth")).as("depth"), first(col("neType")).as("neType"),
+        first(col("surface_norm")).as("surface_norm"))
   }
 
   // ------------------------------------------------------------------
@@ -206,12 +226,62 @@ object KgPipeline {
       .agg(countDistinct(col("src")).as("n"))
       .where(col("n") <= 2) // entity + at most one duplicate-source entity
       .select("dst")
-    val comps = connectedComponents(allEdges.join(uniqueAliases, Seq("dst")))
+    val edges = allEdges.join(uniqueAliases, Seq("dst"))
+      .select("src", "dst")
+
+    // The distinct alias-edge set is bounded by the alias vocabulary
+    // (KB-scale), not by the corpus: the distributed `distinct` above is
+    // the only pass over corpus-sized data. Below the threshold we
+    // union-find on the driver (microseconds, no fixpoint shuffle
+    // rounds); above it, fall back to the iterative DataFrame CC.
+    val edgeRows = edges.limit(ccCollectThreshold + 1).collect()
+    val comps =
+      if (edgeRows.length <= ccCollectThreshold) {
+        val uf = new UnionFind
+        edgeRows.foreach(r => uf.union(r.getString(0), r.getString(1)))
+        val spark2 = spark
+        import spark2.implicits._
+        uf.components().toSeq.toDF("node", "comp")
+      } else connectedComponents(edges)
+
     // canonical representative: the min *entity* id in the component
-    comps.where(!col("node").startsWith("alias:"))
-      .groupBy("comp").agg(min(col("node")).as("canon_id"))
-      .join(comps.where(!col("node").startsWith("alias:")), Seq("comp"))
+    val entities = comps.where(!col("node").startsWith("alias:"))
+    broadcast(entities.groupBy("comp").agg(min(col("node")).as("canon_id")))
+      .join(entities, Seq("comp"))
       .select(col("node").as("entity_id"), col("canon_id"))
+  }
+
+  /** Above this many distinct alias edges, canonicalization switches
+    * from driver union-find to the distributed fixpoint.
+    */
+  val ccCollectThreshold: Int = 2000000
+
+  /** Driver-side union-find with path compression; component label =
+    * lexicographic min member (same convention as the distributed CC).
+    */
+  private final class UnionFind {
+    private val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: String, b: String): Unit = {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    def components(): Iterator[(String, String)] = {
+      // roots are not guaranteed min under union-by-value alone after
+      // path compression interleavings; take min per root explicitly
+      val byRoot = parent.keys.groupBy(find)
+      byRoot.iterator.flatMap { case (_, members) =>
+        val m = members.min
+        members.iterator.map(x => (x, m))
+      }
+    }
   }
 
   // ------------------------------------------------------------------
@@ -223,7 +293,9 @@ object KgPipeline {
     *   (canonId, hasType, neType)
     */
   def triples(linked: DataFrame, canon: DataFrame): DataFrame = {
-    val withCanon = linked.join(canon, Seq("entity_id"), "left")
+    // canon is KB-sized -> broadcast; the corpus-sized `linked` side
+    // never shuffles for this join
+    val withCanon = linked.join(broadcast(canon), Seq("entity_id"), "left")
       .withColumn("canon_id", coalesce(col("canon_id"), col("entity_id")))
     val mentionTriples = withCanon.select(
       concat(col("repo"), lit("/"), col("path"), lit("#"),
@@ -260,7 +332,12 @@ object KgPipeline {
           model: NerfModel): Result = {
     val ments = detectMentions(spark, files, model)
     val kb = kbAliasDf(spark, Synth.knowledgeBase)
+    // linked feeds BOTH canonicalization and triple materialization —
+    // persist it or the whole NER+link DAG runs twice (spills to disk
+    // if executors are tight; at cluster scale this is the natural
+    // stage boundary to checkpoint)
     val linked = linkMentions(spark, ments, kb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = canonicalize(spark, linked, kb).cache()
     Result(ments, linked, canon, triples(linked, canon))
   }

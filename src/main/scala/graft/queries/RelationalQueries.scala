@@ -1,0 +1,588 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Oracle-checked relational renditions of the reference's operators
+  * (SURVEY.md §2) plus the large-scale training-data-pipeline operators,
+  * over the driver's TPC-H-ish tables (TESTDATA.md). Every query here has
+  * a DuckDB-equivalent SQL string in `oracle` with matching column names
+  * and engine-portable value types (counts, exact decimal sums cast to
+  * double at the end, strings — no raw float aggregation).
+  *
+  * Scale discipline: filters/projections sit directly on the parquet
+  * scan (pushdown), joins against small tables are `broadcast`, windows
+  * partition by high-cardinality keys, aggregations are partial-agg
+  * friendly (no collect-driven logic anywhere).
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact money arithmetic for cross-engine parity: sum in decimal,
+    * surface as double.
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // =================================================================
+  // §2.2/2.5 sources, filters, dict aggregation
+  // =================================================================
+
+  /** A1+S4 dict build: group forms, collect label sets (PoliMorf
+    * category-filter rendition: /root/reference/src/NLP/Nerf/Dict.hs:43-51,
+    * Dict/Base.hs:63-71).
+    */
+  def q01_dict_build(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .where(col("p_type") =!= "ECONOMY")
+      .groupBy(col("p_name").as("form"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("p_brand")))).as("labels"),
+        countDistinct(col("p_brand")).as("n_labels"))
+
+  val q01_sql: String =
+    """SELECT p_name AS form,
+      |       string_agg(DISTINCT p_brand, ',' ORDER BY p_brand) AS labels,
+      |       count(DISTINCT p_brand) AS n_labels
+      |FROM part WHERE p_type <> 'ECONOMY' GROUP BY p_name""".stripMargin
+
+  /** A2 dict merge: n-way union with per-key set union
+    * (/root/reference/src/NLP/Nerf/Dict/Base.hs:86-97).
+    */
+  def q02_dict_merge(s: SparkSession, dir: String): DataFrame = {
+    val d1 = t(s, dir, "part").select(col("p_name").as("form"),
+      col("p_brand").as("label"))
+    val d2 = t(s, dir, "supplier").select(col("s_name").as("form"),
+      lit("SUPPLIER").as("label"))
+    d1.unionByName(d2)
+      .groupBy("form")
+      .agg(concat_ws(",", sort_array(collect_set(col("label")))).as("labels"))
+  }
+
+  val q02_sql: String =
+    """SELECT form, string_agg(DISTINCT label, ',' ORDER BY label) AS labels
+      |FROM (SELECT p_name AS form, p_brand AS label FROM part
+      |      UNION ALL
+      |      SELECT s_name AS form, 'SUPPLIER' AS label FROM supplier)
+      |GROUP BY form""".stripMargin
+
+  /** A3 dict diff: disambiguate sources by ordinal label prefix
+    * (/root/reference/src/NLP/Nerf/Dict/Base.hs:101-116).
+    */
+  def q03_dict_diff(s: SparkSession, dir: String): DataFrame = {
+    val d1 = t(s, dir, "part").select(col("p_name").as("form"),
+      concat(lit("0:"), col("p_brand")).as("label"))
+    val d2 = t(s, dir, "part").where(col("p_size") > 25)
+      .select(col("p_name").as("form"), concat(lit("1:"), col("p_brand")).as("label"))
+    d1.unionByName(d2).groupBy("form")
+      .agg(countDistinct(col("label")).as("n_labels"))
+  }
+
+  val q03_sql: String =
+    """SELECT form, count(DISTINCT label) AS n_labels
+      |FROM (SELECT p_name AS form, '0:' || p_brand AS label FROM part
+      |      UNION ALL
+      |      SELECT p_name AS form, '1:' || p_brand AS label FROM part WHERE p_size > 25)
+      |GROUP BY form""".stripMargin
+
+  // =================================================================
+  // §2.3 joins / alignment
+  // =================================================================
+
+  /** J4/F10 broadcast dict-lookup join — the candidate-generation hash
+    * join (/root/reference/src/NLP/Nerf/Schema.hs:206-212).
+    */
+  def q04_broadcast_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val q04_sql: String =
+    """SELECT p_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_type""".stripMargin
+
+  /** J2 sync rendition: equi+range interval join — lineitems shipped
+    * within 30 days of their order date
+    * (/root/reference/src/NLP/Nerf/Tokenize.hs:96-185).
+    */
+  def q05_range_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") >= col("o_orderdate") &&
+             col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  val q05_sql: String =
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= o_orderdate
+      |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** J5 positional zip rendition: adjacent-line pairs within an order
+    * (lag window), counting same-returnflag neighbors
+    * (/root/reference/src/NLP/Nerf/Compare.hs:59-66).
+    */
+  def q06_pos_zip(s: SparkSession, dir: String): DataFrame = {
+    // total order: l_linenumber alone is duplicated within orders
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    t(s, dir, "lineitem")
+      .withColumn("prev_flag", lag(col("l_returnflag"), 1).over(w))
+      .where(col("prev_flag").isNotNull)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("prev_flag") === col("l_returnflag"), 1)).as("n_same"))
+  }
+
+  val q06_sql: String =
+    """SELECT l_returnflag, count(*) AS n_pairs,
+      |       count(CASE WHEN prev_flag = l_returnflag THEN 1 END) AS n_same
+      |FROM (SELECT l_returnflag,
+      |             lag(l_returnflag) OVER (PARTITION BY l_orderkey
+      |                                     ORDER BY l_linenumber, l_partkey,
+      |                                              l_suppkey) AS prev_flag
+      |      FROM lineitem)
+      |WHERE prev_flag IS NOT NULL
+      |GROUP BY l_returnflag""".stripMargin
+
+  // =================================================================
+  // §2.5 set compare / stats
+  // =================================================================
+
+  /** A5 TP/FP/FN set compare
+    * (/root/reference/src/NLP/Nerf/Compare.hs:69-86).
+    */
+  def q07_tpfpfn(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        (col("o_orderstatus") === "O").as("p"),
+        (col("o_totalprice") > 150000.0).as("r"))
+      .agg(
+        count(when(col("p") && col("r"), 1)).as("tp"),
+        count(when(col("p") && !col("r"), 1)).as("fp"),
+        count(when(!col("p") && col("r"), 1)).as("fn"))
+
+  val q07_sql: String =
+    """SELECT count(CASE WHEN p AND r THEN 1 END) AS tp,
+      |       count(CASE WHEN p AND NOT r THEN 1 END) AS fp,
+      |       count(CASE WHEN NOT p AND r THEN 1 END) AS fn
+      |FROM (SELECT o_orderstatus = 'O' AS p, o_totalprice > 150000.0 AS r
+      |      FROM orders)""".stripMargin
+
+  /** A5 via INTERSECT/EXCEPT set operators. */
+  def q26_set_ops(s: SparkSession, dir: String): DataFrame = {
+    val withOrders = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
+    val rich = t(s, dir, "customer").where(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k"))
+    val inter = withOrders.intersect(rich).count()
+    val exc = withOrders.except(rich).count()
+    val s2 = s
+    import s2.implicits._
+    Seq((inter, exc)).toDF("n_intersect", "n_except")
+  }
+
+  val q26_sql: String =
+    """SELECT (SELECT count(*) FROM
+      |          (SELECT DISTINCT o_custkey AS k FROM orders
+      |           INTERSECT
+      |           SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000))
+      |         AS n_intersect,
+      |       (SELECT count(*) FROM
+      |          (SELECT DISTINCT o_custkey AS k FROM orders
+      |           EXCEPT
+      |           SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000))
+      |         AS n_except""".stripMargin
+
+  /** A6 rollup with grand total (/root/reference/app/Main.hs:320-321). */
+  def q08_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+        col("n"), col("sum_price"))
+
+  val q08_sql: String =
+    """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+      |       coalesce(l_linestatus, '<all>') AS l_linestatus,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** A5+A6 combined: per-type compare stats + grand total over a
+    * synthetic predicted/actual rule.
+    */
+  def q29_compare_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_linestatus").as("ne_type"),
+        (col("l_discount") > 0.05).as("p"),
+        (col("l_returnflag") === "R").as("r"))
+      .rollup(col("ne_type"))
+      .agg(
+        count(when(col("p") && col("r"), 1)).as("tp"),
+        count(when(col("p") && !col("r"), 1)).as("fp"),
+        count(when(!col("p") && col("r"), 1)).as("fn"))
+      .select(coalesce(col("ne_type"), lit("<all>")).as("ne_type"),
+        col("tp"), col("fp"), col("fn"))
+
+  val q29_sql: String =
+    """SELECT coalesce(ne_type, '<all>') AS ne_type,
+      |       count(CASE WHEN p AND r THEN 1 END) AS tp,
+      |       count(CASE WHEN p AND NOT r THEN 1 END) AS fp,
+      |       count(CASE WHEN NOT p AND r THEN 1 END) AS fn
+      |FROM (SELECT l_linestatus AS ne_type, l_discount > 0.05 AS p,
+      |             l_returnflag = 'R' AS r FROM lineitem)
+      |GROUP BY ROLLUP (ne_type)""".stripMargin
+
+  // =================================================================
+  // §2.5 A4 windows; §2.9 top-k candidates
+  // =================================================================
+
+  /** A4 cumulative char offsets
+    * (/root/reference/src/NLP/Nerf/Compare.hs:89-98).
+    */
+  def q09_char_offsets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        sum(col("n_chars")).over(w).as("cum_chars"))
+  }
+
+  val q09_sql: String =
+    """SELECT doc_id, lang,
+      |       sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |                          ROWS UNBOUNDED PRECEDING) AS cum_chars
+      |FROM documents""".stripMargin
+
+  /** Linker top-k candidates per mention rendition: top-3 parts per
+    * brand by (retailprice, partkey) via row_number (SURVEY.md §2.9).
+    */
+  def q10_topk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    t(s, dir, "part")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("p_brand"), col("rank"), col("p_partkey"))
+  }
+
+  val q10_sql: String =
+    """SELECT p_brand, rank, p_partkey FROM (
+      |  SELECT p_brand, p_partkey,
+      |         row_number() OVER (PARTITION BY p_brand
+      |                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+      |  FROM part) WHERE rank <= 3""".stripMargin
+
+  /** F8 lag rendition + event-time sessionization: gaps > 30 min. */
+  def q14_session_gaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    t(s, dir, "events")
+      .withColumn("prev_ms", lag(unix_millis(col("ts").cast("timestamp")), 1).over(w))
+      .where(col("prev_ms").isNotNull &&
+        unix_millis(col("ts").cast("timestamp")) - col("prev_ms") > 1800000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_session_starts"))
+  }
+
+  val q14_sql: String =
+    """SELECT event_type, count(*) AS n_session_starts
+      |FROM (SELECT event_type, epoch_ms(ts) AS ms,
+      |             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+      |      FROM events)
+      |WHERE prev_ms IS NOT NULL AND ms - prev_ms > 1800000
+      |GROUP BY event_type""".stripMargin
+
+  /** As-of join: for each error event, the latest signup of the same
+    * user at-or-before it (composable from window ops; DuckDB oracle via
+    * correlated subquery).
+    */
+  def q27_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts").cast("timestamp")).as("ms"))
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), unix_millis(col("ts").cast("timestamp")).as("s_ms"))
+    // the at-or-before predicate belongs in the JOIN condition: an error
+    // with no prior signup must still surface (NULL), as in the oracle
+    errors.join(signups,
+        col("user_id") === col("s_user_id") && col("s_ms") <= col("ms"),
+        "left_outer")
+      .groupBy(col("event_id"))
+      .agg(max(col("s_ms")).as("asof_signup_ms"))
+  }
+
+  val q27_sql: String =
+    """SELECT e.event_id,
+      |       (SELECT max(epoch_ms(s.ts)) FROM events s
+      |        WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+      |          AND s.ts <= e.ts) AS asof_signup_ms
+      |FROM events e WHERE e.event_type = 'error'""".stripMargin
+
+  // =================================================================
+  // text analysis / fingerprinting / dedup (training-data ops)
+  // =================================================================
+
+  /** Per-row invariant: sha256 (north_star). */
+  def q12_sha256(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").where(col("doc_id") < 50)
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_sha256"))
+
+  val q12_sql: String =
+    """SELECT doc_id, sha256(text) AS text_sha256
+      |FROM documents WHERE doc_id < 50""".stripMargin
+
+  /** J1 tokenize rendition: whitespace token counts. */
+  def q13_token_counts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+
+  val q13_sql: String =
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents"
+
+  /** BPE-ish regex token counting. */
+  def q24_regex_tokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).as("n_bpeish"))
+
+  val q24_sql: String =
+    """SELECT doc_id,
+      |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish
+      |FROM documents WHERE doc_id < 100""".stripMargin
+
+  /** Document fingerprint: md5 over whitespace-normalized text. */
+  def q15_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), " ", "")).as("fingerprint"))
+
+  val q15_sql: String =
+    """SELECT doc_id, md5(replace(lower(text), ' ', '')) AS fingerprint
+      |FROM documents WHERE doc_id < 50""".stripMargin
+
+  /** Exact dedup: hash-groupBy over normalized text. */
+  def q16_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_distinct_texts"),
+        count(when(col("c") > 1, 1)).as("n_dup_groups"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0)).cast("long").as("n_dup_docs"))
+
+  val q16_sql: String =
+    """SELECT count(*) AS n_distinct_texts,
+      |       count(CASE WHEN c > 1 THEN 1 END) AS n_dup_groups,
+      |       CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_dup_docs
+      |FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY md5(text))""".stripMargin
+
+  /** N-gram (distinct-token) Jaccard near-dup pairs, integer-exact
+    * threshold test (5·shared >= 4·union ⇔ J >= 0.8); bounded doc range
+    * keeps the pair join small at any SF (the MinHash variant q44 is the
+    * unbounded scale path).
+    */
+  def q17_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = toks.as("a"); val b = toks.as("b")
+    val shared = a.join(b, col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+      .where(col("shared") * 5 >= (col("sz1") + col("sz2") - col("shared")) * 4)
+      .select(col("d1"), col("d2"), col("shared"), col("sz1"), col("sz2"))
+  }
+
+  val q17_sql: String =
+    """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents WHERE doc_id < 60),
+      |     sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |     shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+      |                FROM toks a JOIN toks b
+      |                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |                GROUP BY a.doc_id, b.doc_id)
+      |SELECT d1, d2, shared, s1.sz AS sz1, s2.sz AS sz2
+      |FROM shared JOIN sizes s1 ON s1.doc_id = d1
+      |            JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE shared * 5 >= (s1.sz + s2.sz - shared) * 4""".stripMargin
+
+  /** Language-ID by marker-token heuristic (deterministic n-gram-ish
+    * rule, identical in both engines).
+    */
+  def q22_langid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("text").contains(" the "), "en")
+          .when(col("text").contains(" der "), "de")
+          .when(col("text").contains(" le "), "fr")
+          .otherwise("und").as("lang_guess"))
+      .groupBy("lang_guess").agg(count(lit(1)).as("n"))
+
+  val q22_sql: String =
+    """SELECT CASE WHEN text LIKE '% the %' THEN 'en'
+      |            WHEN text LIKE '% der %' THEN 'de'
+      |            WHEN text LIKE '% le %' THEN 'fr'
+      |            ELSE 'und' END AS lang_guess, count(*) AS n
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Quality scoring: token count, stopword hits, mean word length —
+    * integer-exact.
+    */
+  def q23_quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"),
+        size(filter(split(col("text"), " "),
+          w => w === "the" || w === "a" || w === "of")).as("stopword_hits"),
+        length(regexp_replace(col("text"), " ", "")).as("n_nonspace_chars"))
+
+  val q23_sql: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_words,
+      |       len(list_filter(string_split(text, ' '),
+      |                       w -> w = 'the' OR w = 'a' OR w = 'of')) AS stopword_hits,
+      |       length(replace(text, ' ', '')) AS n_nonspace_chars
+      |FROM documents WHERE doc_id < 100""".stripMargin
+
+  // =================================================================
+  // embeddings: brute-force cosine top-k (ANN baseline)
+  // =================================================================
+
+  /** Brute-force cosine top-10 neighbors of vec_id 0; float-free output
+    * (rank + id), ordering stabilized by rounding + id tie-break.
+    */
+  def q20_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val dot = expr(
+      "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val norm = (c: String) => expr(
+      s"sqrt(aggregate($c, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("cos", round(dot / (norm("embedding") * norm("qv")), 6))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("cos"))
+  }
+
+  val q20_sql: String =
+    """SELECT e.vec_id,
+      |       round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+      |             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |              sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cos
+      |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |WHERE e.vec_id <> 0
+      |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+
+  // =================================================================
+  // connected components (canonicalization oracle)
+  // =================================================================
+
+  /** CC over a small deterministic bipartite graph (orders<->parts),
+    * oracled by a DuckDB recursive CTE — validates the iterative
+    * DataFrame min-label algorithm used by canonicalization (§2.9).
+    */
+  def q25_connected_components(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .where(col("l_orderkey") < 40)
+      .select(col("l_orderkey").cast("long").as("src"),
+        (col("l_partkey") + 1000000L).cast("long").as("dst"))
+      .distinct()
+    // CC propagates min over STRING labels (entity ids in the KG path);
+    // zero-pad so lexicographic min == numeric min, then un-pad.
+    val strEdges = edges.select(
+      lpad(col("src").cast("string"), 12, "0").as("src"),
+      lpad(col("dst").cast("string"), 12, "0").as("dst"))
+    graft.pipeline.KgPipeline.connectedComponents(strEdges)
+      .select(col("node").cast("long").as("node"),
+        col("comp").cast("long").as("comp"))
+  }
+  val q25_sql: String =
+    """WITH RECURSIVE
+      |  edges AS (SELECT DISTINCT l_orderkey AS src, l_partkey + 1000000 AS dst
+      |            FROM lineitem WHERE l_orderkey < 40),
+      |  und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |  reach(node, comp) AS (
+      |    SELECT src, src FROM und
+      |    UNION
+      |    SELECT u.src, r.comp FROM und u JOIN reach r ON u.dst = r.node),
+      |  mincomp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+      |SELECT CAST(node AS BIGINT) AS node, CAST(comp AS BIGINT) AS comp
+      |FROM mincomp""".stripMargin
+
+  // =================================================================
+  // salted repartition invariance
+  // =================================================================
+
+  /** Row-count invariance under salted repartition (north_rule skew
+    * handling; the repartition is on the Spark side only — the oracle
+    * checks the count survives).
+    */
+  def q28_salted_count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .repartition(col("l_orderkey"), pmod(hash(col("l_partkey")), lit(16)))
+      .agg(count(lit(1)).as("n_rows"))
+
+  val q28_sql: String = "SELECT count(*) AS n_rows FROM lineitem"
+
+  /** Multimodal metadata surface: opaque payload treated as bytes +
+    * typed metadata extraction (byte length; decode itself is the
+    * stubbed Spark-only q47).
+    */
+  def q30_media_meta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").where(col("event_id") < 100)
+      .select(col("event_id"),
+        octet_length(col("props")).as("payload_bytes"),
+        get_json_object(col("props"), "$.k").cast("int").as("meta_k"))
+
+  val q30_sql: String =
+    """SELECT event_id, strlen(props) AS payload_bytes,
+      |       CAST(json_extract_string(props, '$.k') AS INT) AS meta_k
+      |FROM events WHERE event_id < 100""".stripMargin
+
+  /** All oracle-checked queries: name -> (builder, duckdb sql). */
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
+    "q02_dict_merge" -> ((q02_dict_merge _, q02_sql)),
+    "q03_dict_diff" -> ((q03_dict_diff _, q03_sql)),
+    "q04_broadcast_join" -> ((q04_broadcast_join _, q04_sql)),
+    "q05_range_join" -> ((q05_range_join _, q05_sql)),
+    "q06_pos_zip" -> ((q06_pos_zip _, q06_sql)),
+    "q07_tpfpfn" -> ((q07_tpfpfn _, q07_sql)),
+    "q08_rollup" -> ((q08_rollup _, q08_sql)),
+    "q09_char_offsets" -> ((q09_char_offsets _, q09_sql)),
+    "q10_topk" -> ((q10_topk _, q10_sql)),
+    "q12_sha256" -> ((q12_sha256 _, q12_sql)),
+    "q13_token_counts" -> ((q13_token_counts _, q13_sql)),
+    "q14_session_gaps" -> ((q14_session_gaps _, q14_sql)),
+    "q15_fingerprint" -> ((q15_fingerprint _, q15_sql)),
+    "q16_dedup_exact" -> ((q16_dedup_exact _, q16_sql)),
+    "q17_jaccard_pairs" -> ((q17_jaccard_pairs _, q17_sql)),
+    "q20_cosine_topk" -> ((q20_cosine_topk _, q20_sql)),
+    "q22_langid" -> ((q22_langid _, q22_sql)),
+    "q23_quality" -> ((q23_quality _, q23_sql)),
+    "q24_regex_tokens" -> ((q24_regex_tokens _, q24_sql)),
+    "q25_connected_components" -> ((q25_connected_components _, q25_sql)),
+    "q26_set_ops" -> ((q26_set_ops _, q26_sql)),
+    "q27_asof_join" -> ((q27_asof_join _, q27_sql)),
+    "q28_salted_count" -> ((q28_salted_count _, q28_sql)),
+    "q29_compare_rollup" -> ((q29_compare_rollup _, q29_sql)),
+    "q30_media_meta" -> ((q30_media_meta _, q30_sql)))
+}

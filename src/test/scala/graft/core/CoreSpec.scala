@@ -154,64 +154,76 @@ class FeaturesSpec extends AnyFunSuite {
     assert(pack(shape("AAbb99..")) == "Xxdo")
   }
   test("prefix/suffix with negative lengths") {
-    assert(prefix(2, "dogs").contains("do"))
-    assert(prefix(-1, "dogs").contains("dog"))
-    assert(prefix(0, "dogs").contains(""))
-    assert(prefix(5, "dogs").isEmpty)
-    assert(prefix(-5, "dogs").isEmpty)
-    assert(suffix(2, "dogs").contains("gs"))
-    assert(suffix(-1, "dogs").contains("ogs"))
+    assert(prefix(2, "dogs") == "do")
+    assert(prefix(-1, "dogs") == "dog")
+    assert(prefix(0, "dogs") == "")
+    assert(prefix(5, "dogs") == null)
+    assert(prefix(-5, "dogs") == null)
+    assert(suffix(2, "dogs") == "gs")
+    assert(suffix(-1, "dogs") == "ogs")
   }
   test("splitOrth emits lowercased and original-if-upper") {
     val conf = SchemaConf(splitOrthC = Some(List(0)))
     val obs = schematize(conf, Vector("Abc"))
-    assert(obs(0) == Set("1~abc", "2~Abc"))
+    assert(obs(0).render.toSet == Set("0~abc", "1~Abc"))
     val obs2 = schematize(conf, Vector("abc"))
-    assert(obs2(0) == Set("1~abc"))
+    assert(obs2(0).render.toSet == Set("0~abc"))
   }
-  test("out-of-range positions are silent but keep index slots stable") {
+  test("out-of-range positions are silent but keep site ids stable") {
     val conf = SchemaConf(splitOrthC = Some(List(-1, 0)))
     val obs = schematize(conf, Vector("Abc", "def"))
-    // position 0: slot1=low(-1) none, slot2=low(0), slot3=up(-1) none, slot4=up(0)
-    assert(obs(0) == Set("2~abc", "4~Abc"))
-    assert(obs(1) == Set("1~abc", "2~def", "3~Abc"))
+    // position 0: site0=low(-1) none, site1=low(0), site2=up(-1) none, site3=up(0)
+    assert(obs(0).render.toSet == Set("1~abc", "3~Abc"))
+    assert(obs(1).render.toSet == Set("0~abc", "1~def", "2~Abc"))
   }
-  test("lemma block groups under one slot") {
+  test("lemma block emits affixes for deltas [0,-1..-n]") {
     val conf = SchemaConf(lemmaC = Some((List(0), 1)))
     val obs = schematize(conf, Vector("ab"))
-    // group slot 1, deltas [0,-1]: prefixes ""(0), "a"(-1); suffixes
-    // ""(0), "b"(-1) — delta 0 is the empty affix per the monad-ox
-    // relative-length convention pinned in Features.prefix
-    assert(obs(0) == Set("1.1~", "1.2~a", "1.3~", "1.4~b"))
+    // deltas [0,-1]: prefixes ""(0), "a"(-1); suffixes ""(0), "b"(-1) —
+    // delta 0 is the empty affix per the monad-ox relative-length
+    // convention pinned in Features.prefix
+    assert(obs(0).render.toSet == Set("0~", "1~a", "2~", "3~b"))
   }
-  test("dict block emits all labels under one slot") {
+  test("dict block emits all labels under one site") {
     val dict = Map("Paris" -> List("city", "person"))
     val conf = SchemaConf(dictC = Some((List(0), List(dict))))
     val obs = schematize(conf, Vector("Paris"))
-    assert(obs(0) == Set("1~city", "1~person"))
+    assert(obs(0).render.toSet == Set("0~city", "0~person"))
   }
-  test("block order fixes inter-block indices") {
+  test("block order fixes inter-block site ids") {
     val conf = SchemaConf(
       splitOrthC = Some(List(0)), shapeC = Some(List(0)))
     val obs = schematize(conf, Vector("Ab"))
-    assert(obs(0) == Set("1~ab", "2~Ab", "3~Xx"))
+    assert(obs(0).render.toSet == Set("0~ab", "1~Ab", "2~Xx"))
   }
   test("shape pair links current and previous") {
     val conf = SchemaConf(shapePairC = Some(List(0)))
     val obs = schematize(conf, Vector("Ab", "cd"))
-    assert(obs(0) == Set.empty[String]) // no previous token
-    assert(obs(1) == Set("1~xx-Xx"))
+    assert(obs(0).render.isEmpty) // no previous token
+    assert(obs(1).render.toSet == Set("0~xx-Xx"))
+  }
+  test("numSites matches emitted site range") {
+    val conf = SchemaConf.default(neDicts = List(Map("a" -> List("x"))),
+      intDict = Some(Map("b" -> List("y"))), extDict = Some(Map("c" -> List("z"))))
+    val n = numSites(conf)
+    val obs = schematize(conf, Vector("a", "b", "c"))
+    val maxSite = obs.flatMap(_.sites).max
+    assert(maxSite < n)
   }
 }
 
 class CrfSpec extends AnyFunSuite {
+
+  /** One-position observation set: all values at site 0. */
+  private def po(vs: String*): Features.PosObs =
+    new Features.PosObs(Array.fill(vs.length)(0), vs.toArray)
 
   /** Hand-built model: 2 labels, obs "hot"->label1, trans favors staying. */
   private def tinyModel: Crf.Model = {
     import breeze.linalg.{DenseMatrix, DenseVector}
     Crf.Model(
       labels = Array("O", "B-x"),
-      obsIds = Map("w~hot" -> 0),
+      obsIds = Array(Map("hot" -> 0)),
       sing = DenseVector(1.0, 0.0),
       trans = DenseMatrix((1.0, 0.0), (0.0, -1.0)),
       obsLabels = Array(Array(1)),
@@ -220,7 +232,7 @@ class CrfSpec extends AnyFunSuite {
 
   test("viterbi picks obs-favored label") {
     val m = tinyModel
-    val sent = Array(Set("w~cold"), Set("w~hot"), Set("w~cold"))
+    val sent = Array(po("cold"), po("hot"), po("cold"))
     assert(m.tag(sent).toSeq == Seq("O", "B-x", "O"))
   }
   test("viterbi transition weight can override weak obs") {
@@ -228,22 +240,22 @@ class CrfSpec extends AnyFunSuite {
     // strong stay-transitions; one weak obs for label 1 at pos 1
     val m = Crf.Model(
       labels = Array("O", "B-x"),
-      obsIds = Map("h" -> 0),
+      obsIds = Array(Map("h" -> 0)),
       sing = DenseVector(5.0, 0.0),
       trans = DenseMatrix((5.0, 0.0), (0.0, 5.0)),
       obsLabels = Array(Array(1)),
       obsWeights = Array(Array(0.5)))
-    val sent = Array(Set("h"), Set("h"), Set("h"))
+    val sent = Array(po("h"), po("h"), po("h"))
     // starting at O (sing 5) and staying beats switching for 0.5 gains
     assert(m.tag(sent).toSeq == Seq("O", "O", "O"))
   }
   test("unknown observations are dropped") {
     val m = tinyModel
-    assert(m.tag(Array(Set("zzz~unknown"))).toSeq == Seq("O"))
+    assert(m.tag(Array(po("unknown"))).toSeq == Seq("O"))
   }
   test("forward-backward marginals sum to 1 per position") {
     val m = tinyModel
-    val os = m.obsScores(Array(Set("w~hot"), Set("w~cold"), Set("w~hot")))
+    val os = m.obsScores(Array(po("hot"), po("cold"), po("hot")))
     val (a, b, logZ) = Crf.forwardBackward(m, os)
     for (k <- os.indices) {
       val s = (0 until m.numLabels).map(y => math.exp(a(k)(y) + b(k)(y) - logZ)).sum
@@ -252,7 +264,7 @@ class CrfSpec extends AnyFunSuite {
   }
   test("viterbi score >= random path scores") {
     val m = tinyModel
-    val sent = Array(Set("w~hot"), Set("w~cold"), Set("w~hot"), Set("w~cold"))
+    val sent = Array(po("hot"), po("cold"), po("hot"), po("cold"))
     val os = m.obsScores(sent)
     def score(path: Seq[Int]): Double = {
       var s = m.sing(path.head) + os(0)(path.head)
