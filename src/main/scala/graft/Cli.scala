@@ -42,6 +42,11 @@ object Cli {
       stdinLines.foreach { line =>
         utf8Out.println(Forest.renderEnamex(model.ner(line)))
       }
+    case "ner-xces" :: modelPath :: Nil =>
+      // the reference's `ner -f xces` mode (/root/reference/app/Main.hs:281-283)
+      val model = NerfModel.load(Paths.get(modelPath))
+      val xml = stdinLines.mkString("\n")
+      utf8Out.println(Xces.annotate(xml, model.ner))
     case "ox" :: Nil =>
       val conf = NerfModel.defaultSchema
       stdinLines.foreach { line =>
@@ -139,9 +144,76 @@ object NerfModel {
     case c => c.toString
   } + "\""
 
+  // ---- SchemaConf JSON (the model is self-describing, like the
+  //      reference's binary Nerf: /root/reference/src/NLP/Nerf.hs:39-41) ----
+
+  private def jdict(d: Map[String, List[String]]): String =
+    d.toSeq.sortBy(_._1).map { case (k, vs) =>
+      s"${jstr(k)}:${vs.map(jstr).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+
+  private def jints(xs: List[Int]): String = xs.mkString("[", ",", "]")
+
+  private def schemaJson(c: Features.SchemaConf): String = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    def opt(name: String, v: Option[String]): Unit =
+      parts += s"${jstr(name)}:${v.getOrElse("null")}"
+    opt("orth", c.orthC.map(jints))
+    opt("splitOrth", c.splitOrthC.map(jints))
+    opt("lowPrefixes", c.lowPrefixesC.map { case (r, ns) =>
+      s"""{"range":${jints(r)},"ns":${jints(ns)}}""" })
+    opt("lowSuffixes", c.lowSuffixesC.map { case (r, ns) =>
+      s"""{"range":${jints(r)},"ns":${jints(ns)}}""" })
+    opt("lemma", c.lemmaC.map { case (r, n) =>
+      s"""{"range":${jints(r)},"n":$n}""" })
+    opt("shape", c.shapeC.map(jints))
+    opt("packed", c.packedC.map(jints))
+    opt("shapePair", c.shapePairC.map(jints))
+    opt("packedPair", c.packedPairC.map(jints))
+    opt("dicts", c.dictC.map { case (r, ds) =>
+      s"""{"range":${jints(r)},"dicts":${ds.map(jdict).mkString("[", ",", "]")}}""" })
+    opt("intTrigs", c.intTrigsC.map { case (r, d) =>
+      s"""{"range":${jints(r)},"dict":${jdict(d)}}""" })
+    opt("extTrigs", c.extTrigsC.map { case (r, d) =>
+      s"""{"range":${jints(r)},"dict":${jdict(d)}}""" })
+    parts.mkString("{", ",", "}")
+  }
+
+  private def parseSchema(o: Map[String, Any]): Features.SchemaConf = {
+    def ints(v: Any): List[Int] =
+      v.asInstanceOf[List[Any]].map(_.asInstanceOf[Double].toInt)
+    def dict(v: Any): Map[String, List[String]] =
+      v.asInstanceOf[Map[String, Any]].map { case (k, vs) =>
+        k -> vs.asInstanceOf[List[Any]].map(_.toString)
+      }
+    def get(name: String): Option[Any] =
+      o.get(name).filter(_ != null)
+    def rangeAnd[A](name: String, f: Map[String, Any] => A): Option[(List[Int], A)] =
+      get(name).map { v =>
+        val m = v.asInstanceOf[Map[String, Any]]
+        (ints(m("range")), f(m))
+      }
+    Features.SchemaConf(
+      orthC = get("orth").map(ints),
+      splitOrthC = get("splitOrth").map(ints),
+      lowPrefixesC = rangeAnd("lowPrefixes", m => ints(m("ns"))),
+      lowSuffixesC = rangeAnd("lowSuffixes", m => ints(m("ns"))),
+      lemmaC = rangeAnd("lemma", m => m("n").asInstanceOf[Double].toInt),
+      shapeC = get("shape").map(ints),
+      packedC = get("packed").map(ints),
+      shapePairC = get("shapePair").map(ints),
+      packedPairC = get("packedPair").map(ints),
+      dictC = rangeAnd("dicts",
+        m => m("dicts").asInstanceOf[List[Any]].map(dict)),
+      intTrigsC = rangeAnd("intTrigs", m => dict(m("dict"))),
+      extTrigsC = rangeAnd("extTrigs", m => dict(m("dict"))))
+  }
+
   def save(m: NerfModel, path: Path): Unit = {
     val sb = new StringBuilder
-    sb ++= "{\"labels\":["
+    sb ++= "{\"schema\":"
+    sb ++= schemaJson(m.schema)
+    sb ++= ",\"labels\":["
     sb ++= m.crf.labels.map(jstr).mkString(",")
     sb ++= "],\"sing\":["
     sb ++= m.crf.sing.toArray.map(_.toString).mkString(",")
@@ -180,7 +252,11 @@ object NerfModel {
       .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[Double].toInt).toArray).toArray
     val obsWeights = obj("obsWeights").asInstanceOf[List[Any]]
       .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[Double]).toArray).toArray
-    NerfModel(defaultSchema,
+    val schema = obj.get("schema") match {
+      case Some(s: Map[String, Any] @unchecked) => parseSchema(s)
+      case _ => defaultSchema // pre-schema model files
+    }
+    NerfModel(schema,
       Crf.Model(labels, obsIds, sing, trans, obsLabels, obsWeights))
   }
 }
@@ -222,6 +298,9 @@ private final class MiniJson(s: String) {
       }
       b.toList
     case '"' => str()
+    case 'n' => i += 4; null
+    case 't' => i += 4; java.lang.Boolean.TRUE
+    case 'f' => i += 5; java.lang.Boolean.FALSE
     case _ =>
       val start = i
       while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1

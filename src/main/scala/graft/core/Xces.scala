@@ -1,0 +1,105 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** XCES corpus reader/writer (SURVEY.md §2.1 S3, §2.6 O2).
+  *
+  * The reference parses XCES XML with a tag-soup scanner: `<chunk
+  * type="s">` delimits sentences, `<tok><orth>..</orth>..</tok>` carries
+  * tokens, `<ns/>` marks "no space before"
+  * (/root/reference/src/NLP/Nerf/XCES.hs:76-97,143-173), and the writer
+  * re-renders the document with `<group type="NE">` wrappers around
+  * recognized entities while preserving all other markup
+  * (XCES.hs:196-213,239-248,320-338).
+  *
+  * This is a from-scratch tag-soup implementation of those semantics
+  * over the same element vocabulary.
+  */
+object Xces {
+
+  final case class Tok(orth: String, noSpaceBefore: Boolean)
+  final case class Sent(toks: Vector[Tok])
+
+  private val TokRe =
+    "(?s)<tok>.*?<orth>(.*?)</orth>.*?</tok>|<ns\\s*/>".r
+  private val SentRe =
+    "(?s)<chunk[^>]*type=\"s\"[^>]*>(.*?)</chunk>".r
+
+  def unescapeXml(s: String): String = s
+    .replace("&lt;", "<").replace("&gt;", ">")
+    .replace("&quot;", "\"").replace("&apos;", "'")
+    .replace("&amp;", "&")
+
+  def escapeXml(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Parse all `<chunk type="s">` sentences out of an XCES document. */
+  def parse(xml: String): Vector[Sent] =
+    SentRe.findAllMatchIn(xml).map { sm =>
+      val body = sm.group(1)
+      val toks = ArrayBuffer.empty[Tok]
+      var nsPending = false
+      TokRe.findAllMatchIn(body).foreach { m =>
+        if (m.group(1) == null) nsPending = true // <ns/>
+        else {
+          toks += Tok(unescapeXml(m.group(1)), nsPending)
+          nsPending = false
+        }
+      }
+      Sent(toks.toVector)
+    }.toVector
+
+  /** Restore the original sentence text, honoring `<ns/>`
+    * (/root/reference/src/NLP/Nerf/XCES.hs:351-357).
+    */
+  def restoreText(s: Sent): String = {
+    val b = new StringBuilder
+    s.toks.zipWithIndex.foreach { case (t, i) =>
+      if (i > 0 && !t.noSpaceBefore) b += ' '
+      b ++= t.orth
+    }
+    b.result()
+  }
+
+  /** Render one annotated sentence back to XCES, wrapping each mention
+    * span (token indices, properly nesting) in `<group type="NE"
+    * subtype>`; tokens and `<ns/>` markers are preserved.
+    */
+  def renderSent(s: Sent, spans: Seq[Span]): String = {
+    val opens = spans.groupBy(_.begin)
+    val closes = spans.groupBy(_.end)
+    val b = new StringBuilder
+    b ++= "<chunk type=\"s\">"
+    for (i <- 0 to s.toks.length) {
+      // close before open at the same boundary, innermost (deepest) first
+      closes.get(i).foreach { cs =>
+        cs.sortBy(-_.depth).foreach(_ => b ++= "</group>")
+      }
+      opens.get(i).foreach { os =>
+        os.sortBy(sp => (sp.depth, -(sp.end - sp.begin))).foreach { sp =>
+          b ++= s"""<group type="NE" subtype="${escapeXml(sp.neType)}">"""
+        }
+      }
+      if (i < s.toks.length) {
+        val t = s.toks(i)
+        if (t.noSpaceBefore) b ++= "<ns/>"
+        b ++= s"<tok><orth>${escapeXml(t.orth)}</orth></tok>"
+      }
+    }
+    b ++= "</chunk>"
+    b.result()
+  }
+
+  /** End-to-end XCES NER (the reference's `nerf ner -f xces` path,
+    * /root/reference/src/NLP/Nerf/XCES.hs:343-357): parse, restore text,
+    * run NER, re-align the result with the XCES tokens via `sync`, and
+    * re-render with group tags.
+    */
+  def annotate(xml: String, ner: String => List[NeTree]): String =
+    parse(xml).map { sent =>
+      val forest = ner(restoreText(sent))
+      val synced = Forest.sync(forest, sent.toks.map(_.orth))
+      val (_, spans) = Forest.toSpans(synced)
+      renderSent(sent, spans)
+    }.mkString("\n")
+}

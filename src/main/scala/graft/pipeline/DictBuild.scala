@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dictionary source readers and set-algebra (SURVEY.md §2.1 S4–S8,
+  * §2.5 A1–A3), as DataFrame pipelines over the reference's file
+  * formats. All readers end in the same normalized shape
+  * `(form string, label string)`; `build` aggregates to the dict table
+  * `(form, labels array<string>)` used for broadcast.
+  *
+  * Scale: these are metadata-sized inputs, but the pipelines are still
+  * fully distributed (csv scan → filter → aggregate) so a 10^8-row
+  * lexicon would stream through the same code.
+  */
+object DictBuild {
+
+  /** PoliMorf TSV `form base tag cat`: keep (form, cat) where cat is a
+    * proper-name category (/root/reference/src/NLP/Nerf/Dict.hs:43-51).
+    */
+  def readPoliMorf(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").csv(path)
+      .toDF("form", "base", "tag", "cat")
+      .where(col("cat") =!= "pospolita" && col("cat") =!= "")
+      .select(col("form"), col("cat").as("label"))
+
+  /** Prolexbase TSV `form base tag cat` -> (form, cat)
+    * (/root/reference/src/NLP/Nerf/Dict/Prolexbase.hs:15-21).
+    */
+  def readProlexbase(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").csv(path)
+      .toDF("form", "base", "tag", "cat")
+      .select(col("form"), col("cat").as("label"))
+
+  /** NELexicon lines `type;form` — the form is everything after the
+    * first separator (/root/reference/src/NLP/Nerf/Dict/NELexicon.hs:14-20).
+    */
+  def readNELexicon(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(
+        substring_index(col("value"), ";", 1).as("label"),
+        expr("substring(value, instr(value, ';') + 1)").as("form"))
+      .where(col("form") =!= "")
+      .select("form", "label")
+
+  /** PNET trigger TSV `orth base tag typ neTyp example`; `typ` splits
+    * internal vs external triggers
+    * (/root/reference/src/NLP/Nerf/Dict/PNET.hs:18-53, Dict.hs:61-79).
+    */
+  def readPNET(spark: SparkSession, path: String, typ: String): DataFrame =
+    spark.read.option("sep", "\t").csv(path)
+      .toDF("orth", "base", "tag", "typ", "neTyp", "example")
+      .where(col("typ") === typ)
+      .select(col("orth").as("form"), col("neTyp").as("label"))
+
+  /** PNEG LMF: the reference parses `LexicalEntry`/`Lemma`/`WordForm`
+    * writtenForm + `Sense` (/root/reference/src/NLP/Nerf/Dict/PNEG.hs:19-44).
+    * The sandbox fixture is the pre-flattened TSV `form<TAB>type`
+    * (FIXTURES.md §3); for real LMF XML plug an XML source in front.
+    */
+  def readPNEG(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").csv(path)
+      .toDF("form", "label")
+
+  /** `atomic` filter: single-word forms only
+    * (/root/reference/src/NLP/Nerf/Dict.hs:25-26, Dict/Base.hs:43-44).
+    */
+  def atomic(df: DataFrame): DataFrame =
+    df.where(size(split(col("form"), " ")) === 1)
+
+  /** A1 `fromPairs`: group forms, union label sets
+    * (/root/reference/src/NLP/Nerf/Dict/Base.hs:63-71).
+    */
+  def build(pairs: DataFrame): DataFrame =
+    pairs.groupBy("form")
+      .agg(sort_array(collect_set(col("label"))).as("labels"))
+
+  /** A2 `merge`: n-way union with per-key set union
+    * (/root/reference/src/NLP/Nerf/Dict/Base.hs:86-97).
+    */
+  def merge(dicts: Seq[DataFrame]): DataFrame =
+    build(dicts.map(_.select("form", "label")).reduce(_ unionByName _))
+
+  /** A3 `diff`: disambiguate sources by prefixing labels with the dict
+    * ordinal (/root/reference/src/NLP/Nerf/Dict/Base.hs:101-116).
+    */
+  def diff(dicts: Seq[DataFrame]): DataFrame =
+    build(dicts.zipWithIndex.map { case (d, i) =>
+      d.select(col("form"), concat(lit(s"$i:"), col("label")).as("label"))
+    }.reduce(_ unionByName _))
+
+  /** Collect a (small) dict table to the broadcast-map shape used by the
+    * feature schema. The caller is responsible for size discipline —
+    * dicts are KB-scale by contract (SURVEY.md §1.4).
+    */
+  def toBroadcastMap(dict: DataFrame): Map[String, List[String]] =
+    dict.collect().map { r =>
+      r.getString(0) -> r.getSeq[String](1).toList
+    }.toMap
+}

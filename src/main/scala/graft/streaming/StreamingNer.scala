@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.NerfModel
+import graft.pipeline.KgPipeline
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming rendition of the reference's streaming surface.
+  *
+  * The reference streams stdin lazily, one stateless NER call per line
+  * (/root/reference/app/Main.hs:277-280, SURVEY.md §2.7 T3), and serves
+  * request/response over TCP (T1/T2). Neither needs state, so the
+  * faithful Spark mapping is a stateless `readStream -> flatMap ->
+  * writeStream`; on top of that we add the event-time machinery a
+  * training-data pipeline wants (watermark + tumbling-window mention
+  * counts), which the reference has no counterpart for.
+  */
+object StreamingNer {
+
+  /** Stateless streaming NER: a streaming Dataset of raw lines ->
+    * streaming mention rows. Works with any streaming source (file
+    * dir, socket — the TCP-server equivalent, rate, memory).
+    */
+  def mentionStream(spark: SparkSession, lines: Dataset[String],
+                    model: NerfModel): DataFrame = {
+    import spark.implicits._
+    val bModel = spark.sparkContext.broadcast(model)
+    lines.flatMap { line =>
+      val (toks, spans) = bModel.value.mentions(line)
+      spans.map { sp =>
+        (sp.neType, sp.begin, sp.end, sp.depth,
+          toks.slice(sp.begin, sp.end).mkString(" "))
+      }
+    }.toDF("neType", "begin", "end", "depth", "surface")
+  }
+
+  /** Event-time windowed mention counts with a watermark: tumbling
+    * 10-second windows per NE type, late data bounded at 30 seconds.
+    * Input: streaming (ts timestamp, line string).
+    */
+  def windowedMentionCounts(spark: SparkSession, lines: DataFrame,
+                            model: NerfModel): DataFrame = {
+    import spark.implicits._
+    val bModel = spark.sparkContext.broadcast(model)
+    val mentions = lines.as[(java.sql.Timestamp, String)].flatMap {
+      case (ts, line) =>
+        bModel.value.mentions(line)._2.map(sp => (ts, sp.neType))
+    }.toDF("ts", "neType")
+    mentions
+      .withWatermark("ts", "30 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("neType"))
+      .agg(count(lit(1)).as("n_mentions"))
+      .select(col("window.start").as("win_start"), col("neType"),
+        col("n_mentions"))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based pinning of the core codecs (SURVEY.md §5.2).
+  * Plain ScalaCheck generators sampled deterministically (the
+  * scalatestplus bridge is not in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic forAll: 200 samples from fixed seeds. */
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+    (0 until 200).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).map(_.take(8))
+
+  private val neType: Gen[String] =
+    Gen.oneOf("a", "b", "c", "x.y", "x.z")
+
+  /** Well-formed NE forests with nesting depth <= 3; every node has at
+    * least one leaf descendant.
+    */
+  private def tree(depth: Int): Gen[NeTree] =
+    if (depth == 0) word.map(NeLeaf.apply)
+    else Gen.frequency(
+      3 -> word.map(NeLeaf.apply),
+      2 -> (for {
+        t <- neType
+        n <- Gen.choose(1, 3)
+        kids <- Gen.listOfN(n, tree(depth - 1))
+      } yield NeNode(t, kids)))
+
+  private val forest: Gen[List[NeTree]] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, tree(3)))
+
+  test("IOB decode . encode = identity on well-formed forests") {
+    forAll(forest) { f =>
+      assert(Iob.decodeForest(Iob.encodeForest(f)) == f)
+    }
+  }
+
+  test("ENAMEX parse . render = identity") {
+    forAll(forest) { f =>
+      assert(Forest.parseEnamex(Forest.renderEnamex(f)) == f)
+    }
+  }
+
+  test("span conversion roundtrips") {
+    forAll(forest) { f =>
+      val (toks, spans) = Forest.toSpans(f)
+      assert(Forest.fromSpans(toks, spans) == f)
+    }
+  }
+
+  test("sync onto the identical tokenization is identity") {
+    forAll(forest) { f =>
+      val toks = f.flatMap(_.leaves).toVector
+      assert(Forest.sync(f, toks) == f)
+    }
+  }
+
+  test("sync preserves total non-space text") {
+    forAll(forest) { f =>
+      val toks = f.flatMap(_.leaves).toVector
+      // arbitrary re-tokenization: join everything, split every 3 chars
+      val joined = toks.mkString
+      val newToks = joined.grouped(3).toVector
+      val synced = Forest.sync(f, newToks)
+      assert(synced.flatMap(_.leaves).mkString == joined)
+    }
+  }
+
+  test("decodeForest never throws on arbitrary label sequences (repair)") {
+    val atom = for {
+      b <- Gen.oneOf(true, false)
+      t <- neType
+    } yield Iob.Atom(b, t)
+    val labeled = Gen.nonEmptyListOf(for {
+      w <- word
+      l <- Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, atom))
+    } yield (w, l))
+    forAll(labeled) { seq =>
+      val f = Iob.decodeForest(seq)
+      assert(f.flatMap(_.leaves) == seq.map(_._1))
+    }
+  }
+
+  test("forward-backward marginals sum to 1 for random tiny models") {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val weights = Gen.choose(-2.0, 2.0)
+    val gen = for {
+      l <- Gen.choose(2, 4)
+      sing <- Gen.listOfN(l, weights)
+      trans <- Gen.listOfN(l * l, weights)
+      obsW <- Gen.listOfN(l, weights)
+      n <- Gen.choose(1, 6)
+      obsAt <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield (l, sing, trans, obsW, obsAt)
+    forAll(gen) { case (l, sing, trans, obsW, obsAt) =>
+      val m = Crf.Model(
+        labels = Array.tabulate(l)(i => s"L$i"),
+        obsIds = Array(Map("o" -> 0)),
+        sing = DenseVector(sing.toArray),
+        trans = new DenseMatrix(l, l, trans.toArray),
+        obsLabels = Array(Array.tabulate(l)(identity)),
+        obsWeights = Array(obsW.toArray))
+      val sent = obsAt.map { has =>
+        new Features.PosObs(if (has) Array(0) else Array.empty[Int],
+          if (has) Array("o") else Array.empty[String])
+      }.toArray
+      val os = m.obsScores(sent)
+      val (a, b, logZ) = Crf.forwardBackward(m, os)
+      for (k <- sent.indices) {
+        val s = (0 until l).map(y => math.exp(a(k)(y) + b(k)(y) - logZ)).sum
+        assert(math.abs(s - 1.0) < 1e-8)
+      }
+      // viterbi path score >= 30 random paths
+      val vPath = m.viterbi(sent)
+      def score(p: Seq[Int]): Double = {
+        var s = m.sing(p.head) + os(0)(p.head)
+        for (k <- 1 until p.length) s += m.trans(p(k - 1), p(k)) + os(k)(p(k))
+        s
+      }
+      val best = score(vPath.toSeq)
+      val rnd = new scala.util.Random(42)
+      for (_ <- 1 to 30)
+        assert(score(Seq.fill(sent.length)(rnd.nextInt(l))) <= best + 1e-9)
+    }
+  }
+}

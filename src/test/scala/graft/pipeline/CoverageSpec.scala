@@ -1,0 +1,197 @@
+package graft.pipeline
+
+import graft.core._
+import graft.KgMain
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class DictBuildSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpFile(name: String, lines: Seq[String]): String = {
+    val p = java.nio.file.Files.createTempDirectory("dict").resolve(name)
+    java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("PoliMorf reader filters common-noun categories") {
+    val f = tmpFile("polimorf.tsv", Seq(
+      "Warszawa\tWarszawa\tsubst\tmiasto",
+      "kot\tkot\tsubst\tpospolita",
+      "Wisła\tWisła\tsubst\trzeka"))
+    val d = DictBuild.readPoliMorf(spark, f).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d == Set(("Warszawa", "miasto"), ("Wisła", "rzeka")))
+  }
+
+  test("NELexicon reader splits on the first semicolon") {
+    val f = tmpFile("nel.txt", Seq("persName;Jan Kowalski", "orgName;PKO"))
+    val d = DictBuild.readNELexicon(spark, f).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d == Set(("Jan Kowalski", "persName"), ("PKO", "orgName")))
+  }
+
+  test("PNET reader splits internal/external triggers") {
+    val f = tmpFile("pnet.tsv", Seq(
+      "prezes\tprezes\tsubst\tint\tpersName\tprezes X",
+      "firma\tfirma\tsubst\text\torgName\tfirma Y"))
+    val int = DictBuild.readPNET(spark, f, "int").collect()
+    val ext = DictBuild.readPNET(spark, f, "ext").collect()
+    assert(int.map(_.getString(0)).toSeq == Seq("prezes"))
+    assert(ext.map(_.getString(1)).toSeq == Seq("orgName"))
+  }
+
+  test("Prolexbase + PNEG readers; atomic filter; build/merge/diff") {
+    val plx = tmpFile("plx.tsv", Seq("Paris\tParis\tN\tcity", "New York\tNY\tN\tcity"))
+    val png = tmpFile("png.tsv", Seq("Paris\tpersName"))
+    val d1 = DictBuild.atomic(DictBuild.readProlexbase(spark, plx))
+    val d2 = DictBuild.readPNEG(spark, png)
+    assert(d1.count() == 1) // multi-word "New York" dropped
+    val merged = DictBuild.toBroadcastMap(DictBuild.merge(Seq(d1, d2)))
+    assert(merged("Paris") == List("city", "persName"))
+    val diffed = DictBuild.toBroadcastMap(DictBuild.diff(Seq(d1, d2)))
+    assert(diffed("Paris") == List("0:city", "1:persName"))
+  }
+}
+
+class XcesSpec extends AnyFunSuite {
+  val doc =
+    """<chunkList><chunk type="p"><chunk type="s">
+      |<tok><orth>coach</orth><lex><base>coach</base></lex></tok>
+      |<tok><orth>Kira</orth></tok>
+      |<tok><orth>Novak</orth></tok>
+      |<ns/><tok><orth>.</orth></tok>
+      |</chunk></chunk></chunkList>""".stripMargin
+
+  test("parse extracts tokens and ns markers") {
+    val sents = Xces.parse(doc)
+    assert(sents.length == 1)
+    assert(sents(0).toks.map(_.orth) == Vector("coach", "Kira", "Novak", "."))
+    assert(sents(0).toks.map(_.noSpaceBefore) == Vector(false, false, false, true))
+  }
+
+  test("restoreText honors ns") {
+    assert(Xces.restoreText(Xces.parse(doc)(0)) == "coach Kira Novak.")
+  }
+
+  test("annotate wraps recognized entities in group tags") {
+    val out = Xces.annotate(doc, KgMain.model.ner)
+    assert(out.contains("<group type=\"NE\" subtype=\"persName\">"))
+    assert(out.contains("<group type=\"NE\" subtype=\"persName.forename\">" +
+      "<tok><orth>Kira</orth></tok></group>"))
+    assert(out.contains("<ns/><tok><orth>.</orth></tok>"))
+    // group tags balance
+    assert("<group".r.findAllIn(out).size == "</group>".r.findAllIn(out).size)
+  }
+}
+
+class TrainSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("distributed train reproduces the driver-trained model decodings") {
+    import spark.implicits._
+    val lines = Synth.corpusLines(120, seed = 5)
+    val ds = spark.createDataset(lines)
+    val m = Train.train(spark, ds, cfg = Sgd.Config(iterNum = 5, seed = 3))
+    // same training driver-side
+    val m2 = graft.NerfModel.trainOnForests(
+      lines.map(l => Forest.reTokenize(Forest.parseEnamex(l))),
+      Sgd.Config(iterNum = 5, seed = 3))
+    val eval = Synth.corpusLines(30, seed = 6)
+      .map(l => Forest.parseEnamex(l).flatMap(_.leaves).mkString(" "))
+    eval.foreach { s =>
+      assert(Forest.renderEnamex(m.ner(s)) == Forest.renderEnamex(m2.ner(s)))
+    }
+  }
+
+  test("cross-validation yields high P/R on every fold") {
+    import spark.implicits._
+    val ds = spark.createDataset(Synth.corpusLines(150, seed = 9))
+    val stats = Train.crossValidate(spark, ds, k = 3,
+      cfg = Sgd.Config(iterNum = 5, seed = 4))
+    assert(stats.length == 3)
+    stats.foreach { case (fold, s) =>
+      assert(s.precision > 0.9 && s.recall > 0.9, s"fold $fold: $s")
+    }
+  }
+
+  test("compareJob matches core CompareStats") {
+    import spark.implicits._
+    val refs = Synth.corpusLines(40, seed = 11)
+    val preds = refs.map { l => // corrupt every 4th sentence's annotations
+      Forest.parseEnamex(l)
+    }.zipWithIndex.map { case (f, i) =>
+      if (i % 4 == 0) Forest.renderEnamex(f.map {
+        case NeNode(_, kids) => NeNode("WRONG", kids)
+        case leaf => leaf
+      }) else Forest.renderEnamex(f)
+    }
+    val pairs = spark.createDataset(refs.zip(preds))
+    val got = Train.compareJob(spark, pairs)
+    val want = CompareStats.compare(
+      refs.map(Forest.parseEnamex).zip(preds.map(Forest.parseEnamex)))
+    assert(got == want)
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("stateless mention stream over a memory source") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = graft.streaming.StreamingNer
+      .mentionStream(spark, input.toDS(), KgMain.model)
+    val q = out.writeStream.format("memory").queryName("mentions_t")
+      .outputMode("append").start()
+    try {
+      input.addData("coach Kira Novak visited Elbonia .")
+      q.processAllAvailable()
+      input.addData("company Alpha Systems signed in Portvale .")
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT neType, surface FROM mentions_t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows.contains(("persName", "Kira Novak")))
+      assert(rows.contains(("orgName", "Alpha Systems")))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed mention counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingNer
+      .windowedMentionCounts(spark, input.toDS().toDF("ts", "line"), KgMain.model)
+    val q = out.writeStream.format("memory").queryName("win_t")
+      .outputMode("update").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:05")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:07")
+      input.addData((t0, "coach Kira Novak ."), (t1, "coach Adam Falk ."))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT neType, n_mentions FROM win_t WHERE neType = 'persName'")
+        .collect()
+      assert(rows.nonEmpty && rows.head.getLong(1) == 2L)
+    } finally q.stop()
+  }
+}
+
+class ModelSerSpec extends AnyFunSuite {
+  test("model save/load roundtrips schema and decodings") {
+    val dir = java.nio.file.Files.createTempDirectory("model")
+    val p = dir.resolve("m.json")
+    val m = KgMain.model
+    graft.NerfModel.save(m, p)
+    val m2 = graft.NerfModel.load(p)
+    assert(m2.schema == m.schema)
+    assert(m2.crf.labels.toSeq == m.crf.labels.toSeq)
+    val eval = Synth.corpusLines(25, seed = 13)
+      .map(l => Forest.parseEnamex(l).flatMap(_.leaves).mkString(" "))
+    eval.foreach { s =>
+      assert(Forest.renderEnamex(m2.ner(s)) == Forest.renderEnamex(m.ner(s)))
+    }
+  }
+}
