@@ -57,6 +57,22 @@ object KgMain {
 
     val totRows = TableIO.readCommits(s"$outDir/triples", 16).map(_.rows).sum
     val secs = (System.nanoTime() - t0) / 1e9
+
+    // lineage + stage counters persisted beside the commit manifests
+    // (north_rule: metrics alongside each commit)
+    val nMentions = result.mentions.count()
+    val nLinked = result.linked.count()
+    val nCanon = result.canon.count()
+    val metrics =
+      f"""{"snapshot":"synth-$nFiles-seed42","model":"sgd-seed42",
+         |"input_files":$nFiles,"mentions":$nMentions,"linked":$nLinked,
+         |"canon_entities":$nCanon,"triples":$totRows,
+         |"buckets_total":16,"buckets_written_this_run":${commits.length},
+         |"wall_sec":$secs%.2f}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/triples/_metrics.json"),
+      metrics.getBytes("UTF-8"))
+
     println(f"""{"files":$nFiles,"triples":$totRows,"sec":$secs%.2f,"triples_per_sec":${totRows / secs}%.1f,"buckets_written":${commits.length}}""")
     spark.stop()
   }

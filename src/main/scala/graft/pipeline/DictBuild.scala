@@ -97,4 +97,27 @@ object DictBuild {
     dict.collect().map { r =>
       r.getString(0) -> r.getSeq[String](1).toList
     }.toMap
+
+  /** S10 dict save/load: the reference binary-serializes its DAWG
+    * (/root/reference/src/NLP/Nerf/Dict/Base.hs:78-83); ours is a
+    * parquet table.
+    */
+  def saveDict(dict: DataFrame, path: String): Unit =
+    dict.write.mode("overwrite").parquet(path)
+
+  def loadDict(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** A7 dict stats: forms / labels / avg labels-per-form — the
+    * counterpart of the reference's automaton-size diagnostics
+    * (/root/reference/app/Main.hs:219-221).
+    */
+  def stats(dict: DataFrame): DataFrame = {
+    val a = dict.agg(
+      count(lit(1)).as("n_forms"),
+      coalesce(sum(size(col("labels"))), lit(0L)).cast("long").as("n_entries"))
+    val b = dict.select(explode(col("labels")).as("l"))
+      .agg(countDistinct(col("l")).as("n_distinct_labels"))
+    a.crossJoin(b)
+  }
 }

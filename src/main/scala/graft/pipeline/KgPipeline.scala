@@ -126,23 +126,32 @@ object KgPipeline {
       .withColumn("canon_toks", split(lower(col("canonical")), " "))
       .withColumn("type_root", substring_index(col("entity_type"), ".", 1))
 
+    // LEFT join: a mention with no candidate within edit distance 4
+    // must still surface — it becomes a NIL entity clustered by surface
+    // (`nil:<surface>`), the standard NIL-clustering convention, instead
+    // of silently dropping out of the graph.
     val scored = m
-      .join(broadcast(kb), Seq("block_key"))
-      .withColumn("lev", levenshtein(col("surface_norm"), col("alias_norm")))
-      .where(col("lev") <= lit(4))
+      .join(broadcast(kb), Seq("block_key"), "left_outer")
+      .withColumn("lev",
+        when(col("alias_norm").isNotNull,
+          levenshtein(col("surface_norm"), col("alias_norm"))))
+      .withColumn("valid", col("lev").isNotNull && col("lev") <= 4)
       .withColumn("type_match",
-        when(col("neType") === col("entity_type"), 1)
+        when(!col("valid"), 0)
+          .when(col("neType") === col("entity_type"), 1)
           .when(col("ne_root") === col("type_root"), 1)
           .otherwise(0))
       .withColumn("ctx_overlap",
         // context disambiguation against the *canonical* name, not just
         // the matched alias: a surname-only mention in a sentence that
         // spells the full name scores highest for the right entity
-        size(array_intersect(col("ctx_toks"), col("canon_toks"))))
+        when(!col("valid"), 0).otherwise(
+          size(array_intersect(col("ctx_toks"), col("canon_toks")))))
       .withColumn("score",
-        when(col("lev") === 0, lit(8)).otherwise(lit(0)) +
-          (lit(4) - col("lev")) + col("type_match") * lit(3) +
-          col("ctx_overlap"))
+        when(!col("valid"), lit(-1000)).otherwise(
+          when(col("lev") === 0, lit(8)).otherwise(lit(0)) +
+            (lit(4) - col("lev")) + col("type_match") * lit(3) +
+            col("ctx_overlap")))
 
     // argmax per mention: partial-aggregating max_by collapses the
     // candidate explosion map-side; shuffle volume = #mentions. The
@@ -150,13 +159,18 @@ object KgPipeline {
     // along in the (cheap, single-column) grouping key's payload.
     scored.groupBy("mention_id")
       .agg(
-        max_by(col("entity_id"), struct(col("score"), col("entity_id"))).as("entity_id"),
+        max_by(when(col("valid"), col("entity_id")),
+          struct(col("score"), col("entity_id"))).as("best_entity"),
         max(col("score")).as("score"),
         first(col("repo")).as("repo"), first(col("path")).as("path"),
         first(col("commit")).as("commit"), first(col("sentIdx")).as("sentIdx"),
         first(col("begin")).as("begin"), first(col("end")).as("end"),
         first(col("depth")).as("depth"), first(col("neType")).as("neType"),
         first(col("surface_norm")).as("surface_norm"))
+      .withColumn("entity_id",
+        coalesce(col("best_entity"),
+          concat(lit("nil:"), col("surface_norm"))))
+      .drop("best_entity")
   }
 
   // ------------------------------------------------------------------

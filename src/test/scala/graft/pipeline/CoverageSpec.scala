@@ -195,3 +195,20 @@ class ModelSerSpec extends AnyFunSuite {
     }
   }
 }
+
+class DictIoSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dict save/load roundtrip and stats") {
+    val pairs = Seq(("Paris", "city"), ("Paris", "person"), ("Rome", "city"))
+      .toDF("form", "label")
+    val dict = DictBuild.build(pairs)
+    val dir = java.nio.file.Files.createTempDirectory("dictio").toString
+    DictBuild.saveDict(dict, s"$dir/d")
+    val back = DictBuild.loadDict(spark, s"$dir/d")
+    assert(DictBuild.toBroadcastMap(back) == DictBuild.toBroadcastMap(dict))
+    val st = DictBuild.stats(dict).collect()(0)
+    assert(st.getLong(0) == 2L && st.getLong(1) == 3L && st.getLong(2) == 2L)
+  }
+}
