@@ -31,10 +31,21 @@ object Cli {
         log = s => System.err.println(s))
       NerfModel.save(model, Paths.get(out))
       System.err.println(s"[cli] model written to $out")
-    case "train-file" :: in :: out :: Nil =>
-      val forests = Files.readAllLines(Paths.get(in)).asScala.toVector
-        .filter(_.nonEmpty).map(l => Forest.reTokenize(Forest.parseEnamex(l)))
-      val model = NerfModel.trainOnForests(forests, log = s => System.err.println(s))
+    case "train-file" :: in :: out :: rest if rest.length <= 1 =>
+      def readForests(p: String) =
+        Files.readAllLines(Paths.get(p)).asScala.toVector
+          .filter(_.nonEmpty).map(l => Forest.reTokenize(Forest.parseEnamex(l)))
+      val forests = readForests(in)
+      val evalSents = rest.headOption.map { evalPath =>
+        val schema = NerfModel.defaultSchema
+        readForests(evalPath).map { f =>
+          val enc = Iob.encodeForest(f)
+          Sgd.TrainSent(Features.schematize(schema, enc.map(_._1)),
+            enc.map(p => Iob.renderLabel(p._2)).toArray)
+        }
+      }
+      val model = NerfModel.trainOnForests(forests,
+        log = s => System.err.println(s), eval = evalSents)
       NerfModel.save(model, Paths.get(out))
       System.err.println(s"[cli] model written to $out")
     case "ner" :: modelPath :: Nil =>
@@ -122,14 +133,15 @@ object NerfModel {
   def trainOnForests(forests: Seq[List[NeTree]],
                      cfg: Sgd.Config = Sgd.Config(),
                      schema: Features.SchemaConf = defaultSchema,
-                     log: String => Unit = _ => ()): NerfModel = {
+                     log: String => Unit = _ => (),
+                     eval: Option[Seq[Sgd.TrainSent]] = None): NerfModel = {
     val sents = forests.map { f =>
       val enc = Iob.encodeForest(f)
       Sgd.TrainSent(
         Features.schematize(schema, enc.map(_._1)),
         enc.map(p => Iob.renderLabel(p._2)).toArray)
     }
-    NerfModel(schema, Sgd.train(sents, cfg, log))
+    NerfModel(schema, Sgd.train(sents, cfg, log, eval))
   }
 
   // ---- JSON (de)serialization; hand-rolled, no extra deps ----

@@ -31,7 +31,8 @@ object Sgd {
   final case class TrainSent(obs: Array[Features.PosObs], labels: Array[String])
 
   def train(data: Seq[TrainSent], cfg: Config = Config(),
-            log: String => Unit = _ => ()): Crf.Model = {
+            log: String => Unit = _ => (),
+            eval: Option[Seq[TrainSent]] = None): Crf.Model = {
     require(data.nonEmpty, "empty training set")
 
     // ---- codecs ----
@@ -211,7 +212,22 @@ object Sgd {
         grad.foreach { case (fid, g) => w(fid) += gain * g }
         done += batch.length.toDouble / n
       }
-      log(f"[sgd] epoch $epoch%2d done; gain=${cfg.gain0 * cfg.tau / (cfg.tau + done)}%.4f")
+      // per-epoch eval-set token accuracy, like the reference's `-e`
+      // eval reporting (/root/reference/app/Main.hs:233-248)
+      val evalMsg = eval.map { es =>
+        val model = mkModel()
+        var ok = 0L; var tot = 0L
+        es.foreach { s =>
+          val pred = model.tag(s.obs)
+          var i = 0
+          while (i < pred.length) {
+            if (pred(i) == s.labels(i)) ok += 1
+            tot += 1; i += 1
+          }
+        }
+        f"; eval-acc=${if (tot == 0) 0.0 else ok.toDouble / tot}%.4f"
+      }.getOrElse("")
+      log(f"[sgd] epoch $epoch%2d done; gain=${cfg.gain0 * cfg.tau / (cfg.tau + done)}%.4f$evalMsg")
     }
 
     // local forward-backward over os using current w (transition weights)

@@ -167,6 +167,54 @@ object PipelineQueries {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** IVF-bucketed approximate nearest neighbors — the second scale path
+    * beside LSH (q46): deterministic coarse centroids (seeded sample of
+    * the vectors themselves), assign every vector to its nearest
+    * centroid, search within-cell only. At cluster scale the centroid
+    * table stays broadcast-sized and the cell join shuffles once.
+    */
+  def q49_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nCells = 8
+    val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    // deterministic coarse quantizer: the first nCells vectors by id
+    val centroids = vecs.filter(_._1 < nCells).collect().sortBy(_._1)
+    val bCent = s.sparkContext.broadcast(centroids.map(_._2))
+    def cellOf(v: Array[Float]): Int = {
+      val cs = bCent.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < math.min(cv.length, v.length)) {
+          val diff = cv(i) - v(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val bucketed = vecs.map { case (id, v) => (id, cellOf(v), v) }
+      .toDF("vec_id", "cell", "embedding")
+    val probes = bucketed.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("cell"),
+        col("embedding").as("q_emb"))
+    val dot = expr(
+      "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val nrm = (c: String) => expr(
+      s"sqrt(aggregate($c, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    bucketed.join(probes, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot / (nrm("embedding") * nrm("q_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   // =================================================================
   // Multimodal: opaque payload + typed metadata; decode is a STUB
   // =================================================================
@@ -225,5 +273,6 @@ object PipelineQueries {
     "q44_minhash_pairs" -> (q44_minhash_pairs _),
     "q45_simhash" -> (q45_simhash _),
     "q46_ann_lsh" -> (q46_ann_lsh _),
-    "q47_media_decode" -> (q47_media_decode _))
+    "q47_media_decode" -> (q47_media_decode _),
+    "q49_ann_ivf" -> (q49_ann_ivf _))
 }

@@ -491,6 +491,38 @@ object RelationalQueries {
       |WHERE e.vec_id <> 0
       |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs: brute-force all-pairs with
+    * an exact threshold on the rounded cosine, bounded to a fixed id
+    * range so the O(n²) baseline stays O(1) in SF. At corpus scale the
+    * LSH (q46) / IVF (q49) buckets replace the cross join; this is the
+    * correctness baseline for them.
+    */
+  def q21_cosine_dups(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "embeddings").where(col("vec_id") < 500)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = t(s, dir, "embeddings").where(col("vec_id") < 500)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val dot = expr(
+      "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val nrm = (c: String) => expr(
+      s"sqrt(aggregate($c, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", round(dot / (nrm("a_emb") * nrm("b_emb")), 6))
+      .where(col("cos") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  val q21_sql: String =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE a.vec_id < 500 AND b.vec_id < 500
+      |  AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.5""".stripMargin
+
   // =================================================================
   // connected components (canonicalization oracle)
   // =================================================================
@@ -576,6 +608,7 @@ object RelationalQueries {
     "q16_dedup_exact" -> ((q16_dedup_exact _, q16_sql)),
     "q17_jaccard_pairs" -> ((q17_jaccard_pairs _, q17_sql)),
     "q20_cosine_topk" -> ((q20_cosine_topk _, q20_sql)),
+    "q21_cosine_dups" -> ((q21_cosine_dups _, q21_sql)),
     "q22_langid" -> ((q22_langid _, q22_sql)),
     "q23_quality" -> ((q23_quality _, q23_sql)),
     "q24_regex_tokens" -> ((q24_regex_tokens _, q24_sql)),
