@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.core.{Forest, Synth}
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EnamexSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def writeCorpus(n: Int, seed: Long): String = {
+    val p = java.nio.file.Files.createTempDirectory("enamex").resolve("c.nes")
+    java.nio.file.Files.write(p,
+      Synth.corpusLines(n, seed).mkString("\n").getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("reads sentences, tokens and spans") {
+    val path = writeCorpus(50, 21)
+    val df = spark.read.format("enamex").load(path)
+    assert(df.count() == 50)
+    val row = df.orderBy("sentence").collect()(0)
+    assert(row.getString(0).nonEmpty)
+    assert(row.getSeq[String](1).nonEmpty)
+    // spans decode to valid nested structure on every row
+    df.collect().foreach { r =>
+      val toks = r.getSeq[String](1).toVector
+      val spans = r.getSeq[org.apache.spark.sql.Row](2).map { s =>
+        graft.core.Span(s.getString(0), s.getInt(1), s.getInt(2), s.getInt(3))
+      }
+      val rebuilt = Forest.fromSpans(toks, spans) // throws if ill-formed
+      assert(rebuilt.flatMap(_.leaves) == toks.toList)
+    }
+  }
+
+  test("matches driver-side parsing exactly") {
+    val path = writeCorpus(80, 22)
+    val got = spark.read.format("enamex").load(path)
+      .select("sentence").collect().map(_.getString(0)).sorted
+    val want = Synth.corpusLines(80, 22)
+      .map(l => Forest.parseEnamex(l).flatMap(_.leaves).mkString(" "))
+      .sorted.toArray
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("byte-range splits lose and duplicate nothing") {
+    val path = writeCorpus(500, 23)
+    // force many tiny splits via the splitter directly
+    val splits = EnamexSource.splits(Seq(path), targetBytes = 1024)
+    assert(splits.length > 10, s"expected many splits, got ${splits.length}")
+    val lines = splits.flatMap { s =>
+      val bl = new ByteLines(s.path, s.start, s.end)
+      try Iterator.continually(bl.next()).takeWhile(_ != null).toVector
+      finally bl.close()
+    }.filter(_.nonEmpty)
+    val want = Synth.corpusLines(500, 23)
+    assert(lines.size == want.size, "line count drift across splits")
+    assert(lines.sorted == want.sorted.toSeq)
+  }
+
+  test("column pruning reaches the reader") {
+    val path = writeCorpus(20, 24)
+    val df = spark.read.format("enamex").load(path).select("sentence")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(df.count() == 20)
+    assert(plan.contains("sentence"))
+    assert(!plan.contains("spans"), s"spans not pruned:\n$plan")
+  }
+}
