@@ -34,6 +34,39 @@ object StreamingNer {
     }.toDF("neType", "begin", "end", "depth", "surface")
   }
 
+  /** Streaming exact deduplication with custom state
+    * (`mapGroupsWithState`): documents keyed by content fingerprint;
+    * only the FIRST occurrence of each fingerprint is emitted, with a
+    * running duplicate count carried in state — the streaming rendition
+    * of the batch exact-dedup operator (q16). In production, bound the
+    * state with `GroupStateTimeout.ProcessingTimeTimeout` + a TTL (the
+    * timeout makes the engine self-trigger housekeeping batches, which
+    * makes deterministic testing awkward, so the default here is
+    * NoTimeout).
+    * Input: streaming (doc_id long, text string).
+    */
+  def dedupStream(spark: SparkSession,
+                  docs: Dataset[(Long, String)]): Dataset[(Long, String, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val keyed = docs.map { case (id, text) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fp = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (fp, id, text)
+    }.groupByKey(_._1)
+    keyed.mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      (fp: String, rows: Iterator[(String, Long, String)],
+       state: GroupState[Long]) =>
+        val batch = rows.toSeq
+        val seenBefore = state.getOption.getOrElse(0L)
+        state.update(seenBefore + batch.length)
+        if (seenBefore == 0L) {
+          val first = batch.minBy(_._2)
+          (first._2, first._3, batch.length.toLong)
+        } else (-1L, "", seenBefore + batch.length) // already emitted
+    }.filter(_._1 >= 0L)
+  }
+
   /** Event-time windowed mention counts with a watermark: tumbling
     * 10-second windows per NE type, late data bounded at 30 seconds.
     * Input: streaming (ts timestamp, line string).

@@ -212,3 +212,27 @@ class DictIoSpec extends AnyFunSuite {
     assert(st.getLong(0) == 2L && st.getLong(1) == 3L && st.getLong(2) == 2L)
   }
 }
+
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("mapGroupsWithState dedup emits only first occurrence across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingNer.dedupStream(spark, input.toDS())
+      .toDF("doc_id", "text", "n_in_batch")
+    val q = out.writeStream.format("memory").queryName("dedup_t")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      input.addData((4L, "alpha"), (5L, "gamma"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, text FROM dedup_t ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      // first occurrences only: alpha via id 1 (not 3 or 4), beta, gamma
+      assert(rows == Seq((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
+    } finally q.stop()
+  }
+}
