@@ -256,10 +256,14 @@ object NerfModel {
     val transData = obj("trans").asInstanceOf[List[Any]].map(_.asInstanceOf[Double]).toArray
     val l = labels.length
     val trans = new breeze.linalg.DenseMatrix(l, l, transData)
-    val obsIds = obj("obs").asInstanceOf[List[Any]].map { site =>
-      site.asInstanceOf[Map[String, Any]]
-        .map { case (k, v) => k -> v.asInstanceOf[Double].toInt }
-    }.toArray
+    val obsIds = obj("obs") match {
+      case sites: List[Any] @unchecked => sites.map { site =>
+        site.asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.asInstanceOf[Double].toInt }
+      }.toArray
+      case _ => sys.error(
+        s"$path uses the pre-(siteId,value) model format; retrain with `graft.Cli train`")
+    }
     val obsLabels = obj("obsLabels").asInstanceOf[List[Any]]
       .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[Double].toInt).toArray).toArray
     val obsWeights = obj("obsWeights").asInstanceOf[List[Any]]

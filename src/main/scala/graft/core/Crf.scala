@@ -52,19 +52,32 @@ object Crf {
     @transient lazy val parsedLabels: Array[Iob.Label] =
       labels.map(Iob.parseLabel)
 
+    /** Open-addressed lookup view of obsIds: java.util.HashMap beats
+      * scala immutable HashMap ~2x on the miss-heavy tag-time lookups
+      * (most observations of unseen text are unknown -> miss).
+      */
+    @transient private lazy val fastObsIds: Array[java.util.HashMap[String, Integer]] =
+      obsIds.map { m =>
+        val h = new java.util.HashMap[String, Integer](m.size * 2)
+        m.foreach { case (k, v) => h.put(k, Integer.valueOf(v)) }
+        h
+      }
+
     /** Per-position accumulated observation scores: out(k)(y) = sum of
       * weights of present (obs, y) features at position k.
       */
     def obsScores(sent: Array[Features.PosObs]): Array[Array[Double]] = {
       val L = numLabels
-      val nSites = obsIds.length
+      val ids = fastObsIds
+      val nSites = ids.length
       sent.map { obs =>
         val s = new Array[Double](L)
         var j = 0
         while (j < obs.size) {
           val site = obs.sites(j)
           if (site < nSites) {
-            val oid = obsIds(site).getOrElse(obs.values(j), -1)
+            val boxed = ids(site).get(obs.values(j))
+            val oid = if (boxed eq null) -1 else boxed.intValue()
             if (oid >= 0) {
               val ls = obsLabels(oid); val ws = obsWeights(oid)
               var i = 0
