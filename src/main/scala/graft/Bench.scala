@@ -75,7 +75,10 @@ object Bench {
     // otherwise land entirely on whichever level runs first. Trials are
     // interleaved (N,4N,N,4N,...) and the best of each level is kept —
     // co-tenant noise can swing a single run several-fold (measured).
-    val small = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
+    val small = {
+      val want = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
+      if (want * 4 <= cpus) want else math.max(1, cpus / 4)
+    }
     val big = small * 4
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     kgRun(small, math.max(200L, kgFiles / 10))
