@@ -59,9 +59,17 @@ object KgMain {
     val secs = (System.nanoTime() - t0) / 1e9
 
     // lineage + stage counters persisted beside the commit manifests
-    // (north_rule: metrics alongside each commit)
-    val nMentions = result.mentions.count()
-    val nLinked = result.linked.count()
+    // (north_rule: metrics alongside each commit). Counters come from the
+    // PERSISTED `linked` (one row per mention) — counting
+    // `result.mentions` would re-execute the whole NER stage (r1 verdict
+    // scale-killer #4). nLinked = mentions resolved to a KB entity
+    // (non-NIL); both counts in one action.
+    val cnt = result.linked.agg(
+      count(lit(1)).as("mentions"),
+      count(when(!col("entity_id").startsWith("nil:"), 1)).as("kb_linked"))
+      .collect()(0)
+    val nMentions = cnt.getLong(0)
+    val nLinked = cnt.getLong(1)
     val nCanon = result.canon.count()
     val metrics =
       f"""{"snapshot":"synth-$nFiles-seed42","model":"sgd-seed42",

@@ -222,11 +222,17 @@ object KgPipeline {
     * return (entity_id, canon_id).
     *
     * Ambiguity guard: an alias string shared by *multiple* entities (a
-    * bare surname, a one-word org prefix) must not act as a merge bridge
-    * — only aliases pointing to exactly one entity create edges.
+    * bare surname, a one-word org prefix) must not act as a merge bridge.
+    * An alias may create edges when it points to exactly one entity, or
+    * to exactly two KB entities that share the same canonical name (the
+    * duplicate-source case — e.g. the same org ingested from two feeds).
+    * Two genuinely distinct entities that happen to share a surface (two
+    * people named "J Smith", or an entity plus a `nil:` cluster) never
+    * bridge.
     */
   def canonicalize(spark: SparkSession, linked: DataFrame,
-                   kbAliases: DataFrame): DataFrame = {
+                   kbAliases: DataFrame,
+                   collectThreshold: Int = ccCollectThreshold): DataFrame = {
     // KB-internal edges: every alias of an entity <-> the entity id
     val kbEdges = kbAliases.select(
       col("entity_id").as("src"),
@@ -236,23 +242,36 @@ object KgPipeline {
       col("entity_id").as("src"),
       concat(lit("alias:"), col("surface_norm")).as("dst"))
     val allEdges = kbEdges.union(obsEdges).distinct()
-    val uniqueAliases = allEdges.groupBy("dst")
-      .agg(countDistinct(col("src")).as("n"))
-      .where(col("n") <= 2) // entity + at most one duplicate-source entity
+    // Per-alias ambiguity stats, with each source joined (broadcast,
+    // KB-sized) to its canonical name; nil:* sources have no canonical.
+    val srcCanon = kbAliases.select(col("entity_id").as("src"),
+      col("canonical")).distinct()
+    val bridgeable = allEdges
+      .join(broadcast(srcCanon), Seq("src"), "left")
+      .groupBy("dst")
+      .agg(countDistinct(col("src")).as("n"),
+           countDistinct(col("canonical")).as("n_canon"),
+           count(when(col("canonical").isNull, 1)).as("n_nil"))
+      .where(col("n") === 1 ||
+        (col("n") === 2 && col("n_nil") === 0 && col("n_canon") === 1))
       .select("dst")
-    val edges = allEdges.join(uniqueAliases, Seq("dst"))
+    val edges = allEdges.join(bridgeable, Seq("dst"))
       .select("src", "dst")
+      // decided driver-vs-distributed + consumed once more below: one
+      // distributed distinct pass over corpus-sized data, reused
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // The distinct alias-edge set is bounded by the alias vocabulary
-    // (KB-scale), not by the corpus: the distributed `distinct` above is
-    // the only pass over corpus-sized data. Below the threshold we
-    // union-find on the driver (microseconds, no fixpoint shuffle
-    // rounds); above it, fall back to the iterative DataFrame CC.
-    val edgeRows = edges.limit(ccCollectThreshold + 1).collect()
+    // (KB-scale), not by the corpus. Decide driver-vs-distributed via a
+    // cheap partial-agg count (never pulls rows); only a sub-threshold
+    // edge set is ever collected. Below the threshold we union-find on
+    // the driver (microseconds, no fixpoint shuffle rounds); above it,
+    // the iterative DataFrame CC.
+    val nEdges = edges.count()
     val comps =
-      if (edgeRows.length <= ccCollectThreshold) {
+      if (nEdges <= collectThreshold) {
         val uf = new UnionFind
-        edgeRows.foreach(r => uf.union(r.getString(0), r.getString(1)))
+        edges.collect().foreach(r => uf.union(r.getString(0), r.getString(1)))
         val spark2 = spark
         import spark2.implicits._
         uf.components().toSeq.toDF("node", "comp")
@@ -260,15 +279,19 @@ object KgPipeline {
 
     // canonical representative: the min *entity* id in the component
     val entities = comps.where(!col("node").startsWith("alias:"))
-    broadcast(entities.groupBy("comp").agg(min(col("node")).as("canon_id")))
+    val out = broadcast(entities.groupBy("comp").agg(min(col("node")).as("canon_id")))
       .join(entities, Seq("comp"))
       .select(col("node").as("entity_id"), col("canon_id"))
+      .localCheckpoint()
+    edges.unpersist()
+    out
   }
 
   /** Above this many distinct alias edges, canonicalization switches
-    * from driver union-find to the distributed fixpoint.
+    * from driver union-find to the distributed fixpoint. 100k two-string
+    * rows is a few MB on the driver — far below any OOM hazard.
     */
-  val ccCollectThreshold: Int = 2000000
+  val ccCollectThreshold: Int = 100000
 
   /** Driver-side union-find with path compression; component label =
     * lexicographic min member (same convention as the distributed CC).

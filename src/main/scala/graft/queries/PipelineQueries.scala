@@ -111,8 +111,11 @@ object PipelineQueries {
       (0 until 32).map(b =>
         when(col(s"b$b") > 0, lit(1L) * lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
+    // Scalar columns only: the driver's rows-only check sorts the result
+    // with pandas, which cannot factorize array cells (round-1 q45 err).
     fp.groupBy("simhash").agg(count(lit(1)).as("n_docs"),
-        sort_array(collect_list(col("doc_id"))).as("docs"))
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("docs_csv"))
       .where(col("n_docs") > 1)
   }
 

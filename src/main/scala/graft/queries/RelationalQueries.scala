@@ -257,13 +257,15 @@ object RelationalQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        sum(col("n_chars")).over(w).as("cum_chars"))
+        sum(col("n_chars")).over(w).cast("long").as("cum_chars"))
   }
 
+  // DuckDB's sum(BIGINT) is HUGEINT — cast both engines to BIGINT so the
+  // driver's value hash agrees (round-1 q09 hash_match failure).
   val q09_sql: String =
     """SELECT doc_id, lang,
-      |       sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-      |                          ROWS UNBOUNDED PRECEDING) AS cum_chars
+      |       CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
       |FROM documents""".stripMargin
 
   /** Linker top-k candidates per mention rendition: top-3 parts per

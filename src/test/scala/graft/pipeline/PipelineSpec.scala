@@ -105,6 +105,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canonIds.subsetOf(typed))
   }
 
+  test("canonicalize: distributed CC path agrees with driver union-find") {
+    import spark.implicits._
+    val files = KgPipeline.synthInput(spark, 40, partitions = 2)
+    val ments = KgPipeline.detectMentions(spark, files, model)
+    val kb = KgPipeline.kbAliasDf(spark, Synth.knowledgeBase)
+    val linked = KgPipeline.linkMentions(spark, ments, kb).cache()
+    val viaDriver = KgPipeline.canonicalize(spark, linked, kb)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // collectThreshold = 0 forces the iterative DataFrame CC path
+    val viaDist = KgPipeline.canonicalize(spark, linked, kb, collectThreshold = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    linked.unpersist()
+    assert(viaDriver.nonEmpty)
+    assert(viaDist == viaDriver, "distributed CC must match union-find")
+  }
+
+  test("canonicalize: ambiguous 2-entity alias does not bridge distinct canonicals") {
+    import spark.implicits._
+    // two genuinely distinct people share the bare alias "smith";
+    // orgdup-style duplicates share canonical "Acme Corp"
+    val kbAliases = Seq(
+      ("john smith", "per:John_Smith", "persName", "John Smith"),
+      ("smith", "per:John_Smith", "persName", "John Smith"),
+      ("jane smith", "per:Jane_Smith", "persName", "Jane Smith"),
+      ("smith", "per:Jane_Smith", "persName", "Jane Smith"),
+      ("acme corp", "org:Acme_Corp", "orgName", "Acme Corp"),
+      ("acmecorp", "org:Acme_Corp", "orgName", "Acme Corp"),
+      ("acmecorp", "orgdup:Acme_Corp", "orgName", "Acme Corp"))
+      .toDF("alias_norm", "entity_id", "entity_type", "canonical")
+    val linked = Seq.empty[(String, String)].toDF("entity_id", "surface_norm")
+    val canon = KgPipeline.canonicalize(spark, linked, kbAliases)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // duplicate-source orgs (same canonical) merge
+    assert(canon.get("orgdup:Acme_Corp") == Some("org:Acme_Corp"))
+    // the two Smiths (distinct canonicals) must NOT merge through "smith"
+    assert(canon.getOrElse("per:John_Smith", "per:John_Smith") == "per:John_Smith")
+    assert(canon.getOrElse("per:Jane_Smith", "per:Jane_Smith") == "per:Jane_Smith")
+  }
+
   test("snapshot write + sha256 invariant holds; resumable write resumes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_io_test").toString
