@@ -21,9 +21,11 @@ object Xces {
   final case class Sent(toks: Vector[Tok])
 
   private val TokRe =
-    "(?s)<tok>.*?<orth>(.*?)</orth>.*?</tok>|<ns\\s*/>".r
+    "(?s)<tok\\b[^>]*>.*?<orth\\b[^>]*>(.*?)</orth>.*?</tok>|<ns\\s*/>".r
   private val SentRe =
     "(?s)<chunk[^>]*type=\"s\"[^>]*>(.*?)</chunk>".r
+  /** Token elements only (for splicing group tags between them). */
+  private val TokOnlyRe = "(?s)<tok\\b[^>]*>.*?</tok>".r
 
   def unescapeXml(s: String): String = s
     .replace("&lt;", "<").replace("&gt;", ">")
@@ -33,21 +35,23 @@ object Xces {
   def escapeXml(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  /** Parse one sentence body (the content of a `<chunk type="s">`). */
+  def parseBody(body: String): Sent = {
+    val toks = ArrayBuffer.empty[Tok]
+    var nsPending = false
+    TokRe.findAllMatchIn(body).foreach { m =>
+      if (m.group(1) == null) nsPending = true // <ns/>
+      else {
+        toks += Tok(unescapeXml(m.group(1)), nsPending)
+        nsPending = false
+      }
+    }
+    Sent(toks.toVector)
+  }
+
   /** Parse all `<chunk type="s">` sentences out of an XCES document. */
   def parse(xml: String): Vector[Sent] =
-    SentRe.findAllMatchIn(xml).map { sm =>
-      val body = sm.group(1)
-      val toks = ArrayBuffer.empty[Tok]
-      var nsPending = false
-      TokRe.findAllMatchIn(body).foreach { m =>
-        if (m.group(1) == null) nsPending = true // <ns/>
-        else {
-          toks += Tok(unescapeXml(m.group(1)), nsPending)
-          nsPending = false
-        }
-      }
-      Sent(toks.toVector)
-    }.toVector
+    SentRe.findAllMatchIn(xml).map(sm => parseBody(sm.group(1))).toVector
 
   /** Restore the original sentence text, honoring `<ns/>`
     * (/root/reference/src/NLP/Nerf/XCES.hs:351-357).
@@ -90,16 +94,62 @@ object Xces {
     b.result()
   }
 
+  /** Splice `<group type="NE">` wrappers into an ORIGINAL sentence body:
+    * every byte of the source markup (token attributes, `<lex>` analyses,
+    * `<ns/>`, non-token tags, whitespace) is preserved verbatim; the only
+    * insertions are group open tags immediately before a span's first
+    * `<tok>` and close tags immediately after its last `</tok>`
+    * (reference preserves the full tag stream the same way,
+    * /root/reference/src/NLP/Nerf/XCES.hs:196-248).
+    */
+  def spliceGroups(body: String, spans: Seq[Span]): String = {
+    val toks = TokOnlyRe.findAllMatchIn(body).toVector
+    if (toks.isEmpty) return body
+    val opens = spans.groupBy(_.begin)
+    val closes = spans.groupBy(_.end)
+    val b = new StringBuilder
+    var pos = 0
+    for (i <- toks.indices) {
+      val m = toks(i)
+      // original content between previous token (or start) and this token
+      b ++= body.substring(pos, m.start)
+      // open groups whose span begins at token i: outermost first
+      opens.get(i).foreach { os =>
+        os.sortBy(sp => (sp.depth, -(sp.end - sp.begin))).foreach { sp =>
+          b ++= s"""<group type="NE" subtype="${escapeXml(sp.neType)}">"""
+        }
+      }
+      b ++= body.substring(m.start, m.end) // the token, verbatim
+      pos = m.end
+      // close groups whose span ends right after token i: innermost first
+      closes.get(i + 1).foreach { cs =>
+        cs.sortBy(-_.depth).foreach(_ => b ++= "</group>")
+      }
+    }
+    b ++= body.substring(pos)
+    b.result()
+  }
+
   /** End-to-end XCES NER (the reference's `nerf ner -f xces` path,
     * /root/reference/src/NLP/Nerf/XCES.hs:343-357): parse, restore text,
     * run NER, re-align the result with the XCES tokens via `sync`, and
-    * re-render with group tags.
+    * splice group tags into the ORIGINAL document — all markup outside
+    * the group insertions round-trips byte-identically.
     */
-  def annotate(xml: String, ner: String => List[NeTree]): String =
-    parse(xml).map { sent =>
+  def annotate(xml: String, ner: String => List[NeTree]): String = {
+    val b = new StringBuilder
+    var pos = 0
+    SentRe.findAllMatchIn(xml).foreach { sm =>
+      val body = sm.group(1)
+      val sent = parseBody(body)
       val forest = ner(restoreText(sent))
       val synced = Forest.sync(forest, sent.toks.map(_.orth))
       val (_, spans) = Forest.toSpans(synced)
-      renderSent(sent, spans)
-    }.mkString("\n")
+      b ++= xml.substring(pos, sm.start(1))
+      b ++= spliceGroups(body, spans)
+      pos = sm.end(1)
+    }
+    b ++= xml.substring(pos)
+    b.result()
+  }
 }

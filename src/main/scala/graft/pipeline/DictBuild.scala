@@ -53,14 +53,59 @@ object DictBuild {
       .where(col("typ") === typ)
       .select(col("orth").as("form"), col("neTyp").as("label"))
 
-  /** PNEG LMF: the reference parses `LexicalEntry`/`Lemma`/`WordForm`
-    * writtenForm + `Sense` (/root/reference/src/NLP/Nerf/Dict/PNEG.hs:19-44).
-    * The sandbox fixture is the pre-flattened TSV `form<TAB>type`
-    * (FIXTURES.md §3); for real LMF XML plug an XML source in front.
+  /** PNEG pre-flattened TSV `form<TAB>type` (FIXTURES.md §3); the real
+    * LMF XML format is handled by [[readPNEGXml]].
     */
   def readPNEG(spark: SparkSession, path: String): DataFrame =
     spark.read.option("sep", "\t").csv(path)
       .toDF("form", "label")
+
+  // --- PNEG LMF XML ---------------------------------------------------
+
+  private val FeatRe = "<feat\\b([^>]*?)/?>".r
+  private val AttrRe = "([\\w:]+)\\s*=\\s*\"([^\"]*)\"".r
+  private val WordElemRe = "(?s)<(Lemma|WordForm)\\b[^>]*>(.*?)</\\1>".r
+  private val SenseRe = "(?s)<Sense\\b[^>]*>(.*?)</Sense>".r
+
+  /** First `<feat att="wanted" val="..."/>` value inside `chunk`. */
+  private def featVal(chunk: String, wanted: String): Option[String] =
+    FeatRe.findAllMatchIn(chunk).flatMap { m =>
+      val attrs = AttrRe.findAllMatchIn(m.group(1))
+        .map(a => a.group(1) -> a.group(2)).toMap
+      if (attrs.get("att").contains(wanted)) attrs.get("val") else None
+    }.nextOption()
+
+  /** Parse one `<LexicalEntry>` block into (form, label) pairs: every
+    * `Lemma`/`WordForm` contributes its `writtenForm` feat; the label is
+    * the Sense's `externalReference` feat, falling back to a `label`
+    * feat (/root/reference/src/NLP/Nerf/Dict/PNEG.hs:22-34).
+    */
+  def parseLmfEntry(entry: String): Seq[(String, String)] = {
+    val words = WordElemRe.findAllMatchIn(entry)
+      .flatMap(m => featVal(m.group(2), "writtenForm")).toVector
+    val sense = SenseRe.findFirstMatchIn(entry)
+      .flatMap(m => featVal(m.group(1), "externalReference"))
+      .orElse(featVal(entry, "label"))
+    sense match {
+      case Some(l) => words.map(w => (graft.core.Xces.unescapeXml(w), l))
+      case None => Vector.empty
+    }
+  }
+
+  /** S5 PNEG LMF XML reader
+    * (/root/reference/src/NLP/Nerf/Dict/PNEG.hs:19-44). The file is
+    * split DISTRIBUTED on `</LexicalEntry>` boundaries (Spark's `lineSep`
+    * text scan), so a multi-GB lexicon parses in parallel without ever
+    * materializing the document on one machine; each chunk is then
+    * tag-soup parsed per-row.
+    */
+  def readPNEGXml(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("lineSep", "</LexicalEntry>").text(path)
+      .as[String]
+      .flatMap(parseLmfEntry _)
+      .toDF("form", "label")
+  }
 
   /** `atomic` filter: single-word forms only
     * (/root/reference/src/NLP/Nerf/Dict.hs:25-26, Dict/Base.hs:43-44).

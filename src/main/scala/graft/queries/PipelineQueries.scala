@@ -123,38 +123,46 @@ object PipelineQueries {
   // LSH-bucketed approximate nearest neighbors (scale path for q20)
   // =================================================================
 
-  /** Random-hyperplane LSH: 12 sign bits from seeded pseudo-random
-    * hyperplanes -> bucket; neighbors searched within bucket only.
-    * Output: per probe vector (vec_id < 20), its in-bucket top-3 by
-    * cosine.
+  /** Multi-table random-hyperplane LSH: `nTables` independent tables of
+    * `nBits` sign bits each; a candidate only needs to collide in ONE
+    * table, so recall = 1 − (1 − p^bits)^tables where p = 1 − θ/π. One
+    * table of many bits has near-zero recall on weakly-clustered
+    * embeddings (the standard amplification trade-off); at real scale
+    * grow `nBits` with log(corpus) to hold bucket occupancy and keep
+    * recall via more tables. Output: per probe vector (vec_id < 20), its
+    * candidate-set top-3 by cosine.
     */
   def q46_ann_lsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nBits = 6 // 64 buckets: sized for the sandbox SFs; at real scale
-                  // raise bits with corpus size (bucket occupancy ~n/2^bits)
+    val nBits = 4
+    val nTables = 12
     val dim = 64
-    // deterministic hyperplanes (seeded, driver-side tiny matrix)
+    // deterministic hyperplanes (seeded, driver-side tiny tensor)
     val rnd = new scala.util.Random(1234)
-    val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
+    val planes = Array.fill(nTables, nBits, dim)(rnd.nextGaussian())
     val bPlanes = s.sparkContext.broadcast(planes)
     val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val bucketed = vecs.map { case (id, v) =>
+    // each vector lands in one bucket per table (L-fold replication —
+    // the standard multi-table cost; shuffle key is (table, bucket))
+    val bucketed = vecs.flatMap { case (id, v) =>
       val ps = bPlanes.value
-      var bucket = 0L
-      var b = 0
-      while (b < nBits) {
-        var dot = 0.0
-        var i = 0
-        val p = ps(b)
-        while (i < math.min(dim, v.length)) { dot += p(i) * v(i); i += 1 }
-        if (dot > 0) bucket |= (1L << b)
-        b += 1
+      (0 until nTables).map { t =>
+        var bucket = 0L
+        var b = 0
+        while (b < nBits) {
+          var dot = 0.0
+          var i = 0
+          val p = ps(t)(b)
+          while (i < math.min(dim, v.length)) { dot += p(i) * v(i); i += 1 }
+          if (dot > 0) bucket |= (1L << b)
+          b += 1
+        }
+        (id, t, bucket, v)
       }
-      (id, bucket, v)
-    }.toDF("vec_id", "bucket", "embedding")
+    }.toDF("vec_id", "tbl", "bucket", "embedding")
     val probes = bucketed.where(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("bucket"),
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"),
         col("embedding").as("q_emb"))
     val dot = expr(
       "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
@@ -162,48 +170,73 @@ object PipelineQueries {
       s"sqrt(aggregate($c, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-    bucketed.join(probes, Seq("bucket"))
+    bucketed.join(probes, Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
+      // a pair colliding in several tables must score once
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("cos", round(dot / (nrm("embedding") * nrm("q_emb")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Coarse IVF quantizer: a deterministic seeded sample of the corpus
+    * (smallest xxhash64(vec_id) — uniform, partitioning-independent,
+    * TakeOrdered so no full sort) + 3 Lloyd k-means iterations on the
+    * driver. Sample and centroid set stay broadcast-sized at any corpus
+    * scale; only the final assignment pass touches all vectors.
+    */
+  def ivfCentroids(vecs: DataFrame, nCells: Int,
+                   sampleN: Int = 256): Array[Array[Float]] = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val sample = vecs
+      .select(col("vec_id"), col("embedding"),
+        xxhash64(col("vec_id"), lit(7)).as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(sampleN)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().map(_._2)
+    require(sample.nonEmpty, "empty vector table")
+    val dim = sample.head.length
+    // init = first nCells sample vectors (hash order ≈ random, seeded)
+    var cent = sample.take(nCells).map(_.clone)
+    for (_ <- 0 until 3) {
+      val sums = Array.fill(cent.length)(new Array[Double](dim))
+      val cnts = new Array[Int](cent.length)
+      sample.foreach { v =>
+        val c = VecOps.nearestCell(cent, v)
+        cnts(c) += 1
+        var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      cent = Array.tabulate(cent.length) { c =>
+        if (cnts(c) == 0) cent(c)
+        else sums(c).map(x => (x / cnts(c)).toFloat)
+      }
+    }
+    cent
+  }
+
   /** IVF-bucketed approximate nearest neighbors — the second scale path
-    * beside LSH (q46): deterministic coarse centroids (seeded sample of
-    * the vectors themselves), assign every vector to its nearest
-    * centroid, search within-cell only. At cluster scale the centroid
-    * table stays broadcast-sized and the cell join shuffles once.
+    * beside LSH (q46): k-means coarse centroids from a seeded sample,
+    * assign every vector to its nearest centroid, search within-cell
+    * only; probes search their `nprobe` nearest cells (the standard
+    * recall lever — corpus-side cost is unchanged, probe-side fans out
+    * nprobe-fold). At cluster scale the centroid table stays
+    * broadcast-sized and the cell join shuffles once.
     */
   def q49_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nCells = 8
+    val nProbe = 3
     val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    // deterministic coarse quantizer: the first nCells vectors by id
-    val centroids = vecs.filter(_._1 < nCells).collect().sortBy(_._1)
-    val bCent = s.sparkContext.broadcast(centroids.map(_._2))
-    def cellOf(v: Array[Float]): Int = {
-      val cs = bCent.value
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        val cv = cs(c)
-        while (i < math.min(cv.length, v.length)) {
-          val diff = cv(i) - v(i); d += diff * diff; i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    val bucketed = vecs.map { case (id, v) => (id, cellOf(v), v) }
-      .toDF("vec_id", "cell", "embedding")
-    val probes = bucketed.where(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("cell"),
-        col("embedding").as("q_emb"))
+    val bCent = s.sparkContext.broadcast(ivfCentroids(vecs.toDF(), nCells))
+    val bucketed = vecs.map { case (id, v) =>
+      (id, VecOps.nearestCell(bCent.value, v), v)
+    }.toDF("vec_id", "cell", "embedding")
+    val probes = vecs.filter(_._1 < 20).flatMap { case (id, v) =>
+      VecOps.topCells(bCent.value, v, nProbe).map(c => (id, c, v))
+    }.toDF("q_id", "cell", "q_emb")
     val dot = expr(
       "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
     val nrm = (c: String) => expr(
@@ -268,6 +301,9 @@ object PipelineQueries {
       .groupBy(col("pred")).agg(count(lit(1)).as("n_triples"),
         countDistinct(col("obj")).as("n_distinct_objects"))
 
+  private[queries] def nearestCell(cs: Array[Array[Float]], v: Array[Float]): Int =
+    VecOps.nearestCell(cs, v)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ner_mentions" -> (q40_ner_mentions _),
     "q41_linked" -> (q41_linked _),
@@ -278,4 +314,42 @@ object PipelineQueries {
     "q46_ann_lsh" -> (q46_ann_lsh _),
     "q47_media_decode" -> (q47_media_decode _),
     "q49_ann_ivf" -> (q49_ann_ivf _))
+}
+
+/** Pure vector math, free of any Spark or session state: executor
+  * closures reference these without dragging `PipelineQueries` (which
+  * holds a SparkSession-keyed cache) into the serialized task.
+  */
+object VecOps extends Serializable {
+
+  /** Squared-L2 nearest centroid, deterministic first-wins tie-break. */
+  def nearestCell(cs: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      val cv = cs(c)
+      while (i < math.min(cv.length, v.length)) {
+        val diff = cv(i) - v(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Indices of the `n` nearest centroids, ascending distance,
+    * deterministic index tie-break.
+    */
+  def topCells(cs: Array[Array[Float]], v: Array[Float], n: Int): Seq[Int] = {
+    val ds = cs.indices.map { c =>
+      var d = 0.0; var i = 0
+      val cv = cs(c)
+      while (i < math.min(cv.length, v.length)) {
+        val diff = cv(i) - v(i); d += diff * diff; i += 1
+      }
+      (d, c)
+    }
+    ds.sortBy(identity).take(n).map(_._2)
+  }
 }

@@ -42,6 +42,40 @@ class DictBuildSpec extends AnyFunSuite {
     assert(ext.map(_.getString(1)).toSeq == Seq("orgName"))
   }
 
+  test("PNEG LMF XML reader: LexicalEntry/Lemma/WordForm/Sense") {
+    val lmf = tmpFile("pneg.xml", Seq(
+      """<LexicalResource><Lexicon>""",
+      """<LexicalEntry id="e1">""",
+      """  <feat att="partOfSpeech" val="noun"/>""",
+      """  <Lemma><feat att="writtenForm" val="Warszawa"/></Lemma>""",
+      """  <WordForm><feat att="writtenForm" val="Warszawie"/></WordForm>""",
+      """  <WordForm><feat att="writtenForm" val="Warszaw&amp;y"/></WordForm>""",
+      """  <Sense><feat att="externalReference" val="placeName.settlement"/></Sense>""",
+      """</LexicalEntry>""",
+      """<LexicalEntry id="e2">""",
+      """  <Lemma><feat att="writtenForm" val="PKO"/></Lemma>""",
+      """  <Sense><feat att="label" val="orgName"/></Sense>""",
+      """  <feat att="label" val="orgName"/>""",
+      """</LexicalEntry>""",
+      """<LexicalEntry id="e3-no-sense">""",
+      """  <Lemma><feat att="writtenForm" val="orphan"/></Lemma>""",
+      """</LexicalEntry>""",
+      """</Lexicon></LexicalResource>"""))
+    val d = DictBuild.readPNEGXml(spark, lmf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d == Set(
+      ("Warszawa", "placeName.settlement"),
+      ("Warszawie", "placeName.settlement"),
+      ("Warszaw&y", "placeName.settlement"),
+      ("PKO", "orgName")))
+    // Sense externalReference wins; label is the fallback
+    val viaLabel = DictBuild.parseLmfEntry(
+      """<LexicalEntry><Lemma><feat att="writtenForm" val="X"/></Lemma>
+        |<Sense><feat att="externalReference" val="persName"/>
+        |<feat att="label" val="WRONG"/></Sense></LexicalEntry>""".stripMargin)
+    assert(viaLabel == Vector(("X", "persName")))
+  }
+
   test("Prolexbase + PNEG readers; atomic filter; build/merge/diff") {
     val plx = tmpFile("plx.tsv", Seq("Paris\tParis\tN\tcity", "New York\tNY\tN\tcity"))
     val png = tmpFile("png.tsv", Seq("Paris\tpersName"))
@@ -83,6 +117,33 @@ class XcesSpec extends AnyFunSuite {
     assert(out.contains("<ns/><tok><orth>.</orth></tok>"))
     // group tags balance
     assert("<group".r.findAllIn(out).size == "</group>".r.findAllIn(out).size)
+  }
+
+  test("annotate preserves non-token markup byte-identically") {
+    // attributes, <lex> analyses, processing markup, comments, whitespace
+    val rich =
+      """<?xml version="1.0"?><!-- corpus header -->
+        |<chunkList xmlns="http://example">
+        |<chunk type="p" id="p1"><chunk type="s" id="s1">
+        |<tok id="t1"><orth>coach</orth><lex disamb="1"><base>coach</base><ctag>subst</ctag></lex></tok>
+        |<freestanding attr="kept"/>
+        |<tok id="t2"><orth>Kira</orth></tok>
+        |<tok id="t3"><orth>Novak</orth></tok>
+        |<ns/><tok id="t4"><orth>.</orth></tok>
+        |</chunk></chunk>
+        |<chunk type="p"><trailing/></chunk>
+        |</chunkList>""".stripMargin
+    val out = Xces.annotate(rich, KgMain.model.ner)
+    // removing the inserted group tags restores the original exactly
+    val stripped = out
+      .replaceAll("<group type=\"NE\" subtype=\"[^\"]*\">", "")
+      .replace("</group>", "")
+    assert(stripped == rich, "non-group bytes must round-trip")
+    // annotations actually landed, with token internals intact
+    assert(out.contains("<group type=\"NE\" subtype=\"persName\">"))
+    assert(out.contains("""<tok id="t2"><orth>Kira</orth></tok>"""))
+    assert(out.contains("""<lex disamb="1"><base>coach</base><ctag>subst</ctag></lex>"""))
+    assert(out.contains("""<freestanding attr="kept"/>"""))
   }
 }
 

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality gates on the ANN scale paths (q46/q49) against the driver's
+  * sf0.001 embeddings table: the coarse quantizer must produce balanced
+  * cells, the in-cell search must recover most of the brute-force
+  * neighbors, and results must be deterministic across invocations.
+  */
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+  def available: Boolean = new java.io.File(s"$dir/embeddings.parquet").exists()
+
+  private def vectors(): Array[(Long, Array[Float])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Brute-force top-k neighbor ids per probe (the oracle). */
+  private def bruteTopK(vs: Array[(Long, Array[Float])], k: Int)
+      : Map[Long, Set[Long]] = {
+    val probes = vs.filter(_._1 < 20)
+    probes.map { case (qid, q) =>
+      qid -> vs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosine(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    }.toMap
+  }
+
+  test("IVF quantizer: k-means cells are populated and balanced") {
+    assume(available)
+    val vs = vectors()
+    val vecsDf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cent = PipelineQueries.ivfCentroids(vecsDf, nCells = 8)
+    assert(cent.length == 8)
+    val sizes = vs.groupBy { case (_, v) =>
+      PipelineQueries.nearestCell(cent, v) }.map(_._2.length)
+    assert(sizes.size == 8, s"empty cells: only ${sizes.size} populated")
+    val mean = vs.length.toDouble / 8
+    assert(sizes.max <= 2 * mean,
+      s"skewed cells: max=${sizes.max} vs mean=$mean")
+  }
+
+  test("IVF ANN recall@3 vs brute force on the probe set") {
+    assume(available)
+    val brute = bruteTopK(vectors(), 3)
+    val got = PipelineQueries.q49_ann_ivf(spark, dir)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+    val hits = brute.toSeq.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).intersect(want).size }.sum
+    val recall = hits.toDouble / brute.map(_._2.size).sum
+    info(f"IVF recall@3 = $recall%.3f")
+    assert(recall >= 0.5, f"IVF recall@3 $recall%.3f below 0.5")
+  }
+
+  test("LSH ANN recall@3 vs brute force on the probe set") {
+    assume(available)
+    val brute = bruteTopK(vectors(), 3)
+    val got = PipelineQueries.q46_ann_lsh(spark, dir)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+    val hits = brute.toSeq.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).intersect(want).size }.sum
+    val recall = hits.toDouble / brute.map(_._2.size).sum
+    info(f"LSH recall@3 = $recall%.3f")
+    assert(recall >= 0.6, f"LSH recall@3 $recall%.3f below 0.6")
+  }
+
+  test("IVF results are deterministic across invocations") {
+    assume(available)
+    def runOnce() = PipelineQueries.q49_ann_ivf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(runOnce() == runOnce())
+  }
+}
