@@ -15,6 +15,8 @@ import scala.jdk.CollectionConverters._
   *   ox < raw.txt                             dump extracted observations
   *   compare <ref.nes> <cmp.nes>              per-type TP/FP/FN + P/R/F
   *   synth <out.nes> [nSents] [seed]          write a synthetic ENAMEX corpus
+  *   serve <model.json> <port>                TCP NER server (T1, model resident)
+  *   client <host> <port> < raw.txt           one request per line (T2)
   */
 object Cli {
 
@@ -82,6 +84,20 @@ object Cli {
         val s = stats(k)
         println(f"$k%-34s tp=${s.tp}%5d fp=${s.fp}%5d fn=${s.fn}%5d " +
           f"P=${s.precision}%.4f R=${s.recall}%.4f F=${s.f1}%.4f")
+      }
+    case "serve" :: modelPath :: portStr :: Nil =>
+      // reference `nerf server` (/root/reference/app/Main.hs:286-292):
+      // load once, listen forever
+      System.err.print("Loading model...")
+      val model = NerfModel.load(Paths.get(modelPath))
+      System.err.println(" done")
+      val sock = graft.server.NerfServer.serve(model, portStr.toInt)
+      System.err.println(s"Listening on port ${sock.getLocalPort}")
+      Thread.currentThread().join() // serve until killed
+    case "client" :: host :: portStr :: Nil =>
+      // reference `nerf client` text mode (/root/reference/app/Main.hs:294-300)
+      stdinLines.foreach { line =>
+        utf8Out.println(graft.server.NerfServer.request(host, portStr.toInt, line))
       }
     case "synth" :: out :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(500)

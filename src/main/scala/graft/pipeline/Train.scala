@@ -59,11 +59,14 @@ object Train {
   /** Leave-one-part-out cross-validation
     * (/root/reference/app/Main.hs:251-271): fold-stamp the corpus, train
     * on the complement, evaluate mention-level P/R on the fold.
-    * Returns per-fold `<all>` stats.
+    * Returns per-fold `<all>` stats. When `modelDir` is set, each fold's
+    * model is persisted as `fold-<i>.json` (the reference saves a model
+    * per fold the same way, app/Main.hs:262-266).
     */
   def crossValidate(spark: SparkSession, lines: Dataset[String], k: Int,
                     schema: Features.SchemaConf = graft.NerfModel.defaultSchema,
-                    cfg: Sgd.Config = Sgd.Config())
+                    cfg: Sgd.Config = Sgd.Config(),
+                    modelDir: Option[String] = None)
       : Seq[(Int, CompareStats.Stats)] = {
     import spark.implicits._
     val stamped = lines.filter(_.nonEmpty).rdd.zipWithIndex()
@@ -73,6 +76,9 @@ object Train {
       val trainLines = stamped.where($"fold" =!= fold).select("line").as[String]
       val evalLines = stamped.where($"fold" === fold).select("line").as[String]
       val model = train(spark, trainLines, schema, cfg)
+      modelDir.foreach { d =>
+        graft.NerfModel.save(model, java.nio.file.Paths.get(d, s"fold-$fold.json"))
+      }
       val bModel = spark.sparkContext.broadcast(model)
       // distributed eval: decode each held-out sentence, compare spans
       val stats = evalLines.map { line =>

@@ -179,16 +179,19 @@ object RelationalQueries {
       |FROM (SELECT o_orderstatus = 'O' AS p, o_totalprice > 150000.0 AS r
       |      FROM orders)""".stripMargin
 
-  /** A5 via INTERSECT/EXCEPT set operators. */
+  /** A5 via set semantics (INTERSECT/EXCEPT oracle). Computed as ONE
+    * distributed plan — a left join + conditional counts — instead of
+    * two count() actions assembled on the driver: one pass over each
+    * input, no collect, both counts partial-aggregate map-side.
+    */
   def q26_set_ops(s: SparkSession, dir: String): DataFrame = {
     val withOrders = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
     val rich = t(s, dir, "customer").where(col("c_acctbal") > 5000)
-      .select(col("c_custkey").as("k"))
-    val inter = withOrders.intersect(rich).count()
-    val exc = withOrders.except(rich).count()
-    val s2 = s
-    import s2.implicits._
-    Seq((inter, exc)).toDF("n_intersect", "n_except")
+      .select(col("c_custkey").as("k")).distinct()
+    withOrders
+      .join(rich.withColumn("in_rich", lit(1)), Seq("k"), "left")
+      .agg(count(col("in_rich")).as("n_intersect"),
+           count(when(col("in_rich").isNull, 1)).as("n_except"))
   }
 
   val q26_sql: String =

@@ -18,11 +18,14 @@ import scala.jdk.CollectionConverters._
   * `(sentence string, tokens array<string>,
   *   spans array<struct<neType,begin,end,depth>>)`.
   *
-  * Scale properties: files are split into byte ranges (one input
-  * partition per range, standard newline-aligned splitting), so a single
-  * large corpus file still parallelizes across executors; column pruning
-  * is pushed into the reader — `select("sentence")` never parses tags
-  * into span structs.
+  * Scale properties: paths resolve through the Hadoop FileSystem API
+  * (any scheme — file://, hdfs://, s3a://; the session Hadoop conf is
+  * shipped to executors), multi-path `load(p1, p2, ...)` is supported,
+  * files are split into byte ranges (one input partition per range,
+  * standard newline-aligned splitting) so a single large corpus file
+  * still parallelizes across executors, and column pruning is pushed
+  * into the reader — `select("sentence")` never parses tags into span
+  * structs.
   *
   * Format per /root/reference/README.md:33-50; parsing shared with
   * graft.core.Forest.
@@ -48,21 +51,29 @@ object EnamexSource {
     StructField("tokens", ArrayType(StringType)),
     StructField("spans", ArrayType(spanType))))
 
-  /** Resolve a path argument: a file is itself; a directory contributes
-    * its regular files; a missing path is an error (not an empty scan).
+  /** Resolve path arguments through the Hadoop FileSystem API, so
+    * `file://`, `hdfs://`, `s3a://` (any scheme with a registered FS)
+    * all work — not just driver-local POSIX paths. A file is itself; a
+    * directory contributes its regular files; a missing path is an error
+    * (not an empty scan). Returns (uri, length) pairs.
     */
-  def resolve(paths: Seq[String]): Seq[String] = paths.flatMap { p =>
-    val f = new java.io.File(p)
-    require(f.exists(), s"enamex: path does not exist: $p")
-    if (f.isDirectory)
-      f.listFiles().filter(_.isFile).map(_.getPath).sorted.toSeq
-    else Seq(p)
-  }
+  def resolve(paths: Seq[String],
+              conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] =
+    paths.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      require(fs.exists(hp), s"enamex: path does not exist: $p")
+      val st = fs.getFileStatus(hp)
+      if (st.isDirectory)
+        fs.listStatus(hp).filter(_.isFile)
+          .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1).toSeq
+      else Seq((st.getPath.toString, st.getLen))
+    }
 
   /** Newline-aligned byte-range splits of the input files. */
-  def splits(paths: Seq[String], targetBytes: Long): Seq[EnamexSplit] =
-    resolve(paths).flatMap { p =>
-      val len = new java.io.File(p).length()
+  def splits(paths: Seq[String], targetBytes: Long,
+             conf: org.apache.hadoop.conf.Configuration): Seq[EnamexSplit] =
+    resolve(paths, conf).flatMap { case (p, len) =>
       if (len == 0) Nil
       else {
         val n = math.max(1L, (len + targetBytes - 1) / targetBytes)
@@ -71,6 +82,21 @@ object EnamexSource {
         }
       }
     }
+
+  /** The `paths` option arrives as a JSON array of strings
+    * (`spark.read.format("enamex").load(p1, p2)`); `path` as a scalar.
+    */
+  def pathsFromOptions(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).toSeq.flatMap { json =>
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
+        .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .toSeq
+    }
+    val single = Option(options.get("path")).toSeq
+    val all = (single ++ multi).distinct
+    require(all.nonEmpty, "enamex: no path given")
+    all
+  }
 }
 
 final case class EnamexSplit(path: String, start: Long, end: Long)
@@ -78,14 +104,13 @@ final case class EnamexSplit(path: String, start: Long, end: Long)
 
 private class EnamexTable(props: Map[String, String])
     extends Table with SupportsRead {
-  override def name(): String = s"enamex(${props.getOrElse("path", "?")})"
+  override def name(): String =
+    s"enamex(${props.getOrElse("path", props.getOrElse("paths", "?"))})"
   override def schema(): StructType = EnamexSource.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EnamexScanBuilder(
-      Seq(Option(options.get("path")).getOrElse(
-        props.getOrElse("path", sys.error("enamex: no path option")))))
+    new EnamexScanBuilder(EnamexSource.pathsFromOptions(options))
 }
 
 private class EnamexScanBuilder(paths: Seq[String])
@@ -98,19 +123,26 @@ private class EnamexScanBuilder(paths: Seq[String])
 
 private class EnamexScan(paths: Seq[String], required: StructType)
     extends Scan with Batch {
+  private def hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    EnamexSource.splits(paths, targetBytes = 16L * 1024 * 1024)
+    EnamexSource.splits(paths, targetBytes = 16L * 1024 * 1024, hadoopConf)
       .map(s => s: InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new EnamexReaderFactory(required)
+    // the session Hadoop conf must travel to executors (s3a credentials,
+    // fs.* overrides); SerializableConfiguration is Spark's standard
+    // envelope for exactly this
+    new EnamexReaderFactory(required,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
 }
 
-private class EnamexReaderFactory(required: StructType)
+private class EnamexReaderFactory(required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new EnamexReader(partition.asInstanceOf[EnamexSplit], required)
+    new EnamexReader(partition.asInstanceOf[EnamexSplit], required, conf.value)
 }
 
 /** Byte-position-accurate line reader with standard split semantics: a
@@ -118,14 +150,11 @@ private class EnamexReaderFactory(required: StructType)
   * starting exactly at `end` are read here AND discarded by the next
   * split, which always drops its first line when start > 0).
   */
-private final class ByteLines(path: String, start: Long, end: Long) {
-  private val in = new java.io.FileInputStream(path)
-  private var skipped = 0L
-  while (skipped < start) {
-    val s = in.skip(start - skipped)
-    require(s > 0, s"enamex: cannot seek to $start in $path")
-    skipped += s
-  }
+private final class ByteLines(path: String, start: Long, end: Long,
+    conf: org.apache.hadoop.conf.Configuration) {
+  private val hp = new org.apache.hadoop.fs.Path(path)
+  private val in = hp.getFileSystem(conf).open(hp)
+  if (start > 0) in.seek(start)
   private val bis = new java.io.BufferedInputStream(in, 1 << 16)
   private var filePos = start
   private val lineBuf = new java.io.ByteArrayOutputStream(256)
@@ -147,10 +176,11 @@ private final class ByteLines(path: String, start: Long, end: Long) {
   def close(): Unit = bis.close()
 }
 
-private class EnamexReader(split: EnamexSplit, required: StructType)
+private class EnamexReader(split: EnamexSplit, required: StructType,
+    conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val lines = new ByteLines(split.path, split.start, split.end)
+  private val lines = new ByteLines(split.path, split.start, split.end, conf)
   private var current: InternalRow = _
 
   override def next(): Boolean = {

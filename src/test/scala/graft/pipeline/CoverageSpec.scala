@@ -169,11 +169,17 @@ class TrainSpec extends AnyFunSuite {
   test("cross-validation yields high P/R on every fold") {
     import spark.implicits._
     val ds = spark.createDataset(Synth.corpusLines(150, seed = 9))
+    val dir = java.nio.file.Files.createTempDirectory("cv_models").toString
     val stats = Train.crossValidate(spark, ds, k = 3,
-      cfg = Sgd.Config(iterNum = 5, seed = 4))
+      cfg = Sgd.Config(iterNum = 5, seed = 4), modelDir = Some(dir))
     assert(stats.length == 3)
     stats.foreach { case (fold, s) =>
       assert(s.precision > 0.9 && s.recall > 0.9, s"fold $fold: $s")
+    }
+    // per-fold models persisted and loadable (reference app/Main.hs:262-266)
+    (0 until 3).foreach { fold =>
+      val m = graft.NerfModel.load(java.nio.file.Paths.get(dir, s"fold-$fold.json"))
+      assert(m.ner("coach Kira Novak").nonEmpty)
     }
   }
 

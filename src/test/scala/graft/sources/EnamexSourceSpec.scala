@@ -45,17 +45,27 @@ class EnamexSourceSpec extends AnyFunSuite {
 
   test("byte-range splits lose and duplicate nothing") {
     val path = writeCorpus(500, 23)
+    val conf = spark.sessionState.newHadoopConf()
     // force many tiny splits via the splitter directly
-    val splits = EnamexSource.splits(Seq(path), targetBytes = 1024)
+    val splits = EnamexSource.splits(Seq(path), targetBytes = 1024, conf)
     assert(splits.length > 10, s"expected many splits, got ${splits.length}")
     val lines = splits.flatMap { s =>
-      val bl = new ByteLines(s.path, s.start, s.end)
+      val bl = new ByteLines(s.path, s.start, s.end, conf)
       try Iterator.continually(bl.next()).takeWhile(_ != null).toVector
       finally bl.close()
     }.filter(_.nonEmpty)
     val want = Synth.corpusLines(500, 23)
     assert(lines.size == want.size, "line count drift across splits")
     assert(lines.sorted == want.sorted.toSeq)
+  }
+
+  test("multi-path load and file:// URIs work (Hadoop FS API)") {
+    val p1 = writeCorpus(30, 31)
+    val p2 = writeCorpus(40, 32)
+    val df = spark.read.format("enamex").load(p1, p2)
+    assert(df.count() == 70, "both paths must contribute")
+    val viaUri = spark.read.format("enamex").load("file://" + p1)
+    assert(viaUri.count() == 30, "scheme-qualified URI must resolve")
   }
 
   test("column pruning reaches the reader") {
