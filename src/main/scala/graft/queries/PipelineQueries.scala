@@ -164,17 +164,14 @@ object PipelineQueries {
     val probes = bucketed.where(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"),
         col("embedding").as("q_emb"))
-    val dot = expr(
-      "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    val nrm = (c: String) => expr(
-      s"sqrt(aggregate($c, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
     bucketed.join(probes, Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
       // a pair colliding in several tables must score once
       .dropDuplicates("q_id", "vec_id")
-      .withColumn("cos", round(dot / (nrm("embedding") * nrm("q_emb")), 6))
+      .withColumn("cos", round(
+        graft.functions.VecFunctions.ner_cosine(col("embedding"), col("q_emb")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
@@ -237,15 +234,12 @@ object PipelineQueries {
     val probes = vecs.filter(_._1 < 20).flatMap { case (id, v) =>
       VecOps.topCells(bCent.value, v, nProbe).map(c => (id, c, v))
     }.toDF("q_id", "cell", "q_emb")
-    val dot = expr(
-      "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    val nrm = (c: String) => expr(
-      s"sqrt(aggregate($c, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
     bucketed.join(probes, Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(dot / (nrm("embedding") * nrm("q_emb")), 6))
+      .withColumn("cos", round(
+        graft.functions.VecFunctions.ner_cosine(col("embedding"), col("q_emb")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))

@@ -470,18 +470,18 @@ object RelationalQueries {
   // =================================================================
 
   /** Brute-force cosine top-10 neighbors of vec_id 0; float-free output
-    * (rank + id), ordering stabilized by rounding + id tie-break.
+    * (rank + id), ordering stabilized by rounding + id tie-break. Scoring
+    * is the native codegen `ner_cosine` expression (one fused loop, no
+    * interpreted lambda — graft.functions.VecExpr); VecExprSpec pins it
+    * bit-identical to the SQL-lambda formulation.
     */
   def q20_cosine_topk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val q = emb.where(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
-    val dot = expr(
-      "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    val norm = (c: String) => expr(
-      s"sqrt(aggregate($c, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
-      .withColumn("cos", round(dot / (norm("embedding") * norm("qv")), 6))
+      .withColumn("cos", round(
+        graft.functions.VecFunctions.ner_cosine(col("embedding"), col("qv")), 6))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
       .select(col("vec_id"), col("cos"))
@@ -507,12 +507,9 @@ object RelationalQueries {
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = t(s, dir, "embeddings").where(col("vec_id") < 500)
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    val dot = expr(
-      "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    val nrm = (c: String) => expr(
-      s"sqrt(aggregate($c, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", round(dot / (nrm("a_emb") * nrm("b_emb")), 6))
+      .withColumn("cos", round(
+        graft.functions.VecFunctions.ner_cosine(col("a_emb"), col("b_emb")), 6))
       .where(col("cos") >= 0.5)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
