@@ -175,10 +175,10 @@ object NerfModel {
   // ---- SchemaConf JSON (the model is self-describing, like the
   //      reference's binary Nerf: /root/reference/src/NLP/Nerf.hs:39-41) ----
 
-  private def jdict(d: Map[String, List[String]]): String =
-    d.toSeq.sortBy(_._1).map { case (k, vs) =>
+  private def jdict(d: CompactDict): String =
+    d.entries.map { case (k, vs) =>
       s"${jstr(k)}:${vs.map(jstr).mkString("[", ",", "]")}"
-    }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}") // entries iterate in key order (sorted)
 
   private def jints(xs: List[Int]): String = xs.mkString("[", ",", "]")
 
@@ -210,10 +210,11 @@ object NerfModel {
   private def parseSchema(o: Map[String, Any]): Features.SchemaConf = {
     def ints(v: Any): List[Int] =
       v.asInstanceOf[List[Any]].map(_.asInstanceOf[Double].toInt)
-    def dict(v: Any): Map[String, List[String]] =
-      v.asInstanceOf[Map[String, Any]].map { case (k, vs) =>
-        k -> vs.asInstanceOf[List[Any]].map(_.toString)
-      }
+    def dict(v: Any): CompactDict =
+      CompactDict.fromPairs(
+        v.asInstanceOf[Map[String, Any]].iterator.map { case (k, vs) =>
+          k -> vs.asInstanceOf[List[Any]].map(_.toString)
+        })
     def get(name: String): Option[Any] =
       o.get(name).filter(_ != null)
     def rangeAnd[A](name: String, f: Map[String, Any] => A): Option[(List[Int], A)] =

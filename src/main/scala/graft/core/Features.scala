@@ -145,12 +145,14 @@ object Features {
       packedC: Option[List[Int]] = None,
       shapePairC: Option[List[Int]] = None,
       packedPairC: Option[List[Int]] = None,
-      dictC: Option[(List[Int], List[Map[String, List[String]]])] = None,
-      intTrigsC: Option[(List[Int], Map[String, List[String]])] = None,
-      extTrigsC: Option[(List[Int], Map[String, List[String]])] = None)
+      dictC: Option[(List[Int], List[CompactDict])] = None,
+      intTrigsC: Option[(List[Int], CompactDict)] = None,
+      extTrigsC: Option[(List[Int], CompactDict)] = None)
 
   object SchemaConf {
-    /** Default configuration (Schema.hs:304-322). */
+    /** Default configuration (Schema.hs:304-322). Dictionaries are
+      * compiled to [[CompactDict]] (broadcast-compact, SURVEY.md §4).
+      */
     def default(
         neDicts: List[Map[String, List[String]]] = Nil,
         intDict: Option[Map[String, List[String]]] = None,
@@ -165,9 +167,10 @@ object Features {
         packedC = Some(List(-1, 0)),
         shapePairC = Some(List(0)),
         packedPairC = Some(List(0)),
-        dictC = if (neDicts.isEmpty) None else Some((List(-1, 0), neDicts)),
-        intTrigsC = intDict.map(d => (List(0), d)),
-        extTrigsC = extDict.map(d => (List(-1), d)))
+        dictC = if (neDicts.isEmpty) None
+                else Some((List(-1, 0), neDicts.map(CompactDict.fromMap))),
+        intTrigsC = intDict.map(d => (List(0), CompactDict.fromMap(d))),
+        extTrigsC = extDict.map(d => (List(-1), CompactDict.fromMap(d))))
   }
 
   // ---------------- blocks ----------------
@@ -249,7 +252,7 @@ object Features {
   private val noHits: List[String] = Nil
 
   private def dictB(ox: Ox, sent: Sent, ks: List[Int],
-                    dict: Map[String, List[String]]): Unit =
+                    dict: CompactDict): Unit =
     ks.foreach { i =>
       val w = orthAt(sent, i)
       val hits = if (w == null) noHits else dict.getOrElse(w, noHits)

@@ -47,9 +47,13 @@ object PipelineQueries {
   /** MinHash signatures over distinct 3-gram word shingles (k=16 hash
     * fns via seeded xxhash64), banded 4×4; candidate pairs share a band
     * bucket; final verify by exact shingle-Jaccard >= 0.5. One shuffle
-    * per agg + one band-bucket join — no all-pairs blowup (shingles, not
-    * raw tokens: a small vocabulary would otherwise make most pairs
-    * collide).
+    * per agg + ONE band-bucket self-join — no all-pairs blowup (shingles,
+    * not raw tokens: a small vocabulary would otherwise make most pairs
+    * collide). Bands are EXPLODED into (band, hash) rows and self-joined
+    * once on (band, bucket) instead of unioning one join per band: both
+    * join inputs are then the identical plan, so Catalyst's ReuseExchange
+    * computes the whole shingle→signature pipeline a single time — with
+    * per-band joins the upstream ran once per band per side.
     */
   def q44_minhash_pairs(s: SparkSession, dir: String): DataFrame = {
     val k = 16
@@ -67,16 +71,19 @@ object PipelineQueries {
       .groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
         (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-    val banded = sig.select(col("doc_id") +:
+    // one row per (doc, band): band id + the band's bucket hash
+    val banded = sig.select(col("doc_id"), explode(array(
         (0 until bands).map { b =>
-          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
-            .as(s"band$b")
-        }: _*)
-    val candPairs = (0 until bands).map { b =>
-        val l = banded.select(col("doc_id").as("d1"), col(s"band$b").as("bk"))
-        val r = banded.select(col("doc_id").as("d2"), col(s"band$b").as("bk"))
-        l.join(r, Seq("bk")).where(col("d1") < col("d2")).select("d1", "d2")
-      }.reduce(_ unionByName _).distinct()
+          struct(lit(b).as("band"),
+            xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
+              .as("bk"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val candPairs = banded.select(col("doc_id").as("d1"), col("band"), col("bk"))
+      .join(banded.select(col("doc_id").as("d2"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
     // exact-Jaccard verification of candidates only
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = candPairs

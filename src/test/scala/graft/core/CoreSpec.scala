@@ -185,7 +185,7 @@ class FeaturesSpec extends AnyFunSuite {
     assert(obs(0).render.toSet == Set("0~", "1~a", "2~", "3~b"))
   }
   test("dict block emits all labels under one site") {
-    val dict = Map("Paris" -> List("city", "person"))
+    val dict = CompactDict.fromMap(Map("Paris" -> List("city", "person")))
     val conf = SchemaConf(dictC = Some((List(0), List(dict))))
     val obs = schematize(conf, Vector("Paris"))
     assert(obs(0).render.toSet == Set("0~city", "0~person"))

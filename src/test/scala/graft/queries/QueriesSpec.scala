@@ -84,6 +84,15 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, f"LSH recall@3 $recall%.3f below 0.6")
   }
 
+  test("q44 banded self-join reuses the signature exchange (one upstream pass)") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val df = PipelineQueries.q44_minhash_pairs(spark, dir)
+    df.collect() // AQE: reuse only visible in the final executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"signature pipeline not reused — upstream would run once per join side:\n$plan")
+  }
+
   test("IVF results are deterministic across invocations") {
     assume(available)
     def runOnce() = PipelineQueries.q49_ann_ivf(spark, dir).collect()
