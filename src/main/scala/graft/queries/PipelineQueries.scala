@@ -279,6 +279,38 @@ object PipelineQueries {
     }.toDF("doc_id", "n_bytes", "width", "height", "n_frames")
   }
 
+  /** Multimodal frame sampling: one row per sampled frame with typed
+    * metadata (timestamp, dimensions, content hash), the flatMap shape a
+    * real video pipeline needs — frame count scales the output, the
+    * input partitioning carries over, no shuffle. The codec call is
+    * STUBBED deterministically (no media libs in the sandbox); the
+    * sampling policy (every ~2000 ms, max 8 frames) and schema are real.
+    */
+  def q48_media_frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = docs(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { batch =>
+      batch.flatMap { case (id, bytes) =>
+        // STUB decode: duration/dims derived deterministically from the
+        // payload; a real build hands `bytes` to a demuxer here
+        val durationMs = 1000L + math.abs(
+          scala.util.hashing.MurmurHash3.bytesHash(bytes, 7)) % 16000L
+        val w = 320 + (math.abs(bytes.headOption.getOrElse(0.toByte).toInt) % 4) * 160
+        val h = w * 3 / 4
+        val stepMs = 2000L
+        val nFrames = math.min(8L, durationMs / stepMs + 1).toInt
+        (0 until nFrames).map { f =>
+          val ts = f * stepMs
+          // stand-in for the sampled frame's content hash
+          val fhash = java.util.Arrays.hashCode(bytes) * 31L + ts
+          (id, f, ts, w, h, fhash)
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "ts_ms", "width", "height", "frame_hash")
+  }
+
   // =================================================================
   // KG pipeline over the synthesized repo table (CRF path; rows-only)
   // =================================================================
@@ -314,6 +346,7 @@ object PipelineQueries {
     "q45_simhash" -> (q45_simhash _),
     "q46_ann_lsh" -> (q46_ann_lsh _),
     "q47_media_decode" -> (q47_media_decode _),
+    "q48_media_frames" -> (q48_media_frames _),
     "q49_ann_ivf" -> (q49_ann_ivf _))
 }
 

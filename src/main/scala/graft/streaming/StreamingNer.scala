@@ -38,15 +38,21 @@ object StreamingNer {
     * (`mapGroupsWithState`): documents keyed by content fingerprint;
     * only the FIRST occurrence of each fingerprint is emitted, with a
     * running duplicate count carried in state — the streaming rendition
-    * of the batch exact-dedup operator (q16). In production, bound the
-    * state with `GroupStateTimeout.ProcessingTimeTimeout` + a TTL (the
-    * timeout makes the engine self-trigger housekeeping batches, which
-    * makes deterministic testing awkward, so the default here is
-    * NoTimeout).
+    * of the batch exact-dedup operator (q16).
+    *
+    * State growth is the 100-TB hazard: one entry per distinct
+    * fingerprint, forever. `stateTtl` bounds it — with a TTL set, a
+    * fingerprint unseen for that long is evicted
+    * (`ProcessingTimeTimeout`) and a later re-occurrence is re-emitted:
+    * the standard windowed-dedup trade-off. `None` keeps exact
+    * unbounded semantics (and deterministic tests — the timeout makes
+    * the engine self-trigger housekeeping batches).
     * Input: streaming (doc_id long, text string).
     */
   def dedupStream(spark: SparkSession,
-                  docs: Dataset[(Long, String)]): Dataset[(Long, String, Long)] = {
+                  docs: Dataset[(Long, String)],
+                  stateTtl: Option[scala.concurrent.duration.FiniteDuration] = None)
+      : Dataset[(Long, String, Long)] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val keyed = docs.map { case (id, text) =>
@@ -54,16 +60,25 @@ object StreamingNer {
       val fp = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
       (fp, id, text)
     }.groupByKey(_._1)
-    keyed.mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    val ttlMs = stateTtl.map(_.toMillis)
+    keyed.mapGroupsWithState(timeoutConf) {
       (fp: String, rows: Iterator[(String, Long, String)],
        state: GroupState[Long]) =>
-        val batch = rows.toSeq
-        val seenBefore = state.getOption.getOrElse(0L)
-        state.update(seenBefore + batch.length)
-        if (seenBefore == 0L) {
-          val first = batch.minBy(_._2)
-          (first._2, first._3, batch.length.toLong)
-        } else (-1L, "", seenBefore + batch.length) // already emitted
+        if (state.hasTimedOut) {
+          state.remove() // evict idle fingerprint; no output row
+          (-1L, "", 0L)
+        } else {
+          val batch = rows.toSeq
+          val seenBefore = state.getOption.getOrElse(0L)
+          state.update(seenBefore + batch.length)
+          ttlMs.foreach(state.setTimeoutDuration)
+          if (seenBefore == 0L) {
+            val first = batch.minBy(_._2)
+            (first._2, first._3, batch.length.toLong)
+          } else (-1L, "", seenBefore + batch.length) // already emitted
+        }
     }.filter(_._1 >= 0L)
   }
 

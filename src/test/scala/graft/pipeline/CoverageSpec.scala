@@ -302,4 +302,32 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(rows == Seq((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
     } finally q.stop()
   }
+
+  test("TTL-bounded dedup still dedups within the TTL horizon") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    implicit val sqlCtx = spark.sqlContext
+    // ProcessingTimeTimeout makes the engine self-trigger no-data
+    // microbatches to fire timeouts; processAllAvailable would never
+    // drain. Timeouts then fire only on data batches — fine here.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val input = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingNer
+      .dedupStream(spark, input.toDS(), stateTtl = Some(1.hour))
+      .toDF("doc_id", "text", "n_in_batch")
+    val q = out.writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      q.processAllAvailable()
+      input.addData((4L, "alpha"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id FROM dedup_ttl ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(1L, 3L), "within TTL, duplicates stay suppressed")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+  }
 }
