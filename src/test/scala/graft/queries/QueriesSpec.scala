@@ -93,6 +93,36 @@ class AnnSpec extends AnyFunSuite {
       s"signature pipeline not reused — upstream would run once per join side:\n$plan")
   }
 
+  test("q44 minhash-LSH: exact precision, high recall vs brute-force Jaccard") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import spark.implicits._
+    // brute-force oracle: all pairs with shingle-Jaccard >= 0.5
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ")
+      (0 to math.max(ws.length - 3, 0)).map(i =>
+        ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }
+    val truePairs = (for {
+      i <- sh.indices.iterator
+      j <- (i + 1) until sh.length
+      (id1, s1) = sh(i); (id2, s2) = sh(j)
+      inter = (s1 & s2).size
+      if inter * 2 >= s1.size + s2.size - inter // J >= 0.5
+    } yield (math.min(id1, id2), math.max(id1, id2))).toSet
+    val got = PipelineQueries.q44_minhash_pairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact-Jaccard verify step makes precision 1.0 by construction
+    assert(got.subsetOf(truePairs), s"false positives: ${got -- truePairs}")
+    // banded LSH recall on the near-dup population
+    val recall = if (truePairs.isEmpty) 1.0
+                 else got.size.toDouble / truePairs.size
+    info(f"q44 recall vs brute force = $recall%.3f (${got.size}/${truePairs.size})")
+    assert(recall >= 0.8, f"LSH banding missed too many true pairs: $recall%.3f")
+  }
+
   test("IVF results are deterministic across invocations") {
     assume(available)
     def runOnce() = PipelineQueries.q49_ann_ivf(spark, dir).collect()
