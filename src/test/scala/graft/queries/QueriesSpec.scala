@@ -123,6 +123,30 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"LSH banding missed too many true pairs: $recall%.3f")
   }
 
+  test("q50 bucketed join plans without a join-side shuffle") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val (lt, ot) = RelationalQueries.ensureBucketedTables(spark, dir)
+    // join only (the groupBy after it legitimately shuffles its tiny agg)
+    val joined = spark.table(lt).hint("merge")
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    // result parity with the unbucketed join
+    val viaBuckets = RelationalQueries.q50_bucketed_join(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaBuckets == plain)
+  }
+
   test("IVF results are deterministic across invocations") {
     assume(available)
     def runOnce() = PipelineQueries.q49_ann_ivf(spark, dir).collect()
