@@ -20,8 +20,14 @@ object Xces {
   final case class Tok(orth: String, noSpaceBefore: Boolean)
   final case class Sent(toks: Vector[Tok])
 
+  // token elements and <ns/> markers, in document order; the orth is
+  // extracted WITHIN a matched token element so an orth-less <tok>
+  // still counts as one (empty-orth) token — the reference does the
+  // same (`maybe "" id`, /root/reference/src/NLP/Nerf/XCES.hs:233-234),
+  // and the splicer's token positions must agree with the parser's.
   private val TokRe =
-    "(?s)<tok\\b[^>]*>.*?<orth\\b[^>]*>(.*?)</orth>.*?</tok>|<ns\\s*/>".r
+    "(?s)(<tok\\b[^>]*>.*?</tok>)|<ns\\s*/>".r
+  private val OrthRe = "(?s)<orth\\b[^>]*>(.*?)</orth>".r
   private val SentRe =
     "(?s)<chunk[^>]*type=\"s\"[^>]*>(.*?)</chunk>".r
   /** Token elements only (for splicing group tags between them). */
@@ -42,7 +48,9 @@ object Xces {
     TokRe.findAllMatchIn(body).foreach { m =>
       if (m.group(1) == null) nsPending = true // <ns/>
       else {
-        toks += Tok(unescapeXml(m.group(1)), nsPending)
+        val orth = OrthRe.findFirstMatchIn(m.group(1))
+          .map(om => unescapeXml(om.group(1))).getOrElse("")
+        toks += Tok(orth, nsPending)
         nsPending = false
       }
     }
@@ -62,35 +70,6 @@ object Xces {
       if (i > 0 && !t.noSpaceBefore) b += ' '
       b ++= t.orth
     }
-    b.result()
-  }
-
-  /** Render one annotated sentence back to XCES, wrapping each mention
-    * span (token indices, properly nesting) in `<group type="NE"
-    * subtype>`; tokens and `<ns/>` markers are preserved.
-    */
-  def renderSent(s: Sent, spans: Seq[Span]): String = {
-    val opens = spans.groupBy(_.begin)
-    val closes = spans.groupBy(_.end)
-    val b = new StringBuilder
-    b ++= "<chunk type=\"s\">"
-    for (i <- 0 to s.toks.length) {
-      // close before open at the same boundary, innermost (deepest) first
-      closes.get(i).foreach { cs =>
-        cs.sortBy(-_.depth).foreach(_ => b ++= "</group>")
-      }
-      opens.get(i).foreach { os =>
-        os.sortBy(sp => (sp.depth, -(sp.end - sp.begin))).foreach { sp =>
-          b ++= s"""<group type="NE" subtype="${escapeXml(sp.neType)}">"""
-        }
-      }
-      if (i < s.toks.length) {
-        val t = s.toks(i)
-        if (t.noSpaceBefore) b ++= "<ns/>"
-        b ++= s"<tok><orth>${escapeXml(t.orth)}</orth></tok>"
-      }
-    }
-    b ++= "</chunk>"
     b.result()
   }
 

@@ -85,16 +85,23 @@ object TableIO {
       .partitionBy("_bucket")
       .parquet(s"$dir/data")
     // Publish per-bucket manifests from the WRITTEN files — reads back only
-    // that bucket's parquet, never the upstream DAG.
+    // that bucket's parquet, never the upstream DAG. A bucket that received
+    // ZERO rows gets no directory from the dynamic partitionBy write; it
+    // must still commit (rows=0) or resume would recompute the whole input
+    // forever chasing a bucket that can never appear.
     todo.map { k =>
-      val written = spark.read.parquet(s"$dir/data/_bucket=$k")
-      val agg = written
-        .select(xxhash64(written.columns.map(col): _*).as("h"))
-        .agg(count(lit(1)).as("rows"),
-             // XOR-fold: order-independent, overflow-free (ANSI mode)
-             coalesce(expr("bit_xor(h)"), lit(0L)).as("checksum"))
-        .collect()(0)
-      val c = BucketCommit(k, agg.getLong(0), agg.getLong(1))
+      val path = s"$dir/data/_bucket=$k"
+      val c = if (!Files.exists(Paths.get(path))) BucketCommit(k, 0L, 0L)
+      else {
+        val written = spark.read.parquet(path)
+        val agg = written
+          .select(xxhash64(written.columns.map(col): _*).as("h"))
+          .agg(count(lit(1)).as("rows"),
+               // XOR-fold: order-independent, overflow-free (ANSI mode)
+               coalesce(expr("bit_xor(h)"), lit(0L)).as("checksum"))
+          .collect()(0)
+        BucketCommit(k, agg.getLong(0), agg.getLong(1))
+      }
       val lineageJson = lineage.map { case (k2, v) =>
         s""""${k2}":"${v}"""" }.mkString(",")
       atomicWrite(commitPath(dir, k),

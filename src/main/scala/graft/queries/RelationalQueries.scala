@@ -605,12 +605,16 @@ object RelationalQueries {
     * production tables would be maintained bucketed at ingest.
     */
   def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = {
-    val tag = math.abs(dir.hashCode).toString
+    // collision-free, identifier-safe tag derived from the dir itself
+    // (a hash could collide across dirs and silently serve wrong data)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val lt = s"graft_lineitem_b$tag"
     val ot = s"graft_orders_b$tag"
     bucketedReady.synchronized {
       if (!bucketedReady((s, dir))) {
-        val base = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+        // stable location, overwritten on rebuild — a fresh temp dir per
+        // (session, dir) would accumulate full table copies across runs
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
         t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")

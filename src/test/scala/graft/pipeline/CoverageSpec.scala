@@ -119,6 +119,22 @@ class XcesSpec extends AnyFunSuite {
     assert("<group".r.findAllIn(out).size == "</group>".r.findAllIn(out).size)
   }
 
+  test("orth-less <tok> counts as one empty token; parser and splicer agree") {
+    // the reference treats a token without <orth> as the empty word
+    // (/root/reference/src/NLP/Nerf/XCES.hs:233-234); the splicer's token
+    // positions must match the parser's or groups land on wrong tokens
+    val body = """<tok id="a"><lex><base>x</base></lex></tok>""" +
+      """<tok id="b"><orth>Kira</orth></tok><tok id="c"><orth>Novak</orth></tok>"""
+    val sent = Xces.parseBody(body)
+    assert(sent.toks.map(_.orth) == Vector("", "Kira", "Novak"))
+    // span over token indices 1..3 (Kira Novak) splices around b and c only
+    val out = Xces.spliceGroups(body, Seq(Span("persName", 1, 3, 0)))
+    assert(out ==
+      """<tok id="a"><lex><base>x</base></lex></tok>""" +
+      """<group type="NE" subtype="persName"><tok id="b"><orth>Kira</orth></tok>""" +
+      """<tok id="c"><orth>Novak</orth></tok></group>""")
+  }
+
   test("annotate preserves non-token markup byte-identically") {
     // attributes, <lex> analyses, processing markup, comments, whitespace
     val rich =

@@ -170,6 +170,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(committed == result.triples.count())
   }
 
+  test("resumable write commits empty buckets (no resume wedge)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_empty").toString
+    // 3 rows into 64 buckets: most buckets get zero rows and no
+    // partition directory — they must still commit rows=0
+    val df = Seq(("r1", "a"), ("r2", "b"), ("r3", "c"))
+      .toDF("src_repo", "src_path")
+    val commits = TableIO.writeResumable(df, s"$dir/t", 64, Seq("src_repo"))
+    assert(commits.length == 64, "every bucket must commit")
+    assert(commits.map(_.rows).sum == 3)
+    assert(commits.count(_.rows == 0) >= 60)
+    // resume after full success is a no-op (nothing recomputed)
+    val again = TableIO.writeResumable(df, s"$dir/t", 64, Seq("src_repo"))
+    assert(again.isEmpty, "fully-committed table must resume to nothing")
+  }
+
   test("golden gate: triple-set P/R vs committed golden = 1.0") {
     import spark.implicits._
     val files = KgPipeline.synthInput(spark, 25, partitions = 2)
