@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import graft.functions.VecFunctions
+import graft.queries.VecOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column, as a reusable library surface. Two scale paths — multi-table
+  * sign LSH and IVF (k-means coarse quantizer + nprobe) — both scoring
+  * with the native codegen `ner_cosine` expression. The driver-contract
+  * queries (q46/q49) are thin instantiations.
+  *
+  * Probe side is any subset of the corpus selected by `probePred`;
+  * output is (q_id, rank, vec_id, cos) — per probe, its candidate-set
+  * top-k by cosine (rounded to 6 digits for cross-engine stability,
+  * id tie-break).
+  */
+object Ann {
+
+  private def topK(bucketed: DataFrame, probes: DataFrame,
+                   joinKeys: Seq[String], k: Int,
+                   dedupe: Boolean): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val joined = bucketed.join(probes, joinKeys)
+      .where(col("vec_id") =!= col("q_id"))
+    val cand = if (dedupe) joined.dropDuplicates("q_id", "vec_id") else joined
+    cand
+      .withColumn("cos", round(
+        VecFunctions.ner_cosine(col("embedding"), col("q_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Multi-table random-hyperplane LSH. Recall = 1 − (1 − p^bits)^tables
+    * with p = 1 − θ/π; grow `nBits` with log(corpus) to hold bucket
+    * occupancy and add tables to hold recall.
+    */
+  def lshNeighbors(vecs: DataFrame, idCol: String, embCol: String,
+                   probePred: Column, k: Int = 3, nBits: Int = 4,
+                   nTables: Int = 12, dim: Int = 64,
+                   seed: Long = 1234L): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nTables, nBits, dim)(rnd.nextGaussian())
+    val bPlanes = s.sparkContext.broadcast(planes)
+    val nb = nBits
+    val nt = nTables
+    val d = dim
+    val typed = vecs.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+      .as[(Long, Array[Float])]
+    val bucketed = typed.flatMap { case (id, v) =>
+      val ps = bPlanes.value
+      (0 until nt).map { t =>
+        var bucket = 0L
+        var b = 0
+        while (b < nb) {
+          var dot = 0.0
+          var i = 0
+          val p = ps(t)(b)
+          while (i < math.min(d, v.length)) { dot += p(i) * v(i); i += 1 }
+          if (dot > 0) bucket |= (1L << b)
+          b += 1
+        }
+        (id, t, bucket, v)
+      }
+    }.toDF("vec_id", "tbl", "bucket", "embedding")
+    val probes = bucketed.where(probePred)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"),
+        col("embedding").as("q_emb"))
+    // a pair colliding in several tables must score once
+    topK(bucketed, probes, Seq("tbl", "bucket"), k, dedupe = true)
+  }
+
+  /** Coarse IVF quantizer: deterministic seeded sample (smallest
+    * xxhash64(id) — uniform, partitioning-independent, TakeOrdered so no
+    * full sort) + `iters` Lloyd iterations on the driver. Sample and
+    * centroids stay broadcast-sized at any corpus scale.
+    */
+  def ivfCentroids(vecs: DataFrame, idCol: String, embCol: String,
+                   nCells: Int, sampleN: Int = 256,
+                   iters: Int = 3): Array[Array[Float]] = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val sample = vecs
+      .select(col(idCol).as("vec_id"), col(embCol).as("embedding"),
+        xxhash64(col(idCol), lit(7)).as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(sampleN)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().map(_._2)
+    require(sample.nonEmpty, "empty vector table")
+    val dim = sample.head.length
+    var cent = sample.take(nCells).map(_.clone) // hash order ≈ seeded random
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cent.length)(new Array[Double](dim))
+      val cnts = new Array[Int](cent.length)
+      sample.foreach { v =>
+        val c = VecOps.nearestCell(cent, v)
+        cnts(c) += 1
+        var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      cent = Array.tabulate(cent.length) { c =>
+        if (cnts(c) == 0) cent(c)
+        else sums(c).map(x => (x / cnts(c)).toFloat)
+      }
+    }
+    cent
+  }
+
+  /** IVF search: assign every vector to its nearest centroid; probes
+    * search their `nProbe` nearest cells (corpus-side cost unchanged,
+    * probe-side fans out nProbe-fold).
+    */
+  def ivfNeighbors(vecs: DataFrame, idCol: String, embCol: String,
+                   probePred: Column, k: Int = 3, nCells: Int = 8,
+                   nProbe: Int = 3, sampleN: Int = 256): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val bCent = s.sparkContext.broadcast(
+      ivfCentroids(vecs, idCol, embCol, nCells, sampleN))
+    val np = nProbe
+    val typed = vecs.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+      .as[(Long, Array[Float])]
+    val bucketed = typed.map { case (id, v) =>
+      (id, VecOps.nearestCell(bCent.value, v), v)
+    }.toDF("vec_id", "cell", "embedding")
+    val probes = bucketed.where(probePred)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        VecOps.topCells(bCent.value, v, np).map(c => (id, c, v))
+      }.toDF("q_id", "cell", "q_emb")
+    topK(bucketed, probes, Seq("cell"), k, dedupe = false)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text near-duplicate detection as a reusable library surface — the
+  * operators a 100 TB training-data pipeline runs ahead of training.
+  * The driver-contract queries (q44/q45) are thin instantiations of
+  * these with fixed parameters.
+  *
+  * Scale shapes:
+  *  - MinHash+LSH: per-doc agg (partial-agg friendly) → banded
+  *    signatures exploded to (band, bucket) rows → ONE self-join
+  *    (ReuseExchange computes the signature pipeline once) → exact
+  *    verify on candidates only. No all-pairs product anywhere.
+  *  - SimHash: one agg per doc; collisions grouped by fingerprint.
+  */
+object TextDedup {
+
+  /** Distinct k-word shingles: (id, tok). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, greatest(size(ws) - $k, 0)), i -> concat_ws(' ', slice(ws, i + 1, $k)))"))
+        .as("tok"))
+      .distinct()
+
+  /** MinHash signatures banded to (doc_id, band, bk) rows; `numHashes`
+    * seeded xxhash64 min-hashes split into `bands` bands.
+    */
+  def minhashBands(shingleDf: DataFrame, numHashes: Int = 16,
+                   bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sig = shingleDf.select(col("doc_id") +:
+        (0 until numHashes).map(i => xxhash64(col("tok"), lit(i)).as(s"h$i")): _*)
+      .groupBy("doc_id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until numHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    sig.select(col("doc_id"), explode(array(
+        (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
+              .as("bk"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+  }
+
+  /** Near-duplicate pairs: banded-LSH candidate generation + exact
+    * shingle-Jaccard >= 1/2 verification of candidates only. Output
+    * (d1, d2, shared) with d1 < d2.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, numHashes: Int = 16,
+                   bands: Int = 4): DataFrame = {
+    val toks = shingles(docs, idCol, textCol, k)
+    val banded = minhashBands(toks, numHashes, bands)
+    val candPairs = banded.select(col("doc_id").as("d1"), col("band"), col("bk"))
+      .join(banded.select(col("doc_id").as("d2"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = candPairs
+      .join(toks.withColumnRenamed("doc_id", "d1").withColumnRenamed("tok", "t1"), "d1")
+      .join(toks.withColumnRenamed("doc_id", "d2").withColumnRenamed("tok", "t2")
+        .withColumnRenamed("t2", "t1"), Seq("d2", "t1"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+      .where(col("shared") * 2 >= (col("sz1") + col("sz2") - col("shared")))
+      .select(col("d1"), col("d2"), col("shared"))
+  }
+
+  /** Per-document SimHash fingerprint over whitespace tokens:
+    * (doc_id, simhash).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 32): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val withBits = toks.withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$b")
+    }
+    val sums = withBits.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    sums.select(col("doc_id"),
+      (0 until bits).map(b =>
+        when(col(s"b$b") > 0, lit(1L) * lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash collision groups (near/exact dup clusters), scalars only:
+    * (simhash, n_docs, min_doc, max_doc, docs_csv).
+    */
+  def simhashGroups(docs: DataFrame, idCol: String, textCol: String,
+                    bits: Int = 32): DataFrame =
+    simhash(docs, idCol, textCol, bits)
+      .groupBy("simhash").agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("docs_csv"))
+      .where(col("n_docs") > 1)
+}

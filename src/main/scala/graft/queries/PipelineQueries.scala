@@ -55,76 +55,20 @@ object PipelineQueries {
     * computes the whole shingle→signature pipeline a single time — with
     * per-band joins the upstream ran once per band per side.
     */
-  def q44_minhash_pairs(s: SparkSession, dir: String): DataFrame = {
-    val k = 16
-    val bands = 4
-    val rows = bands // 4 rows per band
-    val words = docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val toks = words
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, greatest(size(ws) - 3, 0)), i -> concat_ws(' ', slice(ws, i + 1, 3)))"))
-        .as("tok"))
-      .distinct()
-    val sig = toks.select(col("doc_id") +:
-        (0 until k).map(i => xxhash64(col("tok"), lit(i)).as(s"h$i")): _*)
-      .groupBy("doc_id")
-      .agg(min(col("h0")).as("m0"),
-        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-    // one row per (doc, band): band id + the band's bucket hash
-    val banded = sig.select(col("doc_id"), explode(array(
-        (0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
-              .as("bk"))
-        }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
-    val candPairs = banded.select(col("doc_id").as("d1"), col("band"), col("bk"))
-      .join(banded.select(col("doc_id").as("d2"), col("band"), col("bk")),
-        Seq("band", "bk"))
-      .where(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    // exact-Jaccard verification of candidates only
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val shared = candPairs
-      .join(toks.withColumnRenamed("doc_id", "d1").withColumnRenamed("tok", "t1"), "d1")
-      .join(toks.withColumnRenamed("doc_id", "d2").withColumnRenamed("tok", "t2")
-        .withColumnRenamed("t2", "t1"), Seq("d2", "t1"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
-      .where(col("shared") * 2 >= (col("sz1") + col("sz2") - col("shared")))
-      .select(col("d1"), col("d2"), col("shared"))
-  }
+  def q44_minhash_pairs(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextDedup.minhashPairs(docs(s, dir), "doc_id", "text",
+      k = 3, numHashes = 16, bands = 4)
 
   // =================================================================
   // SimHash near-dup fingerprinting
   // =================================================================
 
-  /** 32-bit SimHash per document from token hashes; output docs grouped
-    * by fingerprint where a collision exists (near/exact dups).
+  /** 32-bit SimHash collision groups (scalar columns only — the driver's
+    * rows-only check sorts with pandas, which cannot factorize arrays).
     */
-  def q45_simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val withBits = toks.withColumn("h", xxhash64(col("tok")))
-    val bitCols = (0 until 32).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$b")
-    }
-    val sums = withBits.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val fp = sums.select(col("doc_id"),
-      (0 until 32).map(b =>
-        when(col(s"b$b") > 0, lit(1L) * lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
-    // Scalar columns only: the driver's rows-only check sorts the result
-    // with pandas, which cannot factorize array cells (round-1 q45 err).
-    fp.groupBy("simhash").agg(count(lit(1)).as("n_docs"),
-        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
-        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("docs_csv"))
-      .where(col("n_docs") > 1)
-  }
+  def q45_simhash(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextDedup.simhashGroups(docs(s, dir), "doc_id", "text",
+      bits = 32)
 
   // =================================================================
   // LSH-bucketed approximate nearest neighbors (scale path for q20)
@@ -139,118 +83,24 @@ object PipelineQueries {
     * recall via more tables. Output: per probe vector (vec_id < 20), its
     * candidate-set top-3 by cosine.
     */
-  def q46_ann_lsh(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val nBits = 4
-    val nTables = 12
-    val dim = 64
-    // deterministic hyperplanes (seeded, driver-side tiny tensor)
-    val rnd = new scala.util.Random(1234)
-    val planes = Array.fill(nTables, nBits, dim)(rnd.nextGaussian())
-    val bPlanes = s.sparkContext.broadcast(planes)
-    val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    // each vector lands in one bucket per table (L-fold replication —
-    // the standard multi-table cost; shuffle key is (table, bucket))
-    val bucketed = vecs.flatMap { case (id, v) =>
-      val ps = bPlanes.value
-      (0 until nTables).map { t =>
-        var bucket = 0L
-        var b = 0
-        while (b < nBits) {
-          var dot = 0.0
-          var i = 0
-          val p = ps(t)(b)
-          while (i < math.min(dim, v.length)) { dot += p(i) * v(i); i += 1 }
-          if (dot > 0) bucket |= (1L << b)
-          b += 1
-        }
-        (id, t, bucket, v)
-      }
-    }.toDF("vec_id", "tbl", "bucket", "embedding")
-    val probes = bucketed.where(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"),
-        col("embedding").as("q_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-    bucketed.join(probes, Seq("tbl", "bucket"))
-      .where(col("vec_id") =!= col("q_id"))
-      // a pair colliding in several tables must score once
-      .dropDuplicates("q_id", "vec_id")
-      .withColumn("cos", round(
-        graft.functions.VecFunctions.ner_cosine(col("embedding"), col("q_emb")), 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
-  }
+  def q46_ann_lsh(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Ann.lshNeighbors(emb(s, dir), "vec_id", "embedding",
+      probePred = col("vec_id") < 20, k = 3, nBits = 4, nTables = 12)
 
-  /** Coarse IVF quantizer: a deterministic seeded sample of the corpus
-    * (smallest xxhash64(vec_id) — uniform, partitioning-independent,
-    * TakeOrdered so no full sort) + 3 Lloyd k-means iterations on the
-    * driver. Sample and centroid set stay broadcast-sized at any corpus
-    * scale; only the final assignment pass touches all vectors.
+  /** Kept as the spec-facing quantizer entry point; the implementation
+    * lives in [[graft.pipeline.Ann.ivfCentroids]].
     */
   def ivfCentroids(vecs: DataFrame, nCells: Int,
-                   sampleN: Int = 256): Array[Array[Float]] = {
-    val s = vecs.sparkSession
-    import s.implicits._
-    val sample = vecs
-      .select(col("vec_id"), col("embedding"),
-        xxhash64(col("vec_id"), lit(7)).as("hk"))
-      .orderBy(col("hk"), col("vec_id")).limit(sampleN)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().map(_._2)
-    require(sample.nonEmpty, "empty vector table")
-    val dim = sample.head.length
-    // init = first nCells sample vectors (hash order ≈ random, seeded)
-    var cent = sample.take(nCells).map(_.clone)
-    for (_ <- 0 until 3) {
-      val sums = Array.fill(cent.length)(new Array[Double](dim))
-      val cnts = new Array[Int](cent.length)
-      sample.foreach { v =>
-        val c = VecOps.nearestCell(cent, v)
-        cnts(c) += 1
-        var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
-      }
-      cent = Array.tabulate(cent.length) { c =>
-        if (cnts(c) == 0) cent(c)
-        else sums(c).map(x => (x / cnts(c)).toFloat)
-      }
-    }
-    cent
-  }
+                   sampleN: Int = 256): Array[Array[Float]] =
+    graft.pipeline.Ann.ivfCentroids(vecs, "vec_id", "embedding",
+      nCells, sampleN)
 
   /** IVF-bucketed approximate nearest neighbors — the second scale path
-    * beside LSH (q46): k-means coarse centroids from a seeded sample,
-    * assign every vector to its nearest centroid, search within-cell
-    * only; probes search their `nprobe` nearest cells (the standard
-    * recall lever — corpus-side cost is unchanged, probe-side fans out
-    * nprobe-fold). At cluster scale the centroid table stays
-    * broadcast-sized and the cell join shuffles once.
+    * beside LSH (q46); see [[graft.pipeline.Ann.ivfNeighbors]].
     */
-  def q49_ann_ivf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val nCells = 8
-    val nProbe = 3
-    val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val bCent = s.sparkContext.broadcast(ivfCentroids(vecs.toDF(), nCells))
-    val bucketed = vecs.map { case (id, v) =>
-      (id, VecOps.nearestCell(bCent.value, v), v)
-    }.toDF("vec_id", "cell", "embedding")
-    val probes = vecs.filter(_._1 < 20).flatMap { case (id, v) =>
-      VecOps.topCells(bCent.value, v, nProbe).map(c => (id, c, v))
-    }.toDF("q_id", "cell", "q_emb")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-    bucketed.join(probes, Seq("cell"))
-      .where(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(
-        graft.functions.VecFunctions.ner_cosine(col("embedding"), col("q_emb")), 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
-  }
+  def q49_ann_ivf(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Ann.ivfNeighbors(emb(s, dir), "vec_id", "embedding",
+      probePred = col("vec_id") < 20, k = 3, nCells = 8, nProbe = 3)
 
   // =================================================================
   // Multimodal: opaque payload + typed metadata; decode is a STUB
