@@ -50,9 +50,12 @@ object Ann {
     val nb = nBits
     val nt = nTables
     val d = dim
-    val typed = vecs.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-      .as[(Long, Array[Float])]
-    val bucketed = typed.flatMap { case (id, v) =>
+    // probePred is evaluated against the CALLER's columns here, before
+    // normalization — the API never leaks internal column names
+    val typed = vecs.select(col(idCol).as("vec_id"),
+        col(embCol).as("embedding"), probePred.as("is_probe"))
+      .as[(Long, Array[Float], Boolean)]
+    val bucketed = typed.flatMap { case (id, v, p) =>
       val ps = bPlanes.value
       (0 until nt).map { t =>
         var bucket = 0L
@@ -60,19 +63,20 @@ object Ann {
         while (b < nb) {
           var dot = 0.0
           var i = 0
-          val p = ps(t)(b)
-          while (i < math.min(d, v.length)) { dot += p(i) * v(i); i += 1 }
+          val pl = ps(t)(b)
+          while (i < math.min(d, v.length)) { dot += pl(i) * v(i); i += 1 }
           if (dot > 0) bucket |= (1L << b)
           b += 1
         }
-        (id, t, bucket, v)
+        (id, t, bucket, v, p)
       }
-    }.toDF("vec_id", "tbl", "bucket", "embedding")
-    val probes = bucketed.where(probePred)
+    }.toDF("vec_id", "tbl", "bucket", "embedding", "is_probe")
+    val probes = bucketed.where(col("is_probe"))
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"),
         col("embedding").as("q_emb"))
     // a pair colliding in several tables must score once
-    topK(bucketed, probes, Seq("tbl", "bucket"), k, dedupe = true)
+    topK(bucketed.drop("is_probe"), probes, Seq("tbl", "bucket"), k,
+      dedupe = true)
   }
 
   /** Coarse IVF quantizer: deterministic seeded sample (smallest
@@ -122,16 +126,16 @@ object Ann {
     val bCent = s.sparkContext.broadcast(
       ivfCentroids(vecs, idCol, embCol, nCells, sampleN))
     val np = nProbe
-    val typed = vecs.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-      .as[(Long, Array[Float])]
-    val bucketed = typed.map { case (id, v) =>
+    // probePred evaluated against the caller's columns (see lshNeighbors)
+    val typed = vecs.select(col(idCol).as("vec_id"),
+        col(embCol).as("embedding"), probePred.as("is_probe"))
+      .as[(Long, Array[Float], Boolean)]
+    val bucketed = typed.map { case (id, v, _) =>
       (id, VecOps.nearestCell(bCent.value, v), v)
     }.toDF("vec_id", "cell", "embedding")
-    val probes = bucketed.where(probePred)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        VecOps.topCells(bCent.value, v, np).map(c => (id, c, v))
-      }.toDF("q_id", "cell", "q_emb")
+    val probes = typed.filter(_._3).flatMap { case (id, v, _) =>
+      VecOps.topCells(bCent.value, v, np).map(c => (id, c, v))
+    }.toDF("q_id", "cell", "q_emb")
     topK(bucketed, probes, Seq("cell"), k, dedupe = false)
   }
 }

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The TextDedup/Ann modules are a library surface: they must work over
+  * arbitrary column names and inputs, not just the driver testdata.
+  */
+class LibrarySurfaceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("TextDedup.minhashPairs finds planted near-duplicates, custom columns") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow") // high Jaccard
+    val far = "completely different content with no overlap at all whatsoever here now"
+    val df = Seq((10L, base), (20L, near), (30L, far))
+      .toDF("my_id", "my_text")
+    val pairs = TextDedup.minhashPairs(df, "my_id", "my_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 20L)), s"got $pairs")
+  }
+
+  test("TextDedup.simhash: identical docs collide, different docs don't") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "zeta eta theta iota kappa")).toDF("id", "body")
+    val fp = TextDedup.simhash(df, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    val groups = TextDedup.simhashGroups(df, "id", "body").collect()
+    assert(groups.length == 1 && groups(0).getAs[String]("docs_csv") == "1,2")
+  }
+
+  test("Ann.lshNeighbors / ivfNeighbors rank a planted near-identical vector first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val dim = 64
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val rows = (0L, base) +: (1L, near) +:
+      (2L until 120L).map(i => (i, vec()))
+    val df = rows.toDF("eid", "emb")
+    val lsh = Ann.lshNeighbors(df, "eid", "emb", probePred = col("eid") === 0)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(lsh.head.getAs[Long]("vec_id") == 1L,
+      s"LSH should rank the planted near-dup first: ${lsh.toSeq}")
+    val ivf = Ann.ivfNeighbors(df, "eid", "emb", probePred = col("eid") === 0,
+      nCells = 4)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(ivf.head.getAs[Long]("vec_id") == 1L,
+      s"IVF should rank the planted near-dup first: ${ivf.toSeq}")
+  }
+}
