@@ -17,6 +17,7 @@ import scala.jdk.CollectionConverters._
   *   synth <out.nes> [nSents] [seed]          write a synthetic ENAMEX corpus
   *   serve <model.json> <port>                TCP NER server (T1, model resident)
   *   client <host> <port> < raw.txt           one request per line (T2)
+  *   cv <in.nes> <k> [modelDir]               k-fold cross-validation (X1)
   */
 object Cli {
 
@@ -85,6 +86,24 @@ object Cli {
         println(f"$k%-34s tp=${s.tp}%5d fp=${s.fp}%5d fn=${s.fn}%5d " +
           f"P=${s.precision}%.4f R=${s.recall}%.4f F=${s.f1}%.4f")
       }
+    case "cv" :: in :: kStr :: rest if rest.length <= 1 =>
+      // reference `nerf cv` (/root/reference/app/Main.hs:74-85,251-271):
+      // partition the corpus, train per fold, report + optionally save
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .appName("graft-cv")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      import spark.implicits._
+      val lines = spark.read.textFile(in)
+      val stats = graft.pipeline.Train.crossValidate(
+        spark, lines, kStr.toInt, modelDir = rest.headOption)
+      stats.foreach { case (fold, s) =>
+        println(f"fold $fold%2d  tp=${s.tp}%5d fp=${s.fp}%5d fn=${s.fn}%5d " +
+          f"P=${s.precision}%.4f R=${s.recall}%.4f F=${s.f1}%.4f")
+      }
+      spark.stop()
     case "serve" :: modelPath :: portStr :: Nil =>
       // reference `nerf server` (/root/reference/app/Main.hs:286-292):
       // load once, listen forever

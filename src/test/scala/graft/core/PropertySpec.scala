@@ -132,4 +132,41 @@ class PropertySpec extends AnyFunSuite {
         assert(score(Seq.fill(sent.length)(rnd.nextInt(l))) <= best + 1e-9)
     }
   }
+
+  // ---- XCES splice: group insertion never disturbs other bytes ----
+
+  private val xcesToken: Gen[String] = for {
+    w <- word
+    id <- Gen.choose(0, 999)
+    lex <- Gen.oneOf("", s"<lex disamb='1'><base>$w</base></lex>")
+    ns <- Gen.oneOf("", "<ns/>")
+  } yield s"""$ns<tok id="t$id"><orth>$w</orth>$lex</tok>"""
+
+  private val xcesBody: Gen[String] = for {
+    n <- Gen.choose(1, 8)
+    toks <- Gen.listOfN(n, xcesToken)
+    extra <- Gen.oneOf("", "<free attr=\"kept\"/>", "<!-- note -->")
+    sep <- Gen.oneOf("", "\n", " ")
+  } yield toks.mkString(sep) + extra
+
+  test("spliceGroups: stripping inserted groups restores the body byte-identically") {
+    forAll(xcesBody) { body =>
+      val sent = Xces.parseBody(body)
+      val n = sent.toks.length
+      if (n >= 2) {
+        // a nested pair of spans over arbitrary token ranges
+        val spans = Seq(Span("x.y", 0, n, 0), Span("a", n / 2, n, 1))
+        val out = Xces.spliceGroups(body, spans)
+        val stripped = out
+          .replaceAll("<group type=\"NE\" subtype=\"[^\"]*\">", "")
+          .replace("</group>", "")
+        assert(stripped == body)
+        // balance
+        assert("<group".r.findAllIn(out).size ==
+          "</group>".r.findAllIn(out).size)
+        // re-parsing the annotated body yields the same token stream
+        assert(Xces.parseBody(out).toks == sent.toks)
+      }
+    }
+  }
 }
