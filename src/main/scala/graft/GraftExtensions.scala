@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator NER: logical NerMentionsNode -> NerMentionsExec
+    ext.injectPlannerStrategy(_ => new graft.plans.NerStrategy)
     ext.injectFunction((
       FunctionIdentifier("ner_shape"),
       info("ner_shape", "_FUNC_(str) - character shape: upper->X lower->x digit->d other->o"),
