@@ -125,7 +125,8 @@ object Cli {
         Synth.corpusLines(n, seed).mkString("\n").getBytes("UTF-8"))
       System.err.println(s"[cli] $n sentences written to $out")
     case _ =>
-      System.err.println("usage: train|train-file|ner|ox|compare|synth ... (see scaladoc)")
+      System.err.println(
+        "usage: train|train-file|ner|ner-xces|ox|compare|synth|cv|serve|client ... (see scaladoc)")
       sys.exit(2)
   }
 }

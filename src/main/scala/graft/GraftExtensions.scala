@@ -26,17 +26,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator NER: logical NerMentionsNode -> NerMentionsExec
     ext.injectPlannerStrategy(_ => new graft.plans.NerStrategy)
+    // builders shared with ShapeFunctions/VecFunctions.register so both
+    // paths raise the same WRONG_NUM_ARGS analysis error
     ext.injectFunction((
       FunctionIdentifier("ner_shape"),
       info("ner_shape", "_FUNC_(str) - character shape: upper->X lower->x digit->d other->o"),
-      (exprs: Seq[Expression]) => NerShape(exprs.head)))
+      graft.functions.FnBuilders.nerShape))
     ext.injectFunction((
       FunctionIdentifier("ner_packed_shape"),
       info("ner_packed_shape", "_FUNC_(str) - run-length-collapsed character shape"),
-      (exprs: Seq[Expression]) => NerPackedShape(exprs.head)))
+      graft.functions.FnBuilders.nerPackedShape))
     ext.injectFunction((
       FunctionIdentifier("ner_cosine"),
       info("ner_cosine", "_FUNC_(a, b) - cosine similarity of two float arrays"),
-      (exprs: Seq[Expression]) => NerCosine(exprs(0), exprs(1))))
+      graft.functions.FnBuilders.nerCosine))
   }
 }

@@ -25,13 +25,16 @@ object Xces {
   // still counts as one (empty-orth) token — the reference does the
   // same (`maybe "" id`, /root/reference/src/NLP/Nerf/XCES.hs:233-234),
   // and the splicer's token positions must agree with the parser's.
+  // Self-closing <tok/> must match its OWN branch first: `[^>]*` would
+  // otherwise eat the '/' and `.*?</tok>` would swallow everything up
+  // to the NEXT token's close tag, merging two tokens into one.
   private val TokRe =
-    "(?s)(<tok\\b[^>]*>.*?</tok>)|<ns\\s*/>".r
+    "(?s)(<tok\\b[^>]*/>)|(<tok\\b[^>]*>.*?</tok>)|<ns\\s*/>".r
   private val OrthRe = "(?s)<orth\\b[^>]*>(.*?)</orth>".r
   private val SentRe =
     "(?s)<chunk[^>]*type=\"s\"[^>]*>(.*?)</chunk>".r
   /** Token elements only (for splicing group tags between them). */
-  private val TokOnlyRe = "(?s)<tok\\b[^>]*>.*?</tok>".r
+  private val TokOnlyRe = "(?s)<tok\\b[^>]*/>|<tok\\b[^>]*>.*?</tok>".r
 
   def unescapeXml(s: String): String = s
     .replace("&lt;", "<").replace("&gt;", ">")
@@ -46,10 +49,14 @@ object Xces {
     val toks = ArrayBuffer.empty[Tok]
     var nsPending = false
     TokRe.findAllMatchIn(body).foreach { m =>
-      if (m.group(1) == null) nsPending = true // <ns/>
+      if (m.group(1) == null && m.group(2) == null) nsPending = true // <ns/>
       else {
-        val orth = OrthRe.findFirstMatchIn(m.group(1))
-          .map(om => unescapeXml(om.group(1))).getOrElse("")
+        // group 1 = self-closing <tok/> (always empty orth);
+        // group 2 = full element, orth extracted within
+        val orth =
+          if (m.group(1) != null) ""
+          else OrthRe.findFirstMatchIn(m.group(2))
+            .map(om => unescapeXml(om.group(1))).getOrElse("")
         toks += Tok(orth, nsPending)
         nsPending = false
       }

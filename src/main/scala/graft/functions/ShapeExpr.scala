@@ -62,8 +62,8 @@ object ShapeFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("ner_shape",
-      exprs => NerShape(exprs.head), "built-in")
+      FnBuilders.nerShape, "built-in")
     reg.createOrReplaceTempFunction("ner_packed_shape",
-      exprs => NerPackedShape(exprs.head), "built-in")
+      FnBuilders.nerPackedShape, "built-in")
   }
 }

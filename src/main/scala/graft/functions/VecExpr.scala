@@ -80,6 +80,31 @@ case class NerCosine(left: Expression, right: Expression)
   override def prettyName: String = "ner_cosine"
 }
 
+/** Arity-checked expression builders, shared by session-level
+  * registration (`register`) and catalog-level injection
+  * (GraftExtensions) so both paths raise the same analysis error.
+  */
+private[graft] object FnBuilders {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  def checked(name: String, arity: Int)(build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = exprs => {
+    if (exprs.length != arity)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> arity.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> ""))
+    build(exprs)
+  }
+
+  val nerShape = checked("ner_shape", 1)(e => NerShape(e.head))
+  val nerPackedShape = checked("ner_packed_shape", 1)(e => NerPackedShape(e.head))
+  val nerCosine = checked("ner_cosine", 2)(e => NerCosine(e(0), e(1)))
+}
+
 object VecFunctions {
   import org.apache.spark.sql.graft.Bridge
 
@@ -89,15 +114,5 @@ object VecFunctions {
   /** Register `ner_cosine` for spark.sql use. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ner_cosine", exprs => {
-        if (exprs.length != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "ner_cosine",
-              "expectedNum" -> "2",
-              "actualNum" -> exprs.length.toString,
-              "docroot" -> ""))
-        NerCosine(exprs(0), exprs(1))
-      }, "built-in")
+      "ner_cosine", FnBuilders.nerCosine, "built-in")
 }

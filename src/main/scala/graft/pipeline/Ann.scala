@@ -40,16 +40,22 @@ object Ann {
     */
   def lshNeighbors(vecs: DataFrame, idCol: String, embCol: String,
                    probePred: Column, k: Int = 3, nBits: Int = 4,
-                   nTables: Int = 12, dim: Int = 64,
+                   nTables: Int = 12, dim: Int = -1,
                    seed: Long = 1234L): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
+    // dim defaults to the actual embedding width (one tiny probe job) —
+    // a too-small explicit dim silently hashes only a prefix and recall
+    // collapses without error
+    val useDim =
+      if (dim > 0) dim
+      else vecs.select(size(col(embCol))).head().getInt(0)
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nTables, nBits, dim)(rnd.nextGaussian())
+    val planes = Array.fill(nTables, nBits, useDim)(rnd.nextGaussian())
     val bPlanes = s.sparkContext.broadcast(planes)
     val nb = nBits
     val nt = nTables
-    val d = dim
+    val d = useDim
     // probePred is evaluated against the CALLER's columns here, before
     // normalization — the API never leaks internal column names
     val typed = vecs.select(col(idCol).as("vec_id"),

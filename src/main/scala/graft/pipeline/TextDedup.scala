@@ -79,6 +79,8 @@ object TextDedup {
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 64,
+      s"simhash bits must be in [1, 64] (1L << b wraps past 63): $bits")
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("tok"))
     val withBits = toks.withColumn("h", xxhash64(col("tok")))

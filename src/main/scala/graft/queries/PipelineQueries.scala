@@ -145,10 +145,11 @@ object PipelineQueries {
       batch.flatMap { case (id, bytes) =>
         // STUB decode: duration/dims derived deterministically from the
         // payload; a real build hands `bytes` to a demuxer here
-        // floorMod: math.abs(Int.MinValue) is negative and would emit
-        // zero frames for ~1-in-2^32 payloads
-        val durationMs = 1000L + java.lang.Math.floorMod(
-          scala.util.hashing.MurmurHash3.bytesHash(bytes, 7).toLong, 16000L)
+        // abs AFTER widening to Long: abs(Int.MinValue) stays negative in
+        // Int and would emit zero frames for ~1-in-2^32 payloads; the
+        // widened abs is positive for every input
+        val durationMs = 1000L + math.abs(
+          scala.util.hashing.MurmurHash3.bytesHash(bytes, 7).toLong) % 16000L
         val w = 320 + (math.abs(bytes.headOption.getOrElse(0.toByte).toInt) % 4) * 160
         val h = w * 3 / 4
         val stepMs = 2000L

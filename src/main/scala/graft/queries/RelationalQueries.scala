@@ -596,38 +596,39 @@ object RelationalQueries {
   // bucketed co-located join (shuffle elimination at the storage layer)
   // =================================================================
 
-  private val bucketedReady =
-    scala.collection.mutable.Set.empty[(SparkSession, String)]
+  // registry of built table-name pairs: the counter-based tag is
+  // injective within the JVM (string-derived tags are not — sanitizing
+  // or hashing two dirs can collide and silently serve wrong data)
+  private val bucketedTables =
+    scala.collection.mutable.Map.empty[(SparkSession, String), (String, String)]
+  // one temp root per JVM: unique (no cross-process clobbering under a
+  // shared path), and bounded (one copy per table per JVM, overwritten
+  // on rebuild rather than accumulating)
+  private lazy val bucketedBase =
+    java.nio.file.Files.createTempDirectory("graft_bucketed").toString
 
   /** Materialize lineitem/orders as BUCKETED tables on the join key (8
     * buckets, sorted within) — the lakehouse pattern that makes the
     * fact-to-fact join below shuffle-free. Done once per (session, dir);
     * production tables would be maintained bucketed at ingest.
     */
-  def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = {
-    // collision-free, identifier-safe tag derived from the dir itself
-    // (a hash could collide across dirs and silently serve wrong data)
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val lt = s"graft_lineitem_b$tag"
-    val ot = s"graft_orders_b$tag"
-    bucketedReady.synchronized {
-      if (!bucketedReady((s, dir))) {
-        // stable location, overwritten on rebuild — a fresh temp dir per
-        // (session, dir) would accumulate full table copies across runs
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+  def ensureBucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedTables.synchronized {
+      bucketedTables.getOrElseUpdate((s, dir), {
+        val tag = bucketedTables.size.toString
+        val lt = s"graft_lineitem_b$tag"
+        val ot = s"graft_orders_b$tag"
         t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$base/$lt").saveAsTable(lt)
+          .option("path", s"$bucketedBase/$lt").saveAsTable(lt)
         t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$base/$ot").saveAsTable(ot)
-        bucketedReady += ((s, dir))
-      }
+          .option("path", s"$bucketedBase/$ot").saveAsTable(ot)
+        (lt, ot)
+      })
     }
-    (lt, ot)
-  }
 
   /** Fact-to-fact join WITHOUT a shuffle: both sides pre-bucketed on the
     * join key (same bucket count), so the sort-merge join reads

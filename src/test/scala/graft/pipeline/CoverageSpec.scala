@@ -135,6 +135,17 @@ class XcesSpec extends AnyFunSuite {
       """<tok id="c"><orth>Novak</orth></tok></group>""")
   }
 
+  test("self-closing <tok/> is one empty token, not merged into the next") {
+    val body = """<tok id="a"/><tok id="b"><orth>X</orth></tok><ns/><tok id="c"><orth>Y</orth></tok>"""
+    val sent = Xces.parseBody(body)
+    assert(sent.toks.map(_.orth) == Vector("", "X", "Y"))
+    assert(sent.toks.map(_.noSpaceBefore) == Vector(false, false, true))
+    // splice positions stay aligned
+    val out = Xces.spliceGroups(body, Seq(Span("t", 1, 2, 0)))
+    assert(out ==
+      """<tok id="a"/><group type="NE" subtype="t"><tok id="b"><orth>X</orth></tok></group><ns/><tok id="c"><orth>Y</orth></tok>""")
+  }
+
   test("annotate preserves non-token markup byte-identically") {
     // attributes, <lex> analyses, processing markup, comments, whitespace
     val rich =
