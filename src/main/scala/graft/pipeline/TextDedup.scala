@@ -74,6 +74,29 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("shared"))
   }
 
+  /** Exact duplicated substrings: every `n`-token span occurring in
+    * more than one document, with document and occurrence counts — the
+    * substring-level exact dedup a curation pipeline runs to strip
+    * boilerplate (license headers, navigation chrome) that
+    * document-level dedup misses. Spans are grouped by their TEXT here
+    * (portable, oracle-checkable); at 100 TB group by xxhash64(gram)
+    * instead and keep one exemplar string per hash — same plan shape,
+    * fixed-width shuffle keys.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 20): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      // docs shorter than n tokens contribute no spans (Spark's
+      // sequence(1, 0) DESCENDS rather than being empty)
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
+        .as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occ"))
+      .where(col("n_docs") > 1)
+
   /** Per-document SimHash fingerprint over whitespace tokens:
     * (doc_id, simhash).
     */

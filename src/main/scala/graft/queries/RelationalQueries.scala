@@ -650,6 +650,23 @@ object RelationalQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Exact substring-level dedup: 20-token spans duplicated across
+    * documents (boilerplate detection — see
+    * graft.pipeline.TextDedup.duplicatedSpans).
+    */
+  def q51_substring_dups(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextDedup.duplicatedSpans(
+      t(s, dir, "documents"), "doc_id", "text", n = 20)
+
+  val q51_sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(ws[i:i+19], ' ') AS gram
+      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 19, 0) + 1)) AS i)
+      |)
+      |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+      |FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
     "q02_dict_merge" -> ((q02_dict_merge _, q02_sql)),
@@ -678,5 +695,6 @@ object RelationalQueries {
     "q28_salted_count" -> ((q28_salted_count _, q28_sql)),
     "q29_compare_rollup" -> ((q29_compare_rollup _, q29_sql)),
     "q30_media_meta" -> ((q30_media_meta _, q30_sql)),
-    "q50_bucketed_join" -> ((q50_bucketed_join _, q50_sql)))
+    "q50_bucketed_join" -> ((q50_bucketed_join _, q50_sql)),
+    "q51_substring_dups" -> ((q51_substring_dups _, q51_sql)))
 }
