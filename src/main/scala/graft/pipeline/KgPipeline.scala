@@ -91,8 +91,9 @@ object KgPipeline {
   }
 
   /** Link mentions to KB entities: candidate generation via broadcast
-    * hash join on (blocking key = first alias token), then a
-    * similarity score:
+    * hash join on (blocking key = first alias token) — the standard
+    * Spark entity-resolution blocking pattern (cf. SparkER, EDBT 2019;
+    * PAPERS.md) — then a similarity score:
     *   score = 8·exact + (4 − levenshtein)·fuzzy + 3·typeMatch
     *           + contextOverlap
     * and argmax per mention via partial-aggregating `max_by`.

@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions._
   * these with fixed parameters.
   *
   * Scale shapes:
-  *  - MinHash+LSH: per-doc agg (partial-agg friendly) → banded
-  *    signatures exploded to (band, bucket) rows → ONE self-join
-  *    (ReuseExchange computes the signature pipeline once) → exact
-  *    verify on candidates only. No all-pairs product anywhere.
-  *  - SimHash: one agg per doc; collisions grouped by fingerprint.
+  *  - MinHash+LSH (Broder's resemblance sketches, banded per
+  *    Leskovec/Rajaraman/Ullman ch. 3): per-doc agg (partial-agg
+  *    friendly) → banded signatures exploded to (band, bucket) rows →
+  *    ONE self-join (ReuseExchange computes the signature pipeline
+  *    once) → exact verify on candidates only. No all-pairs product
+  *    anywhere.
+  *  - SimHash (Charikar): one agg per doc; collisions grouped by
+  *    fingerprint.
+  *  - duplicated spans (the substring-level exact dedup of Lee et al.,
+  *    "Deduplicating Training Data Makes Language Models Better"):
+  *    group n-token spans, keep cross-document repeats.
   */
 object TextDedup {
 
