@@ -25,7 +25,9 @@ object KgMain {
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
     .appName("graft-kg")
-    .config("spark.sql.shuffle.partitions", cpus)
+    // "*" is a valid local-master width but not a partition count
+    .config("spark.sql.shuffle.partitions", scala.util.Try(cpus.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors()).toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
@@ -35,11 +37,15 @@ object KgMain {
     val outDir = args.headOption.getOrElse("/tmp/graft_kg")
     val nFiles = args.lift(1).map(_.toLong).getOrElse(2000L)
     val cpus = args.lift(2).orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("8")
+    // local-master strings like "*" are valid for the session but not
+    // integers — fall back to the machine width for partition sizing
+    val cpuN = scala.util.Try(cpus.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
 
-    val input = KgPipeline.synthInput(spark, nFiles, partitions = cpus.toInt * 2)
+    val input = KgPipeline.synthInput(spark, nFiles, partitions = cpuN * 2)
     TableIO.writeSnapshot(input.toDF(), s"$outDir/snapshot", s"synth-$nFiles-seed42")
     val badRows = TableIO.verifySnapshot(spark, s"$outDir/snapshot")
     require(badRows == 0, s"snapshot invariant violated on $badRows rows")
@@ -50,8 +56,10 @@ object KgMain {
       .as[KgPipeline.RepoFile]
 
     val result = KgPipeline.run(spark, snap, model)
-    val salted = KgPipeline.saltedForWrite(result.triples)
-    val commits = TableIO.writeResumable(salted, s"$outDir/triples",
+    // skew handling lives INSIDE writeResumable (salted repartition on
+    // (_bucket, content-hash)); a separate pre-shuffle here would be
+    // discarded by the writer's own repartition — pure waste at scale
+    val commits = TableIO.writeResumable(result.triples, s"$outDir/triples",
       buckets = 16, bucketCols = Seq("src_repo", "src_path"),
       lineage = Map("snapshot" -> s"synth-$nFiles-seed42", "model" -> "sgd-seed42"))
 
@@ -70,16 +78,17 @@ object KgMain {
       .collect()(0)
     val nMentions = cnt.getLong(0)
     val nLinked = cnt.getLong(1)
-    val nCanon = result.canon.count()
+    // distinct canonical entities, not (entity -> canon) mapping rows
+    val nCanon = result.canon.select("canon_id").distinct().count()
     val metrics =
       f"""{"snapshot":"synth-$nFiles-seed42","model":"sgd-seed42",
          |"input_files":$nFiles,"mentions":$nMentions,"linked":$nLinked,
          |"canon_entities":$nCanon,"triples":$totRows,
          |"buckets_total":16,"buckets_written_this_run":${commits.length},
          |"wall_sec":$secs%.2f}""".stripMargin.replace("\n", "")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$outDir/triples/_metrics.json"),
-      metrics.getBytes("UTF-8"))
+    // temp+rename like the bucket manifests — a crash mid-write must not
+    // leave a truncated metrics file beside atomically-published commits
+    TableIO.atomicWrite(s"$outDir/triples/_metrics.json", metrics)
 
     println(f"""{"files":$nFiles,"triples":$totRows,"sec":$secs%.2f,"triples_per_sec":${totRows / secs}%.1f,"buckets_written":${commits.length}}""")
     spark.stop()

@@ -29,7 +29,7 @@ object TableIO {
     withSha.write.mode("overwrite").parquet(s"$dir/data")
     val rows = df.sparkSession.read.parquet(s"$dir/data").count()
     val manifest =
-      s"""{"snapshot_id":"$snapshotId","rows":$rows,"format":"parquet","invariant":"content_sha256"}"""
+      s"""{"snapshot_id":${jstr(snapshotId)},"rows":$rows,"format":"parquet","invariant":"content_sha256"}"""
     atomicWrite(s"$dir/_snapshot.json", manifest)
   }
 
@@ -56,29 +56,47 @@ object TableIO {
     * each bucket atomically (write data → manifest via temp+rename).
     * Buckets with an existing commit manifest are skipped — re-running
     * after a crash resumes exactly where it stopped, and counters are
-    * never double-counted (they live in the per-bucket manifest).
+    * never double-counted (they live in the per-bucket manifest). A
+    * resume against manifests recorded under a DIFFERENT lineage fails
+    * fast: silently mixing two inputs' buckets into one table is the
+    * worst failure mode a resumable writer can have.
+    *
+    * Skew/parallelism: rows are repartitioned on (_bucket, salt) where
+    * the salt is a content hash — `salts` tasks per bucket, so write
+    * parallelism is buckets×salts (not capped at the bucket count) and
+    * a Zipf-hot key spreads over `salts` tasks. The per-bucket checksum
+    * is an XOR fold, so it is independent of the file split.
     *
     * Returns the commits performed in this invocation.
     */
   def writeResumable(df: DataFrame, dir: String, buckets: Int,
                      bucketCols: Seq[String],
-                     lineage: Map[String, String] = Map.empty): Seq[BucketCommit] = {
+                     lineage: Map[String, String] = Map.empty,
+                     salts: Int = 8): Seq[BucketCommit] = {
     val spark = df.sparkSession
     Files.createDirectories(Paths.get(s"$dir/_commits"))
     val done = committedBuckets(dir, buckets)
+    // resume safety: every existing manifest must carry this lineage
+    done.toSeq.sorted.foreach { k =>
+      val existing = readLineage(dir, k)
+      require(existing == lineage,
+        s"resume lineage mismatch on bucket $k: committed=$existing, " +
+          s"this run=$lineage — refusing to mix inputs in one table ($dir)")
+    }
     val todo = (0 until buckets).filterNot(done)
     if (todo.isEmpty) return Seq.empty
     // Prune already-committed buckets BEFORE any compute, then write every
-    // missing bucket in ONE job: shuffle rows to their bucket, sort within,
-    // emit as hive partitions with dynamic overwrite so committed
-    // partitions on disk are never touched. (Round 1 filtered + rewrote
-    // per bucket, re-running the whole upstream DAG `buckets` times — a
-    // 100-TB scale-killer flagged in VERDICT r1.)
+    // missing bucket in ONE job: shuffle rows to their bucket (salted),
+    // sort within, emit as hive partitions with dynamic overwrite so
+    // committed partitions on disk are never touched. (Round 1 filtered +
+    // rewrote per bucket, re-running the whole upstream DAG `buckets`
+    // times — a 100-TB scale-killer flagged in VERDICT r1.)
     val bucketed = df.withColumn("_bucket",
         pmod(hash(bucketCols.map(col): _*), lit(buckets)))
       .where(col("_bucket").isin(todo: _*))
+    val saltCol = pmod(xxhash64(df.columns.map(col): _*), lit(salts))
     bucketed
-      .repartition(todo.length, col("_bucket"))
+      .repartition(todo.length * salts, col("_bucket"), saltCol)
       .sortWithinPartitions(col("_bucket"), col(bucketCols.head))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -102,12 +120,56 @@ object TableIO {
           .collect()(0)
         BucketCommit(k, agg.getLong(0), agg.getLong(1))
       }
-      val lineageJson = lineage.map { case (k2, v) =>
-        s""""${k2}":"${v}"""" }.mkString(",")
+      val lineageJson = lineage.toSeq.sortBy(_._1).map { case (k2, v) =>
+        s"${jstr(k2)}:${jstr(v)}" }.mkString(",")
       atomicWrite(commitPath(dir, k),
         s"""{"bucket":${c.bucket},"rows":${c.rows},"checksum":${c.checksum},"lineage":{$lineageJson}}""")
       c
     }
+  }
+
+  /** Parse the lineage map back out of a bucket manifest. */
+  def readLineage(dir: String, bucket: Int): Map[String, String] = {
+    val p = Paths.get(commitPath(dir, bucket))
+    if (!Files.exists(p)) return Map.empty
+    val txt = new String(Files.readAllBytes(p), "UTF-8")
+    val body = "\"lineage\":\\{(.*)\\}".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(body)
+      .map(m => junescape(m.group(1)) -> junescape(m.group(2))).toMap
+  }
+
+  /** Minimal JSON string escape/unescape for manifest fields — a quote
+    * or backslash in a snapshot id must not corrupt the manifest.
+    */
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def junescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case c => b += c; i += 2
+        }
+      } else { b += s.charAt(i); i += 1 }
+    }
+    b.result()
   }
 
   /** Read back all committed bucket manifests (lineage + counters). */
@@ -126,7 +188,7 @@ object TableIO {
   /** Temp-file + atomic-rename commit (provably-once manifest publish,
     * SURVEY.md §7.4.5).
     */
-  private def atomicWrite(path: String, content: String): Unit = {
+  private[graft] def atomicWrite(path: String, content: String): Unit = {
     val p = Paths.get(path)
     Files.createDirectories(p.toAbsolutePath.getParent)
     val tmp = Paths.get(path + ".tmp")

@@ -97,18 +97,21 @@ object KgPipeline {
     *   score = 8·exact + (4 − levenshtein)·fuzzy + 3·typeMatch
     *           + contextOverlap
     * and argmax per mention via partial-aggregating `max_by`.
-    * Only the outermost, type-compatible mention layers participate
-    * (nested sub-mentions like forename inherit via the parent span).
     */
   def linkMentions(spark: SparkSession, mentions: Dataset[MentionRow],
                    kbAliases: DataFrame): DataFrame = {
     // precompute per-MENTION derived columns before the candidate join:
     // anything computed after it runs once per candidate (~30x) instead
-    // of once per mention
+    // of once per mention. Only OUTERMOST mentions (depth 0) are linked
+    // — nested sub-spans (forename inside a person) are structural NER
+    // output, not graph entities; linking them would mint a nil: entity
+    // per bare forename. mention_id includes the commit: the same path
+    // at two commits is two distinct provenance sites.
     val m = mentions.toDF()
+      .where(col("depth") === 0)
       .withColumn("mention_id",
-        concat_ws("#", col("repo"), col("path"), col("sentIdx"),
-          col("begin"), col("end"), col("depth")))
+        concat_ws("#", col("repo"), col("path"), col("commit"),
+          col("sentIdx"), col("begin"), col("end"), col("depth")))
       .withColumn("surface_norm", lower(col("surface")))
       .withColumn("block_key", split(col("surface_norm"), " ").getItem(0))
       // context narrowed to capitalized tokens (the only ones that can
@@ -201,6 +204,8 @@ object KgPipeline {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // (loop body below; non-convergence fails LOUD after the loop —
+      // silently returning split components would corrupt canonical ids)
       val viaNeighbor = und
         .join(labels.withColumnRenamed("node", "dst")
                     .withColumnRenamed("comp", "ncomp"), Seq("dst"))
@@ -216,6 +221,10 @@ object KgPipeline {
       converged = changed == 0
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the iteration budget; raise maxIter " +
+        "(min-label propagation needs ~diameter rounds)")
     labels
   }
 
@@ -351,13 +360,10 @@ object KgPipeline {
     mentionTriples.unionByName(typeTriples)
   }
 
-  /** Salted repartition on (repo, salt) before a partitioned write —
-    * defuses Zipf-hot repos (north_rule skew handling).
-    */
-  def saltedForWrite(df: DataFrame, salts: Int = 16): DataFrame =
-    df.repartition(
-      col("src_repo"),
-      pmod(hash(col("src_path")), lit(salts)))
+  // NOTE: skew salting for the triple write lives inside
+  // TableIO.writeResumable (repartition on (_bucket, content-hash)); a
+  // standalone pre-shuffle here was removed — the writer's own
+  // repartition discarded it, doubling the biggest shuffle in the job.
 
   // ------------------------------------------------------------------
   // End-to-end

@@ -152,16 +152,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TableIO.verifySnapshot(spark, s"$dir/snap") == 0)
 
     val result = KgPipeline.run(spark, files, model)
-    val salted = KgPipeline.saltedForWrite(result.triples, salts = 4)
+    val triples = result.triples
+    val lin = Map("snapshot" -> "test-snap")
 
     // write only buckets 0-1, simulate crash, then resume
-    val all = TableIO.writeResumable(salted, s"$dir/t1", 4, Seq("src_repo", "src_path"))
+    val all = TableIO.writeResumable(triples, s"$dir/t1", 4,
+      Seq("src_repo", "src_path"), lineage = lin)
     assert(all.map(_.bucket).toSet == Set(0, 1, 2, 3))
     // delete two commit markers to simulate partial failure
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/t1/_commits/bucket-2.json"))
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/t1/_commits/bucket-3.json"))
-    val resumed = TableIO.writeResumable(salted, s"$dir/t1", 4, Seq("src_repo", "src_path"))
+    val resumed = TableIO.writeResumable(triples, s"$dir/t1", 4,
+      Seq("src_repo", "src_path"), lineage = lin)
     assert(resumed.map(_.bucket).toSet == Set(2, 3), "resume must only redo missing buckets")
+    // resume under a DIFFERENT lineage must refuse, not mix inputs
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/t1/_commits/bucket-3.json"))
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.writeResumable(triples, s"$dir/t1", 4,
+        Seq("src_repo", "src_path"), lineage = Map("snapshot" -> "OTHER"))
+    }
+    assert(ex.getMessage.contains("lineage mismatch"))
+    // restore the correct-lineage commit for the assertions below
+    TableIO.writeResumable(triples, s"$dir/t1", 4,
+      Seq("src_repo", "src_path"), lineage = lin)
     // checksums of redone buckets match the originals (deterministic recompute)
     val orig = all.filter(c => c.bucket >= 2).map(c => c.bucket -> c.checksum).toMap
     resumed.foreach(c => assert(c.checksum == orig(c.bucket)))
