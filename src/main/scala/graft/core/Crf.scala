@@ -135,7 +135,10 @@ object Crf {
       viterbi(sent).map(labels)
   }
 
-  @inline private def logSumExp(xs: Array[Double]): Double = {
+  /** Shared by training (Sgd) and inference — one implementation, one
+    * numerical behavior.
+    */
+  @inline private[core] def logSumExp(xs: Array[Double]): Double = {
     var m = Double.NegativeInfinity
     var i = 0
     while (i < xs.length) { if (xs(i) > m) m = xs(i); i += 1 }
@@ -150,6 +153,7 @@ object Crf {
   def forwardBackward(model: Model, os: Array[Array[Double]])
       : (Array[Array[Double]], Array[Array[Double]], Double) = {
     val n = os.length
+    if (n == 0) return (Array.empty, Array.empty, 0.0)
     val L = model.numLabels
     val td = model.trans.data
     val alpha = Array.ofDim[Double](n, L)

@@ -30,10 +30,15 @@ object Forest {
   //  inline nested <type>..</type> tags; escapes \< \> \\ and "\ ")
   // ---------------------------------------------------------------------
 
-  /** Parse one ENAMEX-encoded sentence into an NE forest. */
+  /** Parse one ENAMEX-encoded sentence into an NE forest. A stray
+    * top-level close tag is an ERROR, not a stop marker — silently
+    * truncating the line would quietly corrupt comparisons and training.
+    */
   def parseEnamex(line: String): List[NeTree] = {
     val p = new EnamexParser(line)
     val forest = p.parseForest(None)
+    require(p.consumedAll,
+      s"ENAMEX: unmatched close tag at position ${p.position} in: $line")
     forest
   }
 
@@ -41,6 +46,8 @@ object Forest {
     private var pos = 0
     private def peek: Char = s.charAt(pos)
     private def eof: Boolean = pos >= s.length
+    def consumedAll: Boolean = pos >= s.length
+    def position: Int = pos
 
     private def skipSpaces(): Unit =
       while (!eof && peek == ' ') pos += 1
@@ -139,7 +146,9 @@ object Forest {
   }
 
   /** Rebuild a forest from tokens + properly-nesting spans (inverse of
-    * `toSpans` for well-formed span sets: no partial overlap).
+    * `toSpans` for well-formed span sets: no partial overlap). Handles
+    * the ZERO-WIDTH spans toSpans emits for childless NE nodes
+    * ('<a></a>'), including at the end-of-sentence boundary.
     */
   def fromSpans(tokens: Vector[String], spans: Seq[Span]): List[NeTree] = {
     // sort: by begin asc, then end desc (wider first), then depth asc
@@ -148,10 +157,14 @@ object Forest {
       val out = ArrayBuffer.empty[NeTree]
       var i = b
       var rest = ss
-      while (i < e) {
+      def zeroWidthAt(i2: Int): Boolean = rest match {
+        case h :: _ => h.begin == i2 && h.end == i2
+        case Nil => false
+      }
+      while (i < e || zeroWidthAt(i)) {
         rest match {
           case h :: t if h.begin == i && h.end <= e =>
-            // children of h are the remaining spans strictly inside it
+            // children of h are the remaining spans inside it
             val (inside, after) = t.span(x => x.begin >= h.begin && x.end <= h.end)
             val (kids, leftover) = build(h.begin, h.end, inside)
             require(leftover.isEmpty, "fromSpans: non-nesting spans")
@@ -186,7 +199,11 @@ object Forest {
         val b = off; off += Tokenizer.essence(w); (b, off)
       case NeNode(ne, kids) =>
         val rs = kids.map(go)
-        val span = rs.reduce((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
+        // a childless NE node (parseable: '<a></a>') is a zero-width
+        // span at the current offset, not a crash
+        val span =
+          if (rs.isEmpty) (off, off)
+          else rs.reduce((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
         out += ((ne, span._1, span._2))
         span
     }

@@ -25,7 +25,13 @@ object Iob {
 
   def renderLabel(l: Label): String =
     if (l.isEmpty) Outside
-    else l.map(a => (if (a.begin) "B-" else "I-") + a.ne).mkString(";")
+    else l.map { a =>
+      // ';' is the frozen atom separator: an NE type containing it would
+      // train fine but crash parseLabel at tag time — fail HERE instead
+      require(!a.ne.contains(';'),
+        s"NE type must not contain ';' (label separator): '${a.ne}'")
+      (if (a.begin) "B-" else "I-") + a.ne
+    }.mkString(";")
 
   def parseLabel(s: String): Label =
     if (s == Outside || s.isEmpty) Nil
@@ -38,7 +44,10 @@ object Iob {
   /** Encode a forest into per-token label stacks (tokens in leaf order).
     * Within each NE node, the first covered token gets a B atom for that
     * node, subsequent tokens get I atoms; atoms accumulate outermost-first
-    * down the nesting.
+    * down the nesting. LIMITATION (inherent to token-level IOB, shared
+    * with the reference's codec): an NE node with no leaf descendants
+    * covers zero tokens and therefore disappears from the encoding —
+    * decode∘encode is the identity only for forests without empty nodes.
     */
   def encodeForest(forest: List[NeTree]): Vector[(String, Label)] = {
     val out = ArrayBuffer.empty[(String, Label)]

@@ -101,8 +101,11 @@ object Sgd {
       val oid = (key / L).toInt; val y = (key % L).toInt
       obsLabelsB(oid) += ((y, fid))
     }
-    val obsLabelArr: Array[Array[Int]] = obsLabelsB.map(_.sortBy(_._1).map(_._1).toArray)
-    val obsFeatArr: Array[Array[Int]] = obsLabelsB.map(_.sortBy(_._1).map(_._2).toArray)
+    // one sort per buffer; both parallel arrays project from the SAME
+    // sorted sequence (no reliance on two sorts aligning)
+    val obsSorted = obsLabelsB.map(_.sortBy(_._1))
+    val obsLabelArr: Array[Array[Int]] = obsSorted.map(_.map(_._1).toArray)
+    val obsFeatArr: Array[Array[Int]] = obsSorted.map(_.map(_._2).toArray)
 
     val w = new Array[Double](F)
 
@@ -202,8 +205,12 @@ object Sgd {
         }
         // gain schedule: gain0 * tau / (tau + done-epochs)
         val gain = cfg.gain0 * cfg.tau / (cfg.tau + done)
-        // L2: w *= (1 - gain * batch/(regVar*n)) applied to touched coords is
-        // insufficient; apply cheap global decay per batch
+        // L2 global decay per batch. KNOWN O(F)-per-batch cost: a lazy
+        // scalar multiplier (weights stored unscaled, folded in on read)
+        // would make this O(1), but changes floating-point evaluation
+        // order and therefore every trained model — the committed golden
+        // decodings pin the current numerics, and training corpora are
+        // driver-sized by contract, so the eager sweep stays.
         val decay = 1.0 - gain * batch.length / (cfg.regVar * n)
         if (decay < 1.0) {
           var i = 0
@@ -278,14 +285,6 @@ object Sgd {
     mkModel()
   }
 
-  @inline private def logSumExp(xs: Array[Double]): Double = {
-    var m = Double.NegativeInfinity
-    var i = 0
-    while (i < xs.length) { if (xs(i) > m) m = xs(i); i += 1 }
-    if (m == Double.NegativeInfinity) return m
-    var s = 0.0
-    i = 0
-    while (i < xs.length) { s += math.exp(xs(i) - m); i += 1 }
-    m + math.log(s)
-  }
+  // one implementation shared with inference (identical numerics)
+  @inline private def logSumExp(xs: Array[Double]): Double = Crf.logSumExp(xs)
 }

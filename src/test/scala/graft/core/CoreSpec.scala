@@ -318,3 +318,42 @@ class SgdSpec extends AnyFunSuite {
     assert(m1.obsWeights.flatten.toSeq == m2.obsWeights.flatten.toSeq)
   }
 }
+
+/** Edge cases surfaced by the round-2 core review. */
+class CoreEdgeSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("parseEnamex rejects a stray top-level close tag instead of truncating") {
+    val ex = intercept[IllegalArgumentException] {
+      Forest.parseEnamex("Acme </persName> won")
+    }
+    assert(ex.getMessage.contains("unmatched close tag"))
+  }
+
+  test("childless NE nodes: charSpans is zero-width, to/fromSpans round-trips") {
+    val f = Forest.parseEnamex("x <a></a> y <b></b>")
+    assert(Forest.charSpans(f) == Set(("a", 1, 1), ("b", 2, 2)))
+    val (toks, spans) = Forest.toSpans(f)
+    assert(toks == Vector("x", "y"))
+    assert(Forest.fromSpans(toks, spans) == f)
+    // trailing zero-width at the end-of-sentence boundary
+    val g = Forest.parseEnamex("x <a></a>")
+    val (t2, s2) = Forest.toSpans(g)
+    assert(Forest.fromSpans(t2, s2) == g)
+  }
+
+  test("renderLabel rejects an NE type containing the atom separator") {
+    val ex = intercept[IllegalArgumentException] {
+      Iob.renderLabel(List(Iob.Atom(begin = true, ne = "a;b")))
+    }
+    assert(ex.getMessage.contains("';'"))
+  }
+
+  test("forwardBackward returns cleanly for the empty sentence") {
+    val m = Crf.Model(Array("O"), Array(Map.empty[String, Int]),
+      breeze.linalg.DenseVector(0.0),
+      breeze.linalg.DenseMatrix.zeros[Double](1, 1),
+      Array(Array.empty[Int]), Array(Array.empty[Double]))
+    val (a, b, z) = Crf.forwardBackward(m, Array.empty)
+    assert(a.isEmpty && b.isEmpty && z == 0.0)
+  }
+}
