@@ -20,21 +20,29 @@ object CompareStats {
 
   val AllKey = "<all>"
 
+  /** Per-type TP/FP/FN for ONE sentence pair's char-span sets — the
+    * single definition of the matching rule, shared by the driver-side
+    * `compare` and the distributed `Train.compareJob`.
+    */
+  def pairStats(rs: Set[(String, Int, Int)],
+                cs: Set[(String, Int, Int)]): Seq[(String, Stats)] = {
+    val keys = rs.map(_._1) ++ cs.map(_._1)
+    keys.toSeq.map { k =>
+      val r = rs.filter(_._1 == k)
+      val c = cs.filter(_._1 == k)
+      k -> Stats(
+        tp = r.intersect(c).size,
+        fp = c.diff(r).size,
+        fn = r.diff(c).size)
+    }
+  }
+
   /** Compare sentence-aligned forest pairs (reference, compared). */
   def compare(pairs: Seq[(List[NeTree], List[NeTree])]): Map[String, Stats] = {
     val acc = scala.collection.mutable.Map.empty[String, Stats]
     for ((ref, cmp) <- pairs) {
-      val rs = Forest.charSpans(ref)
-      val cs = Forest.charSpans(cmp)
-      val keys = rs.map(_._1) ++ cs.map(_._1)
-      for (k <- keys) {
-        val r = rs.filter(_._1 == k)
-        val c = cs.filter(_._1 == k)
-        val s = Stats(
-          tp = r.intersect(c).size,
-          fp = c.diff(r).size,
-          fn = r.diff(c).size)
-        acc(k) = acc.getOrElse(k, Stats(0, 0, 0)) + s
+      pairStats(Forest.charSpans(ref), Forest.charSpans(cmp)).foreach {
+        case (k, s) => acc(k) = acc.getOrElse(k, Stats(0, 0, 0)) + s
       }
     }
     val total = acc.values.foldLeft(Stats(0, 0, 0))(_ + _)

@@ -60,9 +60,12 @@ object Features {
   // ---------------- Ox emulation ----------------
 
   final class Ox {
-    private val siteBuf = new ArrayBuffer[Int](32)
+    // primitive-backed builder: ArrayBuffer[Int] would box every site id
+    // on the once-per-token hot path (erased Array[AnyRef] storage)
+    private val siteBuf = new scala.collection.mutable.ArrayBuilder.ofInt
     private val valueBuf = new ArrayBuffer[String](32)
     private var site = 0
+    siteBuf.sizeHint(32)
 
     def save(v: String): Unit = { // null = no observation, slot consumed
       if (v != null) { siteBuf += site; valueBuf += v }
@@ -74,7 +77,7 @@ object Features {
       site += 1
     }
 
-    def result(): PosObs = new PosObs(siteBuf.toArray, valueBuf.toArray)
+    def result(): PosObs = new PosObs(siteBuf.result(), valueBuf.toArray)
   }
 
   // ---------------- basic accessors ----------------
@@ -84,7 +87,10 @@ object Features {
 
   @inline private def lowOrthAt(sent: IndexedSeq[String], i: Int): String = {
     val w = orthAt(sent, i)
-    if (w == null) null else w.toLowerCase
+    // Locale.ROOT: features must be identical on every executor JVM
+    // regardless of default locale (tr_TR lowercases I to dotless ı,
+    // silently desynchronizing tag-time features from the trained model)
+    if (w == null) null else w.toLowerCase(java.util.Locale.ROOT)
   }
 
   /** Affix helper: non-negative n = take n chars; negative n = take

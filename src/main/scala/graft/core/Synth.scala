@@ -97,6 +97,11 @@ object Synth {
   def intTriggerDict: Map[String, List[String]] =
     orgWords2.map(w => w -> List("orgName")).toMap
 
+  // orgTriggers are DELIBERATELY absent: they act as the untriggered
+  // control group — the model must learn org contexts from shape/dict
+  // features alone, which keeps the trigger blocks from dominating every
+  // entity class in the synthetic evaluation. (Changing this retrains
+  // every model and re-pins all golden decodings.)
   def extTriggerDict: Map[String, List[String]] =
     (personTriggers.map(w => w -> List("persName")) ++
       placeTriggers.map(w => w -> List("placeName"))).toMap
@@ -180,15 +185,21 @@ object Synth {
 
   val langs = Vector("scala", "java", "py", "md", "txt", "go")
 
-  private def hex40(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-1")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  private def hex40(s: String): String =
+    Digests.hex(java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")))
+
+  // harmonic weights cached per nRepos — recomputing the vector once per
+  // generated ROW was pure waste on the table-generation path
+  private val zipfCache =
+    scala.collection.concurrent.TrieMap.empty[Int, (Array[Double], Double)]
 
   /** Zipf-skewed repo choice: repo k gets weight 1/(k+1). */
   private def zipfRepo(r: Random, nRepos: Int): Int = {
-    val h = (0 until nRepos).map(k => 1.0 / (k + 1))
-    val total = h.sum
+    val (h, total) = zipfCache.getOrElseUpdate(nRepos, {
+      val w = Array.tabulate(nRepos)(k => 1.0 / (k + 1))
+      (w, w.sum)
+    })
     var x = r.nextDouble() * total
     var k = 0
     while (k < nRepos - 1 && x > h(k)) { x -= h(k); k += 1 }

@@ -10,6 +10,11 @@ package graft.core
   *
   * This is a from-scratch implementation of those documented semantics,
   * frozen by the unit tests in TokenizerSpec (SURVEY.md §7.4 pinning).
+  * Unicode discipline: ONE whitespace predicate (`isSpace`) shared by the
+  * splitter and `essence` (the reference's Haskell `isSpace` covers Zs —
+  * three diverging definitions would desynchronize char-range alignment),
+  * and punctuation classification runs per CODE POINT so astral
+  * characters (emoji, rare CJK) are never split into lone surrogates.
   */
 object Tokenizer {
 
@@ -18,38 +23,83 @@ object Tokenizer {
   /** True when the token should be protected from punctuation splitting. */
   private def isUri(s: String): Boolean = UriRe.findFirstIn(s).isDefined
 
-  /** Split leading and trailing punctuation characters into their own
-    * tokens, one token per punctuation char; the word core stays intact
-    * (internal punctuation, e.g. hyphens inside words, is preserved).
+  /** The single whitespace definition: Java whitespace ∪ Unicode Zs
+    * (NBSP, EM SPACE, ...), matching Haskell's Data.Char.isSpace.
+    */
+  @inline private[core] def isSpace(cp: Int): Boolean =
+    Character.isWhitespace(cp) || Character.isSpaceChar(cp)
+
+  /** Split leading and trailing punctuation CODE POINTS into their own
+    * tokens; the word core stays intact (internal punctuation, e.g.
+    * hyphens inside words, is preserved).
     */
   private def splitPunct(tok: String): List[String] = {
     if (tok.isEmpty) Nil
     else {
       var i = 0
       var j = tok.length
-      while (i < j && isPunct(tok.charAt(i))) i += 1
-      while (j > i && isPunct(tok.charAt(j - 1))) j -= 1
-      val lead = (0 until i).map(k => tok.charAt(k).toString).toList
-      val trail = (j until tok.length).map(k => tok.charAt(k).toString).toList
+      while (i < j && isPunct(tok.codePointAt(i)))
+        i += Character.charCount(tok.codePointAt(i))
+      while (j > i && isPunct(tok.codePointBefore(j)))
+        j -= Character.charCount(tok.codePointBefore(j))
+      val lead = scala.collection.mutable.ListBuffer.empty[String]
+      var k = 0
+      while (k < i) {
+        val cp = tok.codePointAt(k)
+        lead += tok.substring(k, k + Character.charCount(cp))
+        k += Character.charCount(cp)
+      }
+      val trail = scala.collection.mutable.ListBuffer.empty[String]
+      k = j
+      while (k < tok.length) {
+        val cp = tok.codePointAt(k)
+        trail += tok.substring(k, k + Character.charCount(cp))
+        k += Character.charCount(cp)
+      }
       val core = tok.substring(i, j)
-      if (core.isEmpty) lead ::: trail
-      else lead ::: core :: trail
+      if (core.isEmpty) (lead ++ trail).toList
+      else (lead ++ (core +: trail)).toList
     }
   }
 
-  private def isPunct(c: Char): Boolean =
-    !c.isLetterOrDigit && !c.isWhitespace
+  private def isPunct(cp: Int): Boolean =
+    !Character.isLetterOrDigit(cp) && !isSpace(cp)
 
   /** Tokenize one sentence. Mirrors `NLP.Nerf.Tokenize.tokenize`
     * (/root/reference/src/NLP/Nerf/Tokenize.hs:49-50).
     */
   def tokenize(sent: String): Vector[String] = {
-    val ws = sent.split("\\s+").iterator.filter(_.nonEmpty)
-    ws.flatMap { t => if (isUri(t)) List(t) else splitPunct(t) }.toVector
+    val out = Vector.newBuilder[String]
+    val b = new StringBuilder
+    def flush(): Unit = if (b.nonEmpty) {
+      val t = b.result(); b.clear()
+      if (isUri(t)) out += t else splitPunct(t).foreach(out += _)
+    }
+    var k = 0
+    while (k < sent.length) {
+      val cp = sent.codePointAt(k)
+      if (isSpace(cp)) flush()
+      else b.appendAll(Character.toChars(cp))
+      k += Character.charCount(cp)
+    }
+    flush()
+    out.result()
   }
 
-  /** Count of non-whitespace characters — the `essence` used for
-    * char-range alignment (/root/reference/src/NLP/Nerf/Tokenize.hs:75-77).
+  /** Count of non-whitespace characters (UTF-16 units of non-space code
+    * points) — the `essence` used for char-range alignment
+    * (/root/reference/src/NLP/Nerf/Tokenize.hs:75-77). Uses the SAME
+    * `isSpace` as the splitter, so ranges and tokens always agree.
     */
-  def essence(s: String): Int = s.count(c => !c.isWhitespace)
+  def essence(s: String): Int = {
+    var n = 0
+    var k = 0
+    while (k < s.length) {
+      val cp = s.codePointAt(k)
+      val w = Character.charCount(cp)
+      if (!isSpace(cp)) n += w
+      k += w
+    }
+    n
+  }
 }

@@ -100,14 +100,11 @@ object Train {
                  pairs: Dataset[(String, String)]): Map[String, CompareStats.Stats] = {
     import spark.implicits._
     val perType = pairs.flatMap { case (refL, cmpL) =>
-      val r = Forest.charSpans(Forest.parseEnamex(refL))
-      val c = Forest.charSpans(Forest.parseEnamex(cmpL))
-      val keys = r.map(_._1) ++ c.map(_._1)
-      keys.toSeq.map { k =>
-        val rk = r.filter(_._1 == k); val ck = c.filter(_._1 == k)
-        (k, rk.intersect(ck).size.toLong, ck.diff(rk).size.toLong,
-          rk.diff(ck).size.toLong)
-      }
+      // the matching rule lives ONCE, in CompareStats.pairStats
+      CompareStats.pairStats(
+        Forest.charSpans(Forest.parseEnamex(refL)),
+        Forest.charSpans(Forest.parseEnamex(cmpL)))
+        .map { case (k, s) => (k, s.tp, s.fp, s.fn) }
     }.groupByKey(_._1)
       .mapValues(t => (t._2, t._3, t._4))
       .reduceGroups((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))

@@ -56,9 +56,7 @@ object StreamingNer {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val keyed = docs.map { case (id, text) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val fp = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      (fp, id, text)
+      (graft.core.Digests.md5Hex(text), id, text)
     }.groupByKey(_._1)
     val timeoutConf = if (stateTtl.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
@@ -68,18 +66,26 @@ object StreamingNer {
        state: GroupState[Long]) =>
         if (state.hasTimedOut) {
           state.remove() // evict idle fingerprint; no output row
-          (-1L, "", 0L)
+          (false, 0L, "", 0L)
         } else {
-          val batch = rows.toSeq
+          // single pass over the micro-batch: a viral fingerprint may
+          // repeat millions of times per batch — never buffer the texts
+          var n = 0L
+          var minId = Long.MaxValue
+          var minText = ""
+          rows.foreach { case (_, id, text) =>
+            n += 1
+            if (id < minId) { minId = id; minText = text }
+          }
           val seenBefore = state.getOption.getOrElse(0L)
-          state.update(seenBefore + batch.length)
+          state.update(seenBefore + n)
           ttlMs.foreach(state.setTimeoutDuration)
-          if (seenBefore == 0L) {
-            val first = batch.minBy(_._2)
-            (first._2, first._3, batch.length.toLong)
-          } else (-1L, "", seenBefore + batch.length) // already emitted
+          // emission via an explicit flag — an in-band id sentinel would
+          // silently swallow documents with negative ids
+          if (seenBefore == 0L) (true, minId, minText, n)
+          else (false, 0L, "", seenBefore + n) // already emitted
         }
-    }.filter(_._1 >= 0L)
+    }.filter(_._1).map(r => (r._2, r._3, r._4))
   }
 
   /** Event-time windowed mention counts with a watermark: tumbling
