@@ -591,16 +591,19 @@ object RelationalQueries {
       |       CAST(json_extract_string(props, '$.k') AS INT) AS meta_k
       |FROM events WHERE event_id < 100""".stripMargin
 
-  /** All oracle-checked queries: name -> (builder, duckdb sql). */
   // =================================================================
   // bucketed co-located join (shuffle elimination at the storage layer)
   // =================================================================
 
   // registry of built table-name pairs: the counter-based tag is
   // injective within the JVM (string-derived tags are not — sanitizing
-  // or hashing two dirs can collide and silently serve wrong data)
+  // or hashing two dirs can collide and silently serve wrong data).
+  // WEAK session keys: a strong map would pin every stopped session's
+  // catalog forever in a long-lived JVM.
   private val bucketedTables =
-    scala.collection.mutable.Map.empty[(SparkSession, String), (String, String)]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (String, String)]]()
+  private var bucketedTag = 0
   // one temp root per JVM: unique (no cross-process clobbering under a
   // shared path), and bounded (one copy per table per JVM, overwritten
   // on rebuild rather than accumulating)
@@ -614,8 +617,18 @@ object RelationalQueries {
     */
   def ensureBucketedTables(s: SparkSession, dir: String): (String, String) =
     bucketedTables.synchronized {
-      bucketedTables.getOrElseUpdate((s, dir), {
-        val tag = bucketedTables.size.toString
+      val perSession = {
+        val existing = bucketedTables.get(s)
+        if (existing != null) existing
+        else {
+          val m = scala.collection.mutable.Map.empty[String, (String, String)]
+          bucketedTables.put(s, m)
+          m
+        }
+      }
+      perSession.getOrElseUpdate(dir, {
+        bucketedTag += 1
+        val tag = bucketedTag.toString
         val lt = s"graft_lineitem_b$tag"
         val ot = s"graft_orders_b$tag"
         t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -667,6 +680,7 @@ object RelationalQueries {
       |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
       |FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1""".stripMargin
 
+  /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
     "q02_dict_merge" -> ((q02_dict_merge _, q02_sql)),
