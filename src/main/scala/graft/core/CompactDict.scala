@@ -67,13 +67,30 @@ final class CompactDict private (
 
 object CompactDict {
 
+  /** Broadcast budget: the largest lexicon this structure will agree to
+    * hold. ~50M entries ≈ several GB broadcast per executor — beyond
+    * that the failure mode without a guard is an executor OOM at
+    * broadcast time, discovered late on a long job. Lexicons above the
+    * budget must take the distributed join path
+    * (`DictBuild.lookupJoin`), which never materializes the dictionary
+    * on a single host.
+    */
+  val MaxBroadcastEntries: Int = 50000000
+
   val empty: CompactDict = new CompactDict(Array.empty, Array(0), Array.empty)
 
-  def fromMap(m: Map[String, List[String]]): CompactDict =
-    fromPairs(m.iterator)
+  def fromMap(m: Map[String, List[String]],
+              maxEntries: Int = MaxBroadcastEntries): CompactDict =
+    fromPairs(m.iterator, maxEntries)
 
-  def fromPairs(entries: Iterator[(String, List[String])]): CompactDict = {
+  def fromPairs(entries: Iterator[(String, List[String])],
+                maxEntries: Int = MaxBroadcastEntries): CompactDict = {
     val sorted = entries.toArray.sortBy(_._1)
+    require(sorted.length <= maxEntries,
+      s"dictionary has ${sorted.length} entries, over the broadcast budget " +
+        s"of $maxEntries — a broadcast this size OOMs executors; use the " +
+        "distributed lookup join (graft.pipeline.DictBuild.lookupJoin) " +
+        "for lexicons of this scale")
     val keys = new Array[String](sorted.length)
     val offsets = new Array[Int](sorted.length + 1)
     val labelBuf = new scala.collection.mutable.ArrayBuffer[String]()

@@ -174,7 +174,7 @@ object Features {
         shapePairC = Some(List(0)),
         packedPairC = Some(List(0)),
         dictC = if (neDicts.isEmpty) None
-                else Some((List(-1, 0), neDicts.map(CompactDict.fromMap))),
+                else Some((List(-1, 0), neDicts.map(CompactDict.fromMap(_)))),
         intTrigsC = intDict.map(d => (List(0), CompactDict.fromMap(d))),
         extTrigsC = extDict.map(d => (List(-1), CompactDict.fromMap(d))))
   }

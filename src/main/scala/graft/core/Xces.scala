@@ -91,8 +91,21 @@ object Xces {
   def spliceGroups(body: String, spans: Seq[Span]): String = {
     val toks = TokOnlyRe.findAllMatchIn(body).toVector
     if (toks.isEmpty) return body
-    val opens = spans.groupBy(_.begin)
-    val closes = spans.groupBy(_.end)
+    // zero-width spans (begin == end — Forest.toSpans emits them for
+    // childless NE nodes) can't go through the open/close maps: their
+    // close would fire one token BEFORE their open. They are emitted as
+    // a complete empty <group></group> just before token `begin`
+    // (or after the last token when begin == toks.length).
+    val (zero, wide) = spans.partition(sp => sp.end == sp.begin)
+    val zeroAt = zero.groupBy(sp => math.min(sp.begin, toks.length))
+    val opens = wide.groupBy(_.begin)
+    val closes = wide.groupBy(_.end)
+    def emitZero(b: StringBuilder, i: Int): Unit =
+      zeroAt.get(i).foreach { zs =>
+        zs.sortBy(sp => (sp.depth, sp.neType)).foreach { sp =>
+          b ++= s"""<group type="NE" subtype="${escapeXml(sp.neType)}"></group>"""
+        }
+      }
     val b = new StringBuilder
     var pos = 0
     for (i <- toks.indices) {
@@ -105,6 +118,9 @@ object Xces {
           b ++= s"""<group type="NE" subtype="${escapeXml(sp.neType)}">"""
         }
       }
+      // empty groups anchored at token i sit inside any group opening
+      // here (zero width = innermost by construction)
+      emitZero(b, i)
       b ++= body.substring(m.start, m.end) // the token, verbatim
       pos = m.end
       // close groups whose span ends right after token i: innermost first
@@ -112,6 +128,7 @@ object Xces {
         cs.sortBy(-_.depth).foreach(_ => b ++= "</group>")
       }
     }
+    emitZero(b, toks.length) // zero-width span anchored past the last token
     b ++= body.substring(pos)
     b.result()
   }

@@ -49,7 +49,11 @@ object Ann {
     // collapses without error
     val useDim =
       if (dim > 0) dim
-      else vecs.select(size(col(embCol))).head().getInt(0)
+      else {
+        val first = vecs.select(size(col(embCol))).limit(1).collect()
+        require(first.nonEmpty, "empty vector table")
+        first(0).getInt(0)
+      }
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nTables, nBits, useDim)(rnd.nextGaussian())
     val bPlanes = s.sparkContext.broadcast(planes)
@@ -87,12 +91,17 @@ object Ann {
 
   /** Coarse IVF quantizer: deterministic seeded sample (smallest
     * xxhash64(id) — uniform, partitioning-independent, TakeOrdered so no
-    * full sort) + `iters` Lloyd iterations on the driver. Sample and
-    * centroids stay broadcast-sized at any corpus scale.
+    * full sort) + kmeans++ seeding (Arthur & Vassilvitskii 2007) +
+    * `iters` Lloyd iterations on the driver. Sample and centroids stay
+    * broadcast-sized at any corpus scale. Round 2 seeded with the first
+    * `nCells` sample vectors (≈ random seeding), which left unbalanced
+    * cells and recall 0.65; kmeans++ spreads the seeds by D² sampling
+    * and is still fully deterministic (seeded RNG over a deterministic
+    * sample).
     */
   def ivfCentroids(vecs: DataFrame, idCol: String, embCol: String,
-                   nCells: Int, sampleN: Int = 256,
-                   iters: Int = 3): Array[Array[Float]] = {
+                   nCells: Int, sampleN: Int = 1024,
+                   iters: Int = 5, seed: Long = 4321L): Array[Array[Float]] = {
     val s = vecs.sparkSession
     import s.implicits._
     val sample = vecs
@@ -103,7 +112,7 @@ object Ann {
       .collect().map(_._2)
     require(sample.nonEmpty, "empty vector table")
     val dim = sample.head.length
-    var cent = sample.take(nCells).map(_.clone) // hash order ≈ seeded random
+    var cent = kppSeeds(sample, math.min(nCells, sample.length), seed)
     for (_ <- 0 until iters) {
       val sums = Array.fill(cent.length)(new Array[Double](dim))
       val cnts = new Array[Int](cent.length)
@@ -120,13 +129,58 @@ object Ann {
     cent
   }
 
+  private def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val diff = a(i) - b(i); d += diff * diff; i += 1 }
+    d
+  }
+
+  /** kmeans++ seeding over the driver-side sample: first seed from the
+    * RNG, each further seed drawn with probability proportional to its
+    * squared distance from the nearest already-chosen seed — the
+    * standard O(k·n) D²-sampling construction.
+    */
+  private def kppSeeds(sample: Array[Array[Float]], k: Int,
+                       seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val seeds = new Array[Array[Float]](k)
+    seeds(0) = sample(rnd.nextInt(sample.length)).clone
+    val d2 = sample.map(sqDist(_, seeds(0)))
+    var c = 1
+    while (c < k) {
+      val total = d2.sum
+      // degenerate sample (all points identical to chosen seeds): any
+      // index works, keep it deterministic
+      val target = if (total > 0) rnd.nextDouble() * total else 0.0
+      var acc = 0.0; var pick = 0
+      var i = 0
+      var found = false
+      while (i < sample.length && !found) {
+        acc += d2(i)
+        if (acc >= target && (total == 0 || d2(i) > 0)) { pick = i; found = true }
+        i += 1
+      }
+      if (!found) pick = rnd.nextInt(sample.length)
+      seeds(c) = sample(pick).clone
+      var j = 0
+      while (j < sample.length) {
+        val d = sqDist(sample(j), seeds(c))
+        if (d < d2(j)) d2(j) = d
+        j += 1
+      }
+      c += 1
+    }
+    seeds
+  }
+
   /** IVF search: assign every vector to its nearest centroid; probes
     * search their `nProbe` nearest cells (corpus-side cost unchanged,
     * probe-side fans out nProbe-fold).
     */
   def ivfNeighbors(vecs: DataFrame, idCol: String, embCol: String,
                    probePred: Column, k: Int = 3, nCells: Int = 8,
-                   nProbe: Int = 3, sampleN: Int = 256): DataFrame = {
+                   nProbe: Int = 3, sampleN: Int = 1024): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
     val bCent = s.sparkContext.broadcast(

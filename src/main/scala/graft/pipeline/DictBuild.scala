@@ -134,9 +134,28 @@ object DictBuild {
       d.select(col("form"), concat(lit(s"$i:"), col("label")).as("label"))
     }.reduce(_ unionByName _))
 
+  /** Distributed dict-feature lookup for lexicons ABOVE the broadcast
+    * budget (`CompactDict.MaxBroadcastEntries`): a plain left join of
+    * the token table against the dict table on the surface form, so a
+    * 10^8-form lexicon is co-shuffled instead of materialized on every
+    * executor. Catalyst picks the join strategy by size — a small dict
+    * still broadcasts (the q04 shape), a huge one sort-merge-joins.
+    * Missing forms get an EMPTY label array, mirroring
+    * `CompactDict.getOrElse(form, Nil)` so the two paths are
+    * feature-for-feature interchangeable.
+    */
+  def lookupJoin(tokens: DataFrame, tokenCol: String, dict: DataFrame,
+                 out: String = "dict_labels"): DataFrame = {
+    val d = dict.select(col("form").as(tokenCol), col("labels").as(out))
+    tokens.join(d, Seq(tokenCol), "left")
+      .withColumn(out, coalesce(col(out), typedLit(Seq.empty[String])))
+  }
+
   /** Collect a (small) dict table to the broadcast-map shape used by the
     * feature schema. The caller is responsible for size discipline —
-    * dicts are KB-scale by contract (SURVEY.md §1.4).
+    * dicts are KB-scale by contract (SURVEY.md §1.4); `CompactDict`
+    * enforces the hard budget and points oversized lexicons at
+    * [[lookupJoin]].
     */
   def toBroadcastMap(dict: DataFrame): Map[String, List[String]] =
     dict.collect().map { r =>

@@ -30,9 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * barrier, lazy UnsafeRow emission), with output rows pinned identical
   * to the typed path by PlanParitySpec.
   *
-  * The operator stays a NARROW transformation — partitioning and
-  * ordering of the child pass through untouched, so the planner can
-  * still push the downstream shuffle decision around it.
+  * The operator stays a NARROW transformation — no shuffle: each input
+  * partition maps to one output partition (`preservesPartitioning` at
+  * the RDD level, `outputPartitioning` at the planner level). Because
+  * the output schema REPLACES the child's attributes, an
+  * attribute-based child partitioning (e.g. hash on `repo`) cannot be
+  * claimed for the output — only attribute-free partitionings
+  * (SinglePartition) survive; anything else is reported as
+  * UnknownPartitioning over the same partition count, which is the
+  * truthful contract for a schema-changing flatMap.
   */
 object NerMentions {
   /** Output schema = KgPipeline.MentionRow, field for field. */
@@ -102,6 +108,18 @@ final case class NerMentionsExec(
   // without this, QueryPlan counts them as missing inputs
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+
+  // narrow op: expose the no-shuffle fact to the planner. Child
+  // partitionings expressed over child ATTRIBUTES can't be claimed for
+  // the replaced output schema; attribute-free ones pass through.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning match {
+      case org.apache.spark.sql.catalyst.plans.physical.SinglePartition =>
+        org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+      case p =>
+        org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(
+          p.numPartitions)
+    }
 
   override protected def withNewChildInternal(c: SparkPlan): NerMentionsExec =
     copy(child = c)

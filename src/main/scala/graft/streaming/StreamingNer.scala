@@ -41,17 +41,21 @@ object StreamingNer {
     * of the batch exact-dedup operator (q16).
     *
     * State growth is the 100-TB hazard: one entry per distinct
-    * fingerprint, forever. `stateTtl` bounds it — with a TTL set, a
-    * fingerprint unseen for that long is evicted
-    * (`ProcessingTimeTimeout`) and a later re-occurrence is re-emitted:
-    * the standard windowed-dedup trade-off. `None` keeps exact
-    * unbounded semantics (and deterministic tests — the timeout makes
-    * the engine self-trigger housekeeping batches).
+    * fingerprint, forever. `stateTtl` bounds it and is a REQUIRED,
+    * explicit choice (no default — an accidental unbounded-state
+    * deployment is exactly the failure a production brief must rule
+    * out, VERDICT r2 #7):
+    *  - `Some(ttl)`: a fingerprint unseen for `ttl` is evicted
+    *    (`ProcessingTimeTimeout`) and a later re-occurrence is
+    *    RE-EMITTED — the standard windowed-dedup trade-off.
+    *  - `None`: exact unbounded semantics (and deterministic tests —
+    *    the timeout makes the engine self-trigger housekeeping
+    *    batches). Only sane for bounded-cardinality inputs.
     * Input: streaming (doc_id long, text string).
     */
   def dedupStream(spark: SparkSession,
                   docs: Dataset[(Long, String)],
-                  stateTtl: Option[scala.concurrent.duration.FiniteDuration] = None)
+                  stateTtl: Option[scala.concurrent.duration.FiniteDuration])
       : Dataset[(Long, String, Long)] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}

@@ -135,6 +135,27 @@ class XcesSpec extends AnyFunSuite {
       """<tok id="c"><orth>Novak</orth></tok></group>""")
   }
 
+  test("zero-width spans splice as adjacent empty groups, well-formed XML") {
+    // Forest.toSpans emits begin==end spans for childless NE nodes; round
+    // 2 closed them one token EARLY (</group> before the <group>),
+    // producing malformed XML (ADVICE r2)
+    val body = """<tok id="a"><orth>X</orth></tok><tok id="b"><orth>Y</orth></tok>"""
+    val out = Xces.spliceGroups(body,
+      Seq(Span("e", 1, 1, 0), Span("wide", 0, 2, 0)))
+    assert(out ==
+      """<group type="NE" subtype="wide"><tok id="a"><orth>X</orth></tok>""" +
+      """<group type="NE" subtype="e"></group>""" +
+      """<tok id="b"><orth>Y</orth></tok></group>""")
+    // zero-width at index 0 and past the last token (boundary anchors)
+    val out2 = Xces.spliceGroups(body, Seq(Span("s", 0, 0, 0), Span("t", 2, 2, 0)))
+    assert(out2 ==
+      """<group type="NE" subtype="s"></group><tok id="a"><orth>X</orth></tok>""" +
+      """<tok id="b"><orth>Y</orth></tok><group type="NE" subtype="t"></group>""")
+    // balance always holds
+    Seq(out, out2).foreach(o =>
+      assert("<group".r.findAllIn(o).size == "</group>".r.findAllIn(o).size))
+  }
+
   test("self-closing <tok/> is one empty token, not merged into the next") {
     val body = """<tok id="a"/><tok id="b"><orth>X</orth></tok><ns/><tok id="c"><orth>Y</orth></tok>"""
     val sent = Xces.parseBody(body)
@@ -305,6 +326,34 @@ class DictIoSpec extends AnyFunSuite {
     val st = DictBuild.stats(dict).collect()(0)
     assert(st.getLong(0) == 2L && st.getLong(1) == 3L && st.getLong(2) == 2L)
   }
+
+  test("oversized dict fails fast at build, pointing at the join path") {
+    val pairs = (1 to 10).iterator.map(i => s"form$i" -> List("l"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.core.CompactDict.fromPairs(pairs, maxEntries = 5)
+    }
+    assert(ex.getMessage.contains("broadcast budget"))
+    assert(ex.getMessage.contains("lookupJoin"))
+  }
+
+  test("lookupJoin matches the broadcast CompactDict path form-for-form") {
+    val dictDf = DictBuild.build(Seq(
+      ("Paris", "city"), ("Paris", "person"), ("Rome", "city"))
+      .toDF("form", "label"))
+    val cd = graft.core.CompactDict.fromMap(DictBuild.toBroadcastMap(dictDf))
+    val toks = Seq((1L, 0, "Paris"), (1L, 1, "visited"), (1L, 2, "Rome"),
+      (2L, 0, "Nowhere")).toDF("sent_id", "pos", "orth")
+    val joined = DictBuild.lookupJoin(toks, "orth", dictDf)
+      .collect()
+      .map(r => (r.getAs[Long]("sent_id"), r.getAs[Int]("pos")) ->
+        r.getAs[Seq[String]]("dict_labels").toList).toMap
+    assert(joined.size == 4, "left join must keep every token")
+    val broadcastSide = Seq((1L, 0, "Paris"), (1L, 1, "visited"),
+      (1L, 2, "Rome"), (2L, 0, "Nowhere"))
+      .map { case (s, p, o) => (s, p) -> cd.getOrElse(o, Nil) }.toMap
+    assert(joined == broadcastSide,
+      "join path and broadcast path must produce identical dict features")
+  }
 }
 
 class StreamingDedupSpec extends AnyFunSuite {
@@ -314,7 +363,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
-    val out = graft.streaming.StreamingNer.dedupStream(spark, input.toDS())
+    val out = graft.streaming.StreamingNer
+      .dedupStream(spark, input.toDS(), stateTtl = None)
       .toDF("doc_id", "text", "n_in_batch")
     val q = out.writeStream.format("memory").queryName("dedup_t")
       .outputMode("update").start()
@@ -352,6 +402,38 @@ class StreamingDedupSpec extends AnyFunSuite {
       val rows = spark.sql("SELECT doc_id FROM dedup_ttl ORDER BY doc_id")
         .collect().map(_.getLong(0)).toSeq
       assert(rows == Seq(1L, 3L), "within TTL, duplicates stay suppressed")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+  }
+
+  test("TTL eviction: an expired fingerprint is evicted and RE-EMITTED") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val input = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingNer
+      .dedupStream(spark, input.toDS(), stateTtl = Some(100.millis))
+      .toDF("doc_id", "text", "n_in_batch")
+    val q = out.writeStream.format("memory").queryName("dedup_evict")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, "alpha"))
+      q.processAllAvailable()
+      Thread.sleep(600) // let alpha's TTL lapse
+      // timeouts fire while processing a DATA batch (no-data batches
+      // disabled above): this unrelated row triggers alpha's eviction
+      input.addData((2L, "beta"))
+      q.processAllAvailable()
+      Thread.sleep(600)
+      input.addData((3L, "alpha")) // state evicted → re-emitted
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, text FROM dedup_evict ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")),
+        "post-TTL re-occurrence must re-emit (windowed-dedup contract)")
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")

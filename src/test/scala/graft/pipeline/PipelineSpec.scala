@@ -199,6 +199,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.isEmpty, "fully-committed table must resume to nothing")
   }
 
+  test("manifest counters come from the write job itself — output never re-read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_obs").toString
+    val df = (1 to 500).map(i => (s"repo$i", s"path$i", s"body $i"))
+      .toDF("src_repo", "src_path", "content")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val commits = try {
+      val c = TableIO.writeResumable(df, s"$dir/t", 16, Seq("src_repo"))
+      Thread.sleep(1000) // listener bus is async; let job-start events drain
+      c
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // round 2 re-read every written bucket to build its manifest: with 16
+    // buckets that is >16 extra jobs after the write. The observe-based
+    // manifest adds ZERO jobs — only the write itself runs (AQE may split
+    // it into a couple of stage-jobs, hence <= 4, not == 1).
+    assert(jobs <= 4, s"manifest publish launched extra jobs ($jobs) — " +
+      "output is being re-read")
+    assert(commits.map(_.rows).sum == 500)
+    // the observed counters must agree with a ground-truth re-read
+    assert(TableIO.verifyCommits(spark, s"$dir/t", 16).isEmpty,
+      "observed manifest counters disagree with the written data")
+  }
+
+  test("resume refuses a layout-version mismatch (no split-layout tables)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_layout").toString
+    val df = Seq(("r1", "a"), ("r2", "b")).toDF("src_repo", "src_path")
+    TableIO.writeResumable(df, s"$dir/t", 4, Seq("src_repo"))
+    // simulate a bucket committed by the round-1 layout (no layout field);
+    // rewrite through the same Hadoop-FS path the writer uses (a raw nio
+    // write would orphan LocalFileSystem's .crc sidecar)
+    val p = s"$dir/t/_commits/bucket-1.json"
+    val v1 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+      .replace(s""","layout":${TableIO.LayoutVersion}""", "")
+    TableIO.atomicWrite(p, v1)
+    assert(TableIO.readLayout(s"$dir/t", 1) == 1)
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.writeResumable(df, s"$dir/t", 4, Seq("src_repo"))
+    }
+    assert(ex.getMessage.contains("layout mismatch"))
+  }
+
   test("golden gate: triple-set P/R vs committed golden = 1.0") {
     import spark.implicits._
     val files = KgPipeline.synthInput(spark, 25, partitions = 2)

@@ -67,7 +67,8 @@ class AnnSpec extends AnyFunSuite {
       got.getOrElse(q, Set.empty).intersect(want).size }.sum
     val recall = hits.toDouble / brute.map(_._2.size).sum
     info(f"IVF recall@3 = $recall%.3f")
-    assert(recall >= 0.5, f"IVF recall@3 $recall%.3f below 0.5")
+    // kmeans++ seeding (round 3) lifted this from 0.65; gate at 0.8
+    assert(recall >= 0.8, f"IVF recall@3 $recall%.3f below 0.8")
   }
 
   test("LSH ANN recall@3 vs brute force on the probe set") {
@@ -81,7 +82,7 @@ class AnnSpec extends AnyFunSuite {
       got.getOrElse(q, Set.empty).intersect(want).size }.sum
     val recall = hits.toDouble / brute.map(_._2.size).sum
     info(f"LSH recall@3 = $recall%.3f")
-    assert(recall >= 0.6, f"LSH recall@3 $recall%.3f below 0.6")
+    assert(recall >= 0.8, f"LSH recall@3 $recall%.3f below 0.8")
   }
 
   test("q44 banded self-join reuses the signature exchange (one upstream pass)") {
@@ -94,10 +95,12 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("q44 minhash-LSH: exact precision, high recall vs brute-force Jaccard") {
-    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // gate on the CORRECTNESS-run scale (sf0.01), per VERDICT r2 #5
+    val qDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$qDir/documents.parquet").exists())
     import spark.implicits._
     // brute-force oracle: all pairs with shingle-Jaccard >= 0.5
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$qDir/documents.parquet")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
     def shingles(t: String): Set[String] = {
       val ws = t.split(" ")
@@ -112,7 +115,7 @@ class AnnSpec extends AnyFunSuite {
       inter = (s1 & s2).size
       if inter * 2 >= s1.size + s2.size - inter // J >= 0.5
     } yield (math.min(id1, id2), math.max(id1, id2))).toSet
-    val got = PipelineQueries.q44_minhash_pairs(spark, dir).collect()
+    val got = PipelineQueries.q44_minhash_pairs(spark, qDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // the exact-Jaccard verify step makes precision 1.0 by construction
     assert(got.subsetOf(truePairs), s"false positives: ${got -- truePairs}")
@@ -120,7 +123,46 @@ class AnnSpec extends AnyFunSuite {
     val recall = if (truePairs.isEmpty) 1.0
                  else got.size.toDouble / truePairs.size
     info(f"q44 recall vs brute force = $recall%.3f (${got.size}/${truePairs.size})")
-    assert(recall >= 0.8, f"LSH banding missed too many true pairs: $recall%.3f")
+    assert(truePairs.nonEmpty, "gate is vacuous: no true near-dup pairs at this SF")
+    assert(recall >= 0.9, f"LSH banding missed too many true pairs: $recall%.3f")
+  }
+
+  test("q45 simhash groups match a driver-side brute-force recompute") {
+    val qDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$qDir/documents.parquet").exists())
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$qDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // shared primitive only: the engine's xxhash64 per DISTINCT token;
+    // the bit-vote aggregation and the grouping are re-derived on the
+    // driver, independently of the DataFrame pipeline under test
+    val vocab = docs.flatMap(_._2.split(" ", -1)).distinct.toSeq
+    val hashOf = vocab.toDF("tok")
+      .select(col("tok"), xxhash64(col("tok")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def fingerprint(text: String): Long = {
+      val votes = new Array[Long](32)
+      text.split(" ", -1).foreach { t =>
+        val h = hashOf(t)
+        var b = 0
+        while (b < 32) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1); b += 1
+        }
+      }
+      (0 until 32).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    }
+    val want = docs.map { case (id, t) => (fingerprint(t), id) }
+      .groupBy(_._1).filter(_._2.length > 1)
+      .map { case (fp, members) =>
+        val ids = members.map(_._2).sorted
+        (fp, ids.length.toLong, ids.head, ids.last, ids.mkString(","))
+      }.toSet
+    val got = PipelineQueries.q45_simhash(spark, qDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(want.nonEmpty, "gate is vacuous: no simhash collisions at this SF")
+    assert(got == want,
+      s"simhash groups diverge from brute force: extra=${got -- want} missing=${want -- got}")
   }
 
   test("q50 bucketed join plans without a join-side shuffle") {
