@@ -108,9 +108,8 @@ object TextDedup {
     * substring-level exact dedup a curation pipeline runs to strip
     * boilerplate (license headers, navigation chrome) that
     * document-level dedup misses. Spans are grouped by their TEXT here
-    * (portable, oracle-checkable); at 100 TB group by xxhash64(gram)
-    * instead and keep one exemplar string per hash — same plan shape,
-    * fixed-width shuffle keys.
+    * (portable, oracle-checkable — this is q51's shape); the 100-TB
+    * rendition is [[duplicatedSpanHashes]].
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 20): DataFrame =
@@ -123,6 +122,31 @@ object TextDedup {
         .as("gram"))
       .groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occ"))
+      .where(col("n_docs") > 1)
+
+  /** Scale rendition of [[duplicatedSpans]]: spans grouped by
+    * `xxhash64(gram)` — the final shuffle carries a fixed-width 8-byte
+    * key per span instead of `n` words of text — with ONE exemplar
+    * string kept per hash via `min(gram)` so the output stays
+    * human-actionable. The exemplar min() is partial-agg friendly:
+    * map-side combine reduces each partition to one candidate string
+    * per distinct hash before the exchange, so text volume on the wire
+    * is bounded by distinct-grams-per-partition, not span occurrences.
+    * Same counts as [[duplicatedSpans]] up to 64-bit hash collisions
+    * (~2^-64 per gram pair; a collision merges two gram groups).
+    * Output: (gram_hash, exemplar, n_docs, n_occ).
+    */
+  def duplicatedSpanHashes(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 20): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
+        .as("gram"))
+      .groupBy(xxhash64(col("gram")).as("gram_hash"))
+      .agg(min(col("gram")).as("exemplar"),
+           countDistinct(col("doc_id")).as("n_docs"),
            count(lit(1)).as("n_occ"))
       .where(col("n_docs") > 1)
 

@@ -680,6 +680,28 @@ object RelationalQueries {
       |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
       |FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1""".stripMargin
 
+  /** The 100-TB rendition of q51: same duplicated-span semantics, but the
+    * final shuffle groups 8-byte xxhash64(gram) keys, carrying ONE
+    * exemplar string per hash via a partial-agg min() (see
+    * graft.pipeline.TextDedup.duplicatedSpanHashes). The hash column is
+    * dropped from the output so DuckDB can oracle the result: each hash
+    * group holds exactly one distinct gram (w.h.p.), so (exemplar,
+    * n_docs, n_occ) must equal q51's rows under a rename.
+    */
+  def q52_substring_dups_hashed(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextDedup.duplicatedSpanHashes(
+      t(s, dir, "documents"), "doc_id", "text", n = 20)
+      .select(col("exemplar"), col("n_docs"), col("n_occ"))
+
+  val q52_sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(ws[i:i+19], ' ') AS gram
+      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 19, 0) + 1)) AS i)
+      |)
+      |SELECT gram AS exemplar, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+      |FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -710,5 +732,6 @@ object RelationalQueries {
     "q29_compare_rollup" -> ((q29_compare_rollup _, q29_sql)),
     "q30_media_meta" -> ((q30_media_meta _, q30_sql)),
     "q50_bucketed_join" -> ((q50_bucketed_join _, q50_sql)),
-    "q51_substring_dups" -> ((q51_substring_dups _, q51_sql)))
+    "q51_substring_dups" -> ((q51_substring_dups _, q51_sql)),
+    "q52_substring_dups_hashed" -> ((q52_substring_dups_hashed _, q52_sql)))
 }

@@ -21,6 +21,25 @@ class LibrarySurfaceSpec extends AnyFunSuite {
     assert(pairs == Set((10L, 20L)), s"got $pairs")
   }
 
+  test("duplicatedSpanHashes matches duplicatedSpans gram-for-gram") {
+    import spark.implicits._
+    val boiler = (1 to 25).map(i => s"w$i").mkString(" ") // shared 25-token block
+    val df = Seq(
+      (1L, s"intro one $boiler tail alpha"),
+      (2L, s"different opening here $boiler closing"),
+      (3L, "no shared content in this document at all " +
+        (1 to 20).map(i => s"u$i").mkString(" ")))
+      .toDF("d", "t")
+    val byText = TextDedup.duplicatedSpans(df, "d", "t", n = 20)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byHash = TextDedup.duplicatedSpanHashes(df, "d", "t", n = 20)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byText.nonEmpty, "planted boilerplate must produce duplicated spans")
+    // identical gram set with identical counts; exemplar == the gram
+    // itself (every hash group here holds exactly one distinct gram)
+    assert(byHash == byText)
+  }
+
   test("TextDedup.simhash: identical docs collide, different docs don't") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
