@@ -85,12 +85,18 @@ object CompactDict {
 
   def fromPairs(entries: Iterator[(String, List[String])],
                 maxEntries: Int = MaxBroadcastEntries): CompactDict = {
-    val sorted = entries.toArray.sortBy(_._1)
-    require(sorted.length <= maxEntries,
-      s"dictionary has ${sorted.length} entries, over the broadcast budget " +
-        s"of $maxEntries — a broadcast this size OOMs executors; use the " +
-        "distributed lookup join (graft.pipeline.DictBuild.lookupJoin) " +
-        "for lexicons of this scale")
+    // guard WHILE consuming: materializing an oversized stream first and
+    // checking after would OOM before the actionable message ever prints
+    val buf = new scala.collection.mutable.ArrayBuffer[(String, List[String])]()
+    while (entries.hasNext) {
+      buf += entries.next()
+      require(buf.length <= maxEntries,
+        s"dictionary exceeds the broadcast budget of $maxEntries entries " +
+          "— a broadcast this size OOMs executors; use the distributed " +
+          "lookup join (graft.pipeline.DictBuild.lookupJoin) for lexicons " +
+          "of this scale")
+    }
+    val sorted = buf.toArray.sortBy(_._1)
     val keys = new Array[String](sorted.length)
     val offsets = new Array[Int](sorted.length + 1)
     val labelBuf = new scala.collection.mutable.ArrayBuffer[String]()

@@ -90,45 +90,56 @@ object Xces {
     */
   def spliceGroups(body: String, spans: Seq[Span]): String = {
     val toks = TokOnlyRe.findAllMatchIn(body).toVector
-    if (toks.isEmpty) return body
     // zero-width spans (begin == end — Forest.toSpans emits them for
     // childless NE nodes) can't go through the open/close maps: their
     // close would fire one token BEFORE their open. They are emitted as
-    // a complete empty <group></group> just before token `begin`
-    // (or after the last token when begin == toks.length).
+    // complete empty <group></group> elements at their boundary, NESTED
+    // BY DEPTH: a zero-width span deeper than a span CLOSING at the same
+    // boundary is its last child and must be emitted before that close;
+    // the rest sit after the boundary's opens (first children / siblings).
     val (zero, wide) = spans.partition(sp => sp.end == sp.begin)
-    val zeroAt = zero.groupBy(sp => math.min(sp.begin, toks.length))
+    def emptyGroup(sp: Span): String =
+      s"""<group type="NE" subtype="${escapeXml(sp.neType)}"></group>"""
+    if (toks.isEmpty)
+      return zero.sortBy(sp => (sp.depth, sp.neType)).map(emptyGroup).mkString + body
+    val zeroAt = zero.groupBy(sp => math.min(math.max(sp.begin, 0), toks.length))
     val opens = wide.groupBy(_.begin)
     val closes = wide.groupBy(_.end)
-    def emitZero(b: StringBuilder, i: Int): Unit =
-      zeroAt.get(i).foreach { zs =>
-        zs.sortBy(sp => (sp.depth, sp.neType)).foreach { sp =>
-          b ++= s"""<group type="NE" subtype="${escapeXml(sp.neType)}"></group>"""
-        }
-      }
     val b = new StringBuilder
     var pos = 0
-    for (i <- toks.indices) {
-      val m = toks(i)
-      // original content between previous token (or start) and this token
-      b ++= body.substring(pos, m.start)
-      // open groups whose span begins at token i: outermost first
-      opens.get(i).foreach { os =>
-        os.sortBy(sp => (sp.depth, -(sp.end - sp.begin))).foreach { sp =>
-          b ++= s"""<group type="NE" subtype="${escapeXml(sp.neType)}">"""
+    for (i <- 0 to toks.length) { // token boundaries
+      // deepest first, so children pair with the innermost closing span
+      var zws = zeroAt.getOrElse(i, Nil)
+        .sortBy(sp => (-sp.depth, sp.neType)).toList
+      // close spans ending at boundary i (innermost first), emitting any
+      // deeper zero-width span INSIDE the span it is a child of
+      closes.get(i).foreach { cs =>
+        cs.sortBy(-_.depth).foreach { c =>
+          val (inside, rest) = zws.partition(_.depth > c.depth)
+          inside.foreach(z => b ++= emptyGroup(z))
+          zws = rest
+          b ++= "</group>"
         }
       }
-      // empty groups anchored at token i sit inside any group opening
-      // here (zero width = innermost by construction)
-      emitZero(b, i)
-      b ++= body.substring(m.start, m.end) // the token, verbatim
-      pos = m.end
-      // close groups whose span ends right after token i: innermost first
-      closes.get(i + 1).foreach { cs =>
-        cs.sortBy(-_.depth).foreach(_ => b ++= "</group>")
+      if (i < toks.length) {
+        val m = toks(i)
+        // original content between previous token (or start) and this token
+        b ++= body.substring(pos, m.start)
+        // open groups whose span begins at token i: outermost first
+        opens.get(i).foreach { os =>
+          os.sortBy(sp => (sp.depth, -(sp.end - sp.begin))).foreach { sp =>
+            b ++= s"""<group type="NE" subtype="${escapeXml(sp.neType)}">"""
+          }
+        }
+        // remaining empty groups sit inside the opens (or stand alone)
+        zws.sortBy(sp => (sp.depth, sp.neType)).foreach(z => b ++= emptyGroup(z))
+        b ++= body.substring(m.start, m.end) // the token, verbatim
+        pos = m.end
+      } else {
+        // boundary past the last token: anything still pending
+        zws.sortBy(sp => (sp.depth, sp.neType)).foreach(z => b ++= emptyGroup(z))
       }
     }
-    emitZero(b, toks.length) // zero-width span anchored past the last token
     b ++= body.substring(pos)
     b.result()
   }

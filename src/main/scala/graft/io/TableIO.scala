@@ -48,7 +48,8 @@ object TableIO {
     val rows = obs.get("rows").asInstanceOf[Long]
     val manifest =
       s"""{"snapshot_id":${jstr(snapshotId)},"rows":$rows,"format":"parquet","invariant":"content_sha256"}"""
-    atomicWrite(s"$dir/_snapshot.json", manifest)
+    atomicWrite(s"$dir/_snapshot.json", manifest,
+      df.sparkSession.sessionState.newHadoopConf())
   }
 
   /** Re-verify the per-row invariant: rows whose current sha256(content)
@@ -67,9 +68,20 @@ object TableIO {
 
   private def commitPath(dir: String, k: Int) = s"$dir/_commits/bucket-$k.json"
 
+  /** One listStatus of `_commits` instead of a per-bucket exists() —
+    * on an object store each exists() is a sequential HEAD round-trip.
+    */
   def committedBuckets(dir: String, buckets: Int,
-                       conf: Configuration = new Configuration()): Set[Int] =
-    (0 until buckets).filter(k => hExists(commitPath(dir, k), conf)).toSet
+                       conf: Configuration = new Configuration()): Set[Int] = {
+    val p = new HPath(s"$dir/_commits")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Set.empty
+    val Name = "bucket-(\\d+)\\.json".r
+    fs.listStatus(p).iterator.flatMap(_.getPath.getName match {
+      case Name(k) => Some(k.toInt)
+      case _ => None
+    }).filter(_ < buckets).toSet
+  }
 
   /** Write `df` bucketed by `pmod(hash(bucketCols), buckets)`, committing
     * each bucket atomically (write data → manifest via temp+rename).
@@ -88,6 +100,23 @@ object TableIO {
     * output IO and serializes `buckets` driver jobs — VERDICT r2 #1).
     * `verifyCommits` keeps the read-back as an opt-in audit.
     *
+    * Retry safety: observed metrics are accumulator-backed, and Spark
+    * only guarantees exactly-once accumulator application for actions —
+    * a resubmitted shuffle-map stage (FetchFailed on a lost executor)
+    * re-applies its partitions' updates, inflating the count and
+    * XOR-cancelling those partitions out of the checksum. Double-apply
+    * strictly INCREASES the observed count, so it is detectable: each
+    * bucket's observed rows are cross-checked against the written
+    * parquet FOOTER row counts (metadata-only, no data read); on
+    * mismatch — rare, only after stage re-execution — that bucket's
+    * counters are recomputed from its data before the manifest commits.
+    *
+    * Cost note: the observe evaluates 2×|todo| conditional aggregates
+    * per row. That is O(1)-cheap per bucket at table-layout bucket
+    * counts (≤ low hundreds, like Iceberg partition specs) but would
+    * degrade codegen at thousands — `buckets` is bounded accordingly
+    * rather than degrading silently.
+    *
     * Skew/parallelism: rows are repartitioned on (_bucket, salt) where
     * the salt is a content hash — `salts` tasks per bucket, so write
     * parallelism is buckets×salts (not capped at the bucket count) and
@@ -100,6 +129,9 @@ object TableIO {
                      bucketCols: Seq[String],
                      lineage: Map[String, String] = Map.empty,
                      salts: Int = 8): Seq[BucketCommit] = {
+    require(buckets >= 1 && buckets <= 512,
+      s"buckets=$buckets out of [1, 512]: per-row manifest-counter cost is " +
+        "linear in the bucket count (see scaladoc) — use fewer, larger buckets")
     val conf = df.sparkSession.sessionState.newHadoopConf()
     hMkdirs(s"$dir/_commits", conf)
     val done = committedBuckets(dir, buckets, conf)
@@ -154,14 +186,62 @@ object TableIO {
     // chasing a bucket that can never appear.
     val metrics = obs.get
     todo.map { k =>
-      val c = BucketCommit(k, metrics(s"rows_$k").asInstanceOf[Long],
+      val observed = BucketCommit(k, metrics(s"rows_$k").asInstanceOf[Long],
         metrics(s"sum_$k").asInstanceOf[Long])
+      // retry-safety cross-check (see scaladoc): footer row counts are
+      // ground truth; a stage re-execution inflates the observed count
+      val footer = footerRows(s"$dir/data/_bucket=$k", conf)
+      val c =
+        if (footer == observed.rows) observed
+        else {
+          System.err.println(s"[TableIO] observed rows for bucket $k " +
+            s"(${observed.rows}) != parquet footers ($footer) — stage " +
+            "re-execution detected; recomputing counters from written data")
+          recomputeBucket(df.sparkSession, dir, k)
+        }
       val lineageJson = lineage.toSeq.sortBy(_._1).map { case (k2, v) =>
         s"${jstr(k2)}:${jstr(v)}" }.mkString(",")
       atomicWrite(commitPath(dir, k),
         s"""{"bucket":${c.bucket},"rows":${c.rows},"checksum":${c.checksum},"layout":$LayoutVersion,"lineage":{$lineageJson}}""",
         conf)
       c
+    }
+  }
+
+  /** Sum of parquet footer row counts for one bucket directory —
+    * metadata-only (a footer is a few KB), exact regardless of task or
+    * stage retries. 0 for a missing directory (zero-row bucket).
+    */
+  private def footerRows(path: String, conf: Configuration): Long = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    fs.listStatus(p).iterator
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
+  /** Ground-truth (rows, checksum) for one bucket from its written data —
+    * the rare-path fallback when the observed metrics fail the footer
+    * cross-check, and the core of the `verifyCommits` audit.
+    */
+  private def recomputeBucket(spark: SparkSession, dir: String,
+                              k: Int): BucketCommit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = s"$dir/data/_bucket=$k"
+    if (!hExists(path, conf)) BucketCommit(k, 0L, 0L)
+    else {
+      val written = spark.read.parquet(path)
+      val agg = written
+        .select(xxhash64(written.columns.map(col): _*).as("h"))
+        .agg(count(lit(1)).as("rows"),
+             coalesce(bit_xor(col("h")), lit(0L)).as("checksum"))
+        .collect()(0)
+      BucketCommit(k, agg.getLong(0), agg.getLong(1))
     }
   }
 
@@ -175,19 +255,15 @@ object TableIO {
                     buckets: Int): Seq[Int] = {
     val conf = spark.sessionState.newHadoopConf()
     readCommits(dir, buckets, conf).flatMap { c =>
-      val path = s"$dir/data/_bucket=${c.bucket}"
-      val (rows, sum) =
-        if (!hExists(path, conf)) (0L, 0L)
-        else {
-          val written = spark.read.parquet(path)
-          val agg = written
-            .select(xxhash64(written.columns.map(col): _*).as("h"))
-            .agg(count(lit(1)).as("rows"),
-                 coalesce(bit_xor(col("h")), lit(0L)).as("checksum"))
-            .collect()(0)
-          (agg.getLong(0), agg.getLong(1))
-        }
-      if (rows == c.rows && sum == c.checksum) None else Some(c.bucket)
+      // an old-layout table keeps its data at paths this audit never
+      // reads — report the layout mismatch, not phantom corruption
+      val layout = readLayout(dir, c.bucket, conf)
+      require(layout == LayoutVersion,
+        s"verify layout mismatch on bucket ${c.bucket}: committed " +
+          s"layout=$layout, this build reads layout=$LayoutVersion ($dir)")
+      val truth = recomputeBucket(spark, dir, c.bucket)
+      if (truth.rows == c.rows && truth.checksum == c.checksum) None
+      else Some(c.bucket)
     }
   }
 

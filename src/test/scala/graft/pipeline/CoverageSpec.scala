@@ -156,6 +156,27 @@ class XcesSpec extends AnyFunSuite {
       assert("<group".r.findAllIn(o).size == "</group>".r.findAllIn(o).size))
   }
 
+  test("zero-width LAST child splices inside its parent's closing tag") {
+    // NeNode("per", [NeLeaf, NeNode("org", Nil)]) → spans per=[0,1)@0,
+    // org=[1,1)@1: the childless org is per's last child and must nest
+    // INSIDE per's close, not after it (round-3 review finding)
+    val body = """<tok id="a"><orth>X</orth></tok>"""
+    val out = Xces.spliceGroups(body,
+      Seq(Span("per", 0, 1, 0), Span("org", 1, 1, 1)))
+    assert(out ==
+      """<group type="NE" subtype="per"><tok id="a"><orth>X</orth></tok>""" +
+      """<group type="NE" subtype="org"></group></group>""")
+    // sibling AFTER the parent (same boundary, depth 0) stays outside
+    val out2 = Xces.spliceGroups(body,
+      Seq(Span("per", 0, 1, 0), Span("org", 1, 1, 0)))
+    assert(out2 ==
+      """<group type="NE" subtype="per"><tok id="a"><orth>X</orth></tok>""" +
+      """</group><group type="NE" subtype="org"></group>""")
+    // token-less body still emits the empty groups instead of dropping them
+    assert(Xces.spliceGroups("<ns/>", Seq(Span("e", 0, 0, 0))) ==
+      """<group type="NE" subtype="e"></group><ns/>""")
+  }
+
   test("self-closing <tok/> is one empty token, not merged into the next") {
     val body = """<tok id="a"/><tok id="b"><orth>X</orth></tok><ns/><tok id="c"><orth>Y</orth></tok>"""
     val sent = Xces.parseBody(body)
