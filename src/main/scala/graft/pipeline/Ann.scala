@@ -23,12 +23,18 @@ object Ann {
                    dedupe: Boolean): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    // score BEFORE the dedup/window exchanges: the probe join is a
+    // broadcast (probe side is small by contract), so scoring there is
+    // map-side and codegen'd — the shuffles that follow then carry
+    // (q_id, vec_id, cos) scalars instead of two full embedding vectors
+    // per candidate. Re-scoring a multi-table duplicate is cheaper than
+    // shipping its vectors (the duplicates collapse to one row anyway).
     val joined = bucketed.join(probes, joinKeys)
       .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(
+        VecFunctions.ner_cosine(col("embedding"), col("q_emb")), 6).as("cos"))
     val cand = if (dedupe) joined.dropDuplicates("q_id", "vec_id") else joined
     cand
-      .withColumn("cos", round(
-        VecFunctions.ner_cosine(col("embedding"), col("q_emb")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
