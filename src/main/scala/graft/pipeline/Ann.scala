@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Default quantizer sample size — referenced by the spec-facing
+    * wrapper too, so the two cannot drift.
+    */
+  val DefaultSampleN: Int = 1024
+
   private def topK(bucketed: DataFrame, probes: DataFrame,
                    joinKeys: Seq[String], k: Int,
                    dedupe: Boolean): DataFrame = {
@@ -106,7 +111,7 @@ object Ann {
     * sample).
     */
   def ivfCentroids(vecs: DataFrame, idCol: String, embCol: String,
-                   nCells: Int, sampleN: Int = 1024,
+                   nCells: Int, sampleN: Int = DefaultSampleN,
                    iters: Int = 5, seed: Long = 4321L): Array[Array[Float]] = {
     val s = vecs.sparkSession
     import s.implicits._
@@ -186,7 +191,7 @@ object Ann {
     */
   def ivfNeighbors(vecs: DataFrame, idCol: String, embCol: String,
                    probePred: Column, k: Int = 3, nCells: Int = 8,
-                   nProbe: Int = 3, sampleN: Int = 1024): DataFrame = {
+                   nProbe: Int = 3, sampleN: Int = DefaultSampleN): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
     val bCent = s.sparkContext.broadcast(

@@ -28,12 +28,16 @@ object TextDedup {
     * MinHash pipeline runs on [[shingleHashes]] so its shuffles carry
     * fixed-width 8-byte keys instead of ~3-word strings.
     */
+  /** SQL for the array of k-word shingles of `ws` — single source for
+    * both the text-keyed and hash-keyed pipelines.
+    */
+  private def shingleArraySql(k: Int): String =
+    s"transform(sequence(0, greatest(size(ws) - $k, 0)), i -> concat_ws(' ', slice(ws, i + 1, $k)))"
+
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, greatest(size(ws) - $k, 0)), i -> concat_ws(' ', slice(ws, i + 1, $k)))"))
-        .as("tok"))
+      .select(col("doc_id"), explode(expr(shingleArraySql(k))).as("tok"))
       .distinct()
 
   /** Distinct k-word shingle HASHES: (id, gh) with gh = xxhash64(text).
@@ -48,8 +52,7 @@ object TextDedup {
                     k: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, greatest(size(ws) - $k, 0)), i -> xxhash64(concat_ws(' ', slice(ws, i + 1, $k))))"))
-        .as("gh"))
+        s"transform(${shingleArraySql(k)}, g -> xxhash64(g))")).as("gh"))
       .distinct()
 
   /** MinHash signatures banded to (doc_id, band, bk) rows; `numHashes`
@@ -111,15 +114,22 @@ object TextDedup {
     * (portable, oracle-checkable — this is q51's shape); the 100-TB
     * rendition is [[duplicatedSpanHashes]].
     */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 20): DataFrame =
+  /** Every n-token span of every document: (doc_id, gram) — the shared
+    * generator for both duplicated-span renditions, so the short-doc
+    * guard (Spark's sequence(1, 0) DESCENDS rather than being empty)
+    * and the tokenization can never drift between them.
+    */
+  private def spanGrams(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
-      // docs shorter than n tokens contribute no spans (Spark's
-      // sequence(1, 0) DESCENDS rather than being empty)
       .where(size(col("ws")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
         .as("gram"))
+
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 20): DataFrame =
+    spanGrams(docs, idCol, textCol, n)
       .groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
            count(lit(1)).as("n_occ"))
@@ -139,11 +149,7 @@ object TextDedup {
     */
   def duplicatedSpanHashes(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 20): DataFrame =
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
-      .where(size(col("ws")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
-        .as("gram"))
+    spanGrams(docs, idCol, textCol, n)
       .groupBy(xxhash64(col("gram")).as("gram_hash"))
       .agg(min(col("gram")).as("exemplar"),
            countDistinct(col("doc_id")).as("n_docs"),

@@ -93,7 +93,7 @@ object PipelineQueries {
     * lives in [[graft.pipeline.Ann.ivfCentroids]].
     */
   def ivfCentroids(vecs: DataFrame, nCells: Int,
-                   sampleN: Int = 1024): Array[Array[Float]] =
+                   sampleN: Int = graft.pipeline.Ann.DefaultSampleN): Array[Array[Float]] =
     graft.pipeline.Ann.ivfCentroids(vecs, "vec_id", "embedding",
       nCells, sampleN)
 

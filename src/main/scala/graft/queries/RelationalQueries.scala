@@ -671,14 +671,20 @@ object RelationalQueries {
     graft.pipeline.TextDedup.duplicatedSpans(
       t(s, dir, "documents"), "doc_id", "text", n = 20)
 
-  val q51_sql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |grams AS (
-      |  SELECT doc_id, array_to_string(ws[i:i+19], ' ') AS gram
-      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 19, 0) + 1)) AS i)
-      |)
-      |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
-      |FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1""".stripMargin
+  /** One oracle template for both duplicated-span renditions (q51/q52):
+    * only the projected name of the gram differs, so the tokenization
+    * and short-doc guard cannot drift between the two oracles.
+    */
+  private def substringDupsSql(gramAs: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |grams AS (
+       |  SELECT doc_id, array_to_string(ws[i:i+19], ' ') AS gram
+       |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 19, 0) + 1)) AS i)
+       |)
+       |SELECT gram AS $gramAs, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+       |FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1""".stripMargin
+
+  val q51_sql: String = substringDupsSql("gram")
 
   /** The 100-TB rendition of q51: same duplicated-span semantics, but the
     * final shuffle groups 8-byte xxhash64(gram) keys, carrying ONE
@@ -693,14 +699,7 @@ object RelationalQueries {
       t(s, dir, "documents"), "doc_id", "text", n = 20)
       .select(col("exemplar"), col("n_docs"), col("n_occ"))
 
-  val q52_sql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |grams AS (
-      |  SELECT doc_id, array_to_string(ws[i:i+19], ' ') AS gram
-      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 19, 0) + 1)) AS i)
-      |)
-      |SELECT gram AS exemplar, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
-      |FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1""".stripMargin
+  val q52_sql: String = substringDupsSql("exemplar")
 
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
