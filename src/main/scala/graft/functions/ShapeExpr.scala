@@ -27,6 +27,15 @@ object ShapeKernels {
 
 abstract class ShapeLike extends UnaryExpression {
   override def dataType: DataType = StringType
+  // reject ner_shape(42) at ANALYSIS time — without this the generated
+  // code passes a non-UTF8String to the kernel and fails mid-job with a
+  // janino/ClassCastException instead of an AnalysisException
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
   protected def kernel: String // method name on ShapeKernels
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

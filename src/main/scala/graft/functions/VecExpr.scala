@@ -25,20 +25,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * while this kernel scores the common prefix with full-array norms —
   * a defined value instead of a silent NULL drop. Measured 34x faster
   * than the lambda on the q21 all-pairs shape (2M pairs, 64-dim,
-  * local[8] — `tools/CosineBench`).
+  * local[8] — `tools/CosineBench`). A NULL ELEMENT anywhere in either
+  * array null-poisons the result, exactly like the lambda (reading the
+  * slot as 0.0 would produce a defined-but-wrong similarity).
   */
 object VecKernels {
-  /** dot(a,b) / (|a|·|b|) over the common prefix; NaN-free for zero
-    * vectors is the caller's concern (mirrors the lambda formulation,
-    * which also divides by zero into NaN/Infinity).
+  /** dot(a,b) / (|a|·|b|) over the common prefix; null if either array
+    * has a null element (lambda parity); NaN-free for zero vectors is
+    * the caller's concern (mirrors the lambda formulation, which also
+    * divides by zero into NaN/Infinity).
     */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y
@@ -49,9 +53,15 @@ object VecKernels {
     // norms must cover the FULL arrays (not just the common prefix) to
     // match sqrt(aggregate(a, ...)) over each array independently
     var j = n
-    while (j < a.numElements()) { val x = a.getFloat(j).toDouble; na += x * x; j += 1 }
+    while (j < a.numElements()) {
+      if (a.isNullAt(j)) return null
+      val x = a.getFloat(j).toDouble; na += x * x; j += 1
+    }
     var k = n
-    while (k < b.numElements()) { val y = b.getFloat(k).toDouble; nb += y * y; k += 1 }
+    while (k < b.numElements()) {
+      if (b.isNullAt(k)) return null
+      val y = b.getFloat(k).toDouble; nb += y * y; k += 1
+    }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }
@@ -70,11 +80,17 @@ case class NerCosine(left: Expression, right: Expression)
       s"ner_cosine expects (array<float>, array<float>), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
+  override def nullable: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecKernels.cosine($a, $b)")
+    // nullSafeCodeGen (not defineCodeGen): the kernel returns null for
+    // arrays with null elements, which must surface as SQL NULL
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |java.lang.Double ${ev.value}Box = graft.functions.VecKernels.cosine($a, $b);
+      |if (${ev.value}Box == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ${ev.value}Box.doubleValue(); }
+      |""".stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NerCosine =
     copy(left = l, right = r)
   override def prettyName: String = "ner_cosine"

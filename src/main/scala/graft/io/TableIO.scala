@@ -300,7 +300,7 @@ object TableIO {
     case c => c.toString
   } + "\""
 
-  private def junescape(s: String): String = {
+  private[graft] def junescape(s: String): String = {
     val b = new StringBuilder
     var i = 0
     while (i < s.length) {

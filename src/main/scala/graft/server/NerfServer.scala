@@ -30,27 +30,40 @@ object NerfServer {
     out.flush()
   }
 
+  /** Requests are bounded by this (desync/abuse guard); responses get
+    * 8× headroom — annotation inflates the payload (tags per mention),
+    * and a reply the server legally produced must not be rejected by
+    * the client's own reader.
+    */
+  val MaxRequestBytes: Int = 64 * 1024 * 1024
+  val MaxResponseBytes: Int = 8 * MaxRequestBytes
+
   /** Read one length-prefixed UTF-8 frame. */
-  def recvMsg(in: DataInputStream): String = {
+  def recvMsg(in: DataInputStream,
+              maxBytes: Int = MaxRequestBytes): String = {
     val n = in.readInt()
-    require(n >= 0 && n <= 64 * 1024 * 1024, s"frame too large: $n")
+    require(n >= 0 && n <= maxBytes, s"frame too large: $n (max $maxBytes)")
     val buf = new Array[Byte](n)
     in.readFully(buf)
     new String(buf, UTF_8)
   }
 
   /** Annotate a (possibly multi-line) request: one ENAMEX-rendered
-    * sentence per input line.
+    * sentence per input line. limit = -1 keeps trailing empty lines, so
+    * the reply always has exactly as many lines as the request — a
+    * line-aligned consumer must never lose rows.
     */
   def annotate(model: NerfModel, text: String): String =
-    text.split('\n').iterator
+    text.split("\n", -1).iterator
       .map(line => Forest.renderEnamex(model.ner(line)))
       .mkString("\n")
 
   /** Bind and start serving on a daemon accept thread; returns the bound
     * socket so callers (tests, mains) control lifetime and can read the
     * ephemeral port. One request per connection, mirroring the
-    * reference.
+    * reference. Any failure of the accept loop itself (not just a
+    * normal close) tears the socket down — a bound-but-dead server
+    * would leave clients blocking in the backlog forever.
     */
   def serve(model: NerfModel, port: Int): ServerSocket = {
     val server = new ServerSocket(port)
@@ -58,11 +71,17 @@ object NerfServer {
       try {
         while (!server.isClosed) {
           val sock = server.accept()
-          val worker = new Thread(() => handle(model, sock))
-          worker.setDaemon(true)
-          worker.start()
+          try {
+            val worker = new Thread(() => handle(model, sock))
+            worker.setDaemon(true)
+            worker.start()
+          } catch { case t: Throwable => sock.close(); throw t }
         }
-      } catch { case _: java.net.SocketException => () /* closed */ }
+      } catch {
+        case _: java.net.SocketException => () // normal close
+      } finally {
+        if (!server.isClosed) server.close()
+      }
     }, "nerf-server-accept")
     acceptor.setDaemon(true)
     acceptor.start()
@@ -89,7 +108,7 @@ object NerfServer {
       val out = new DataOutputStream(sock.getOutputStream)
       val in = new DataInputStream(sock.getInputStream)
       sendMsg(out, text)
-      recvMsg(in)
+      recvMsg(in, MaxResponseBytes)
     } finally sock.close()
   }
 }

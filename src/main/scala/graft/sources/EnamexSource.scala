@@ -88,8 +88,11 @@ object EnamexSource {
     */
   def pathsFromOptions(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).toSeq.flatMap { json =>
+      // full JSON string unescape (\n, \t, \uXXXX, ... — not just \" and
+      // \\): Spark Jackson-encodes the paths array, so a path containing
+      // a control character arrives as an escape sequence
       "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
-        .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .map(m => graft.io.TableIO.junescape(m.group(1)))
         .toSeq
     }
     val single = Option(options.get("path")).toSeq
@@ -116,8 +119,15 @@ private class EnamexTable(props: Map[String, String])
 private class EnamexScanBuilder(paths: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = EnamexSource.fullSchema
+  // honor TOP-LEVEL column pruning only: with nested-schema pruning on
+  // (the default), Spark may request e.g. spans:array<struct<begin:int>>,
+  // but the reader always emits the full 4-field span struct — reporting
+  // the pruned nested type while emitting full rows silently misaligns
+  // ordinals. Re-widening each requested field to its full type is the
+  // truthful contract; Spark projects the nested fields above the scan.
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = StructType(requiredSchema.fieldNames.flatMap(n =>
+      EnamexSource.fullSchema.fields.find(_.name == n)))
   override def build(): Scan = new EnamexScan(paths, required)
 }
 
@@ -151,7 +161,8 @@ private class EnamexReaderFactory(required: StructType,
   * split, which always drops its first line when start > 0).
   */
 private final class ByteLines(path: String, start: Long, end: Long,
-    conf: org.apache.hadoop.conf.Configuration) {
+    conf: org.apache.hadoop.conf.Configuration,
+    maxLineBytes: Int = 64 * 1024 * 1024) {
   private val hp = new org.apache.hadoop.fs.Path(path)
   private val in = hp.getFileSystem(conf).open(hp)
   if (start > 0) in.seek(start)
@@ -163,7 +174,18 @@ private final class ByteLines(path: String, start: Long, end: Long,
     lineBuf.reset()
     var b = bis.read()
     if (b < 0) return null
-    while (b >= 0 && b != '\n') { lineBuf.write(b); filePos += 1; b = bis.read() }
+    while (b >= 0 && b != '\n') {
+      lineBuf.write(b); filePos += 1
+      // bound the buffered line: a newline-less multi-GB file must fail
+      // with an actionable message, not an executor OOM (Hadoop's
+      // LineRecordReader bounds line length the same way)
+      if (lineBuf.size() > maxLineBytes)
+        throw new java.io.IOException(
+          s"enamex: line longer than $maxLineBytes bytes at $path:$filePos " +
+            "— corpus lines are sentences; a line this size means the " +
+            "file is not newline-delimited ENAMEX")
+      b = bis.read()
+    }
     if (b == '\n') filePos += 1
     val s = new String(lineBuf.toByteArray, "UTF-8")
     if (s.endsWith("\r")) s.dropRight(1) else s

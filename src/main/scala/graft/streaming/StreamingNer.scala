@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.NerfModel
-import graft.pipeline.KgPipeline
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 

@@ -55,6 +55,13 @@ class VecExprSpec extends AnyFunSuite {
       VecFunctions.ner_cosine(lit(null).cast("array<float>"), col("b")).as("c"))
       .collect()
     assert(withNull.forall(_.isNullAt(0)))
+    // a null ELEMENT null-poisons too (lambda parity) — reading the slot
+    // as 0.0 would produce a defined-but-wrong similarity
+    val nullElem = spark.sql(
+      "SELECT ner_cosine(array(CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c")
+      .collect()(0)
+    assert(nullElem.isNullAt(0), "null element must yield SQL NULL")
   }
 
   test("ner_cosine participates in whole-stage codegen") {

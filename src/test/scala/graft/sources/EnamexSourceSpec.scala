@@ -76,4 +76,26 @@ class EnamexSourceSpec extends AnyFunSuite {
     assert(plan.contains("sentence"))
     assert(!plan.contains("spans"), s"spans not pruned:\n$plan")
   }
+
+  test("nested-field selection stays correct under nested-schema pruning") {
+    // with spark.sql.optimizer.nestedSchemaPruning.enabled (default),
+    // Spark may ask the scan for spans:array<struct<begin:int>>; the
+    // reader always emits the full 4-field struct, so the scan must
+    // re-widen and let Spark project above it — reporting the pruned
+    // type while emitting full rows misaligns ordinals (neType read as
+    // begin)
+    val path = writeCorpus(40, 25)
+    val viaNested = spark.read.format("enamex").load(path)
+      .select(explode(col("spans.begin")).as("b"))
+      .collect().map(_.getInt(0)).sorted
+    val viaFull = spark.read.format("enamex").load(path)
+      .select(explode(col("spans")).as("s")).select(col("s.begin"))
+      .collect().map(_.getInt(0)).sorted
+    assert(viaNested.nonEmpty && viaNested.sameElements(viaFull))
+    // single nested field through the struct, different ordinal
+    val depths = spark.read.format("enamex").load(path)
+      .select(explode(col("spans.depth")).as("d"))
+      .collect().map(_.getInt(0))
+    assert(depths.forall(d => d >= 0 && d < 8), s"garbage depths: ${depths.take(5).toSeq}")
+  }
 }
