@@ -14,6 +14,16 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
+  /** Timing action: a noop-sink write consumes EVERY output column, so
+    * projections, windows, and hash computations stay in the timed plan.
+    * Round 2 timed `.count()`, which let ColumnPruning drop unevaluated
+    * projections — q12's sha256, q09's window, the regex/quality
+    * expressions — and those queries timed a pruned scan instead of the
+    * computation they exist to benchmark.
+    */
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,20 +38,30 @@ object Bench {
   }
 
   /** Flagship pipeline throughput at a given thread count: synth ->
-    * detect -> link -> canonicalize -> triples -> count (forces the full
-    * DAG). Returns (triples, seconds).
+    * detect -> link -> canonicalize -> triples -> noop write + count
+    * (forces the full DAG including the final triple projection).
+    * Returns (triples, seconds).
     */
   private def kgRun(cpus: Int, nFiles: Long): (Long, Double) = {
     val spark = newSession(cpus)
     val t0 = System.nanoTime()
     val files = KgPipeline.synthInput(spark, nFiles, partitions = cpus * 2)
-    val n = KgPipeline.run(spark, files, KgMain.model).triples.count()
+    val triples = KgPipeline.run(spark, files, KgMain.model).triples
+    // count AND a noop write of the full rows in one cached pass: count
+    // alone would let the final triple-string projection be pruned
+    triples.cache()
+    force(triples)
+    val n = triples.count()
+    triples.unpersist()
     val secs = (System.nanoTime() - t0) / 1e9
     spark.stop()
     (n, secs)
   }
 
   def main(args: Array[String]): Unit = {
+    // metric lines are machine-parsed JSON: a de_DE-style default locale
+    // would render %.3f with decimal COMMAS and corrupt them
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     // sized so the timed region dominates fixed per-run costs (driver
@@ -68,13 +88,15 @@ object Bench {
         // instead of the shuffle-free join it exists to benchmark.
         SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach {
           case (_, fn) =>
-            try fn(spark, sfDir).count() catch { case _: Throwable => () }
+            try force(fn(spark, sfDir)) catch { case _: Throwable => () }
         }
-        try graft.queries.RelationalQueries.ensureBucketedTables(spark, sfDir)
-        catch { case _: Throwable => () }
+        // a FAILED bucketed-table build must abort the bench: swallowing
+        // it would let the timed q50 silently rebuild the tables inside
+        // its measurement window (ingest time masquerading as join time)
+        graft.queries.RelationalQueries.ensureBucketedTables(spark, sfDir)
         val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
+          val ok = try { force(fn(spark, sfDir)); true }
                    catch { case _: Throwable => false }
           val secs = (System.nanoTime() - t0) / 1e9
           name -> (if (ok) secs else -1.0)
@@ -150,7 +172,11 @@ object Bench {
       md ++= s"**WARNING: $nFailed queries failed** (recorded as -1.000 below); the total covers only the queries that ran.\n\n"
     md ++= "Why 8→full-width can regress on this host: see `BENCH/SCALING.md` "
     md ++= "(ListenerProfile per-stage task-time evidence at 8 vs 32 threads).\n\n"
-    md ++= "## Per-query seconds (local[" + cpus + "], after untimed warmup)\n\n| query | sec |\n|---|---|\n"
+    md ++= "## Per-query seconds (local[" + cpus + "], after untimed warmup)\n\n"
+    md ++= "Timed action is a noop-sink write (every output column evaluated); "
+    md ++= "baselines measured before round 3 used `.count()`, which let the "
+    md ++= "optimizer prune unevaluated projections, and are not comparable "
+    md ++= "for projection-only queries.\n\n| query | sec |\n|---|---|\n"
     results.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
     Files.createDirectories(Paths.get("BENCH"))
     // LAST_RUN.md always; BASELINE.md only on explicit request — a smoke

@@ -21,12 +21,26 @@ import scala.jdk.CollectionConverters._
   */
 object Cli {
 
-  /** UTF-8 regardless of platform default (JVM may default to ASCII). */
-  private def stdinLines: Iterator[String] =
-    scala.io.Source.fromInputStream(System.in)(scala.io.Codec.UTF8).getLines()
+  /** UTF-8 regardless of platform default (JVM may default to ASCII).
+    * Malformed bytes decode to U+FFFD instead of killing the stream
+    * mid-pipe — a CLI filter must process the rest of its input.
+    */
+  private def stdinLines: Iterator[String] = {
+    val lenient = scala.io.Codec(java.nio.charset.StandardCharsets.UTF_8)
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    scala.io.Source.fromInputStream(System.in)(lenient).getLines()
+  }
   private val utf8Out = new java.io.PrintStream(System.out, true, "UTF-8")
 
-  def main(args: Array[String]): Unit = args.toList match {
+  def main(args: Array[String]): Unit = {
+    // stable number formatting in compare/cv tables and JSON regardless
+    // of platform locale (a comma decimal separator breaks consumers)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    run(args)
+  }
+
+  private def run(args: Array[String]): Unit = args.toList match {
     case "train" :: out :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(500)
       val seed = rest.drop(1).headOption.map(_.toLong).getOrElse(42L)
@@ -67,9 +81,9 @@ object Cli {
         val toks = Tokenizer.tokenize(line)
         val obs = Features.schematize(conf, toks)
         toks.zip(obs).foreach { case (t, o) =>
-          println(s"$t\t${o.render.mkString(" ")}")
+          utf8Out.println(s"$t\t${o.render.mkString(" ")}")
         }
-        println()
+        utf8Out.println()
       }
     case "compare" :: refPath :: cmpPath :: Nil =>
       def readForests(p: String) =
@@ -83,7 +97,7 @@ object Cli {
       val keys = (stats.keySet - CompareStats.AllKey).toList.sorted :+ CompareStats.AllKey
       keys.foreach { k =>
         val s = stats(k)
-        println(f"$k%-34s tp=${s.tp}%5d fp=${s.fp}%5d fn=${s.fn}%5d " +
+        utf8Out.println(f"$k%-34s tp=${s.tp}%5d fp=${s.fp}%5d fn=${s.fn}%5d " +
           f"P=${s.precision}%.4f R=${s.recall}%.4f F=${s.f1}%.4f")
       }
     case "cv" :: in :: kStr :: rest if rest.length <= 1 =>
@@ -259,6 +273,14 @@ object NerfModel {
   }
 
   def save(m: NerfModel, path: Path): Unit = {
+    // diverged training (pathological gain, degenerate corpus) can leave
+    // NaN/Infinity weights; bare NaN tokens are not JSON and would make
+    // every future load fail cryptically — refuse at save time instead
+    require(m.crf.sing.toArray.forall(java.lang.Double.isFinite) &&
+            m.crf.trans.data.forall(java.lang.Double.isFinite) &&
+            m.crf.obsWeights.forall(_.forall(java.lang.Double.isFinite)),
+      "model has non-finite weights (NaN/Infinity) — training diverged; " +
+        "refusing to serialize an unloadable model")
     val sb = new StringBuilder
     sb ++= "{\"schema\":"
     sb ++= schemaJson(m.schema)

@@ -20,6 +20,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any output from a PREVIOUS run: stale parquet under this
+        // name would let the driver's DuckDB compare validate last run's
+        // rows as current and report a pass for a query that no longer runs
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

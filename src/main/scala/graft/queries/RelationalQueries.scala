@@ -604,11 +604,31 @@ object RelationalQueries {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, (String, String)]]()
   private var bucketedTag = 0
-  // one temp root per JVM: unique (no cross-process clobbering under a
-  // shared path), and bounded (one copy per table per JVM, overwritten
-  // on rebuild rather than accumulating)
+  // one temp root per JVM (no cross-process clobbering under a shared
+  // path). Growth bound: one copy per LIVE (session, dir) pair — every
+  // build first sweeps copies whose owning session has stopped, so a
+  // JVM that recreates sessions over the same dir (test suites,
+  // notebooks) reclaims the dead copies instead of accumulating them.
   private lazy val bucketedBase =
     java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+  private val builtCopies = scala.collection.mutable.ListBuffer
+    .empty[(java.lang.ref.WeakReference[SparkSession], Seq[String])]
+
+  private def sweepDeadCopies(): Unit =
+    builtCopies.filterInPlace { case (ref, paths) =>
+      val owner = ref.get()
+      val dead = owner == null || owner.sparkContext.isStopped
+      if (dead) paths.foreach { p =>
+        try {
+          val root = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: java.io.IOException => () } // best effort
+      }
+      !dead
+    }
 
   /** Materialize lineitem/orders as BUCKETED tables on the join key (8
     * buckets, sorted within) — the lakehouse pattern that makes the
@@ -627,18 +647,29 @@ object RelationalQueries {
         }
       }
       perSession.getOrElseUpdate(dir, {
+        sweepDeadCopies()
         bucketedTag += 1
         val tag = bucketedTag.toString
         val lt = s"graft_lineitem_b$tag"
         val ot = s"graft_orders_b$tag"
-        t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$bucketedBase/$lt").saveAsTable(lt)
-        t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$bucketedBase/$ot").saveAsTable(ot)
+        try {
+          t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$bucketedBase/$lt").saveAsTable(lt)
+          t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"$bucketedBase/$ot").saveAsTable(ot)
+        } catch { case e: Throwable =>
+          // half-built pair: drop whatever registered so a retry (or the
+          // catalog) never sees an orphaned or partial table
+          try s.sql(s"DROP TABLE IF EXISTS $lt") catch { case _: Throwable => () }
+          try s.sql(s"DROP TABLE IF EXISTS $ot") catch { case _: Throwable => () }
+          throw e
+        }
+        builtCopies += ((new java.lang.ref.WeakReference(s),
+          Seq(s"$bucketedBase/$lt", s"$bucketedBase/$ot")))
         (lt, ot)
       })
     }
