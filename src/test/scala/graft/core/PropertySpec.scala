@@ -149,6 +149,52 @@ class PropertySpec extends AnyFunSuite {
     sep <- Gen.oneOf("", "\n", " ")
   } yield toks.mkString(sep) + extra
 
+  /** Forests that may contain CHILDLESS NE nodes — Forest.toSpans emits
+    * zero-width (begin == end) spans for them, the case the splicer must
+    * nest by depth rather than through the open/close maps.
+    */
+  private def treeZ(depth: Int): Gen[NeTree] =
+    if (depth == 0) word.map(NeLeaf.apply)
+    else Gen.frequency(
+      3 -> word.map(NeLeaf.apply),
+      1 -> neType.map(t => NeNode(t, Nil)), // childless -> zero-width span
+      2 -> (for {
+        t <- neType
+        n <- Gen.choose(1, 3)
+        kids <- Gen.listOfN(n, treeZ(depth - 1))
+      } yield NeNode(t, kids)))
+
+  private val forestZ: Gen[List[NeTree]] =
+    Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, treeZ(3)))
+      // at least one token, or there is no body to splice into
+      .suchThat(f => f.exists(_.leaves.nonEmpty))
+
+  test("spliceGroups: spans from any forest (incl. zero-width) splice well-formed") {
+    forAll(forestZ) { f =>
+      val (toks, spans) = Forest.toSpans(f)
+      val body = toks.zipWithIndex.map { case (w, i) =>
+        s"""<tok id="t$i"><orth>${Xces.escapeXml(w)}</orth></tok>"""
+      }.mkString(" ")
+      val out = Xces.spliceGroups(body, spans)
+      // stripping every inserted group restores the body byte-identically
+      val stripped = out
+        .replaceAll("<group type=\"NE\" subtype=\"[^\"]*\">", "")
+        .replace("</group>", "")
+      assert(stripped == body)
+      // group tags are BALANCED and PROPERLY NESTED (depth never dips
+      // below zero, ends at zero) — the round-3 zero-width bug emitted a
+      // close before its open
+      var d = 0
+      "<group |</group>".r.findAllIn(out).foreach { m =>
+        d += (if (m == "</group>") -1 else 1)
+        assert(d >= 0, s"close before open in:\n$out")
+      }
+      assert(d == 0, s"unbalanced groups in:\n$out")
+      // token stream unchanged
+      assert(Xces.parseBody(out).toks.map(_.orth) == toks)
+    }
+  }
+
   test("spliceGroups: stripping inserted groups restores the body byte-identically") {
     forAll(xcesBody) { body =>
       val sent = Xces.parseBody(body)
