@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{NerCosine, NerPackedShape, NerShape}
 
 /** Standard `SparkSessionExtensions` injector for graft's native
   * Catalyst expressions — the supported way to ship library functions

@@ -77,10 +77,18 @@ object TableIO {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Set.empty
     val Name = "bucket-(\\d+)\\.json".r
-    fs.listStatus(p).iterator.flatMap(_.getPath.getName match {
+    val found = fs.listStatus(p).iterator.flatMap(_.getPath.getName match {
       case Name(k) => Some(k.toInt)
       case _ => None
-    }).filter(_ < buckets).toSet
+    }).toSet
+    // a manifest numbered past the requested range is PROOF the table
+    // was written under a different bucket count — silently ignoring it
+    // would resume a mod-N table as mod-M and mix two partitionings
+    require(found.forall(_ < buckets),
+      s"table at $dir has commit manifests up to bucket ${found.max} but " +
+        s"this run requested buckets=$buckets — refusing to mix two " +
+        "bucket layouts in one table")
+    found
   }
 
   /** Write `df` bucketed by `pmod(hash(bucketCols), buckets)`, committing
@@ -143,6 +151,13 @@ object TableIO {
         s"resume layout mismatch on bucket $k: committed layout=$layout, " +
           s"this build writes layout=$LayoutVersion — refusing to split " +
           s"one table across two on-disk layouts ($dir)")
+      // the manifest records the bucket count it was written under: a
+      // mod-16 table resumed as mod-32 would re-write every row whose
+      // 32-bucket assignment differs, ~doubling the table silently
+      val committedTotal = readBucketsTotal(dir, k, conf)
+      require(committedTotal == buckets,
+        s"resume bucket-count mismatch on bucket $k: committed under " +
+          s"buckets=$committedTotal, this run requests buckets=$buckets ($dir)")
       val existing = readLineage(dir, k, conf)
       require(existing == lineage,
         s"resume lineage mismatch on bucket $k: committed=$existing, " +
@@ -189,11 +204,26 @@ object TableIO {
       val observed = BucketCommit(k, metrics(s"rows_$k").asInstanceOf[Long],
         metrics(s"sum_$k").asInstanceOf[Long])
       // retry-safety cross-check (see scaladoc): footer row counts are
-      // ground truth; a stage re-execution inflates the observed count
-      val footer = footerRows(s"$dir/data/_bucket=$k", conf)
+      // ground truth for what this job WROTE. Two distinct mismatches:
+      //  - observed > footer: a re-executed stage double-applied metric
+      //    updates — the files are right, recompute counters from them.
+      //  - observed == 0 but footer > 0: this job wrote NOTHING for the
+      //    bucket (dynamic overwrite leaves untouched partitions alone),
+      //    so the files are STALE leftovers of an earlier uncommitted
+      //    attempt — blessing them into a manifest would mix inputs.
+      //    Delete them and commit the truthful zero.
+      val bucketPath = s"$dir/data/_bucket=$k"
+      val footer = footerRows(bucketPath, conf)
       val c =
         if (footer == observed.rows) observed
-        else {
+        else if (observed.rows == 0 && footer > 0) {
+          System.err.println(s"[TableIO] bucket $k received no rows this " +
+            s"run but its directory holds $footer stale rows from an " +
+            "uncommitted earlier attempt — deleting them")
+          val p = new HPath(bucketPath)
+          p.getFileSystem(conf).delete(p, true)
+          BucketCommit(k, 0L, 0L)
+        } else {
           System.err.println(s"[TableIO] observed rows for bucket $k " +
             s"(${observed.rows}) != parquet footers ($footer) — stage " +
             "re-execution detected; recomputing counters from written data")
@@ -202,7 +232,7 @@ object TableIO {
       val lineageJson = lineage.toSeq.sortBy(_._1).map { case (k2, v) =>
         s"${jstr(k2)}:${jstr(v)}" }.mkString(",")
       atomicWrite(commitPath(dir, k),
-        s"""{"bucket":${c.bucket},"rows":${c.rows},"checksum":${c.checksum},"layout":$LayoutVersion,"lineage":{$lineageJson}}""",
+        s"""{"bucket":${c.bucket},"rows":${c.rows},"checksum":${c.checksum},"layout":$LayoutVersion,"buckets":$buckets,"lineage":{$lineageJson}}""",
         conf)
       c
     }
@@ -267,16 +297,31 @@ object TableIO {
     }
   }
 
-  /** Parse the lineage map back out of a bucket manifest. */
+  /** Parse the lineage map back out of a bucket manifest. The object
+    * body is matched structurally — quoted strings may contain braces,
+    * and the capture stops at the first UNQUOTED close brace — so a
+    * field appended after `lineage`, or a `{` inside a snapshot id,
+    * cannot pollute the parsed map (a greedy `(.*)}` did both).
+    */
   def readLineage(dir: String, bucket: Int,
                   conf: Configuration = new Configuration()): Map[String, String] = {
     val txt = hRead(commitPath(dir, bucket), conf).getOrElse(return Map.empty)
-    val body = "\"lineage\":\\{(.*)\\}".r
+    val body = "\"lineage\":\\{((?:[^{}\"]|\"(?:[^\"\\\\]|\\\\.)*\")*)\\}".r
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
     "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
       .findAllMatchIn(body)
       .map(m => junescape(m.group(1)) -> junescape(m.group(2))).toMap
   }
+
+  /** The total bucket count a manifest was committed under; manifests
+    * predating the field report -1 (always a mismatch — resuming them
+    * under ANY count is unverifiable).
+    */
+  def readBucketsTotal(dir: String, bucket: Int,
+                       conf: Configuration = new Configuration()): Int =
+    hRead(commitPath(dir, bucket), conf)
+      .flatMap("\"buckets\":(\\d+)".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).getOrElse(-1)
 
   /** The data layout version a bucket manifest was written under;
     * manifests predating the field (round 1) are layout 1.
@@ -310,6 +355,10 @@ object TableIO {
           case 'r' => b += '\r'; i += 2
           case 't' => b += '\t'; i += 2
           case 'u' =>
+            // a truncated \uXX at end-of-string must fail as a manifest
+            // error, not a raw StringIndexOutOfBoundsException
+            require(i + 6 <= s.length,
+              s"malformed manifest: truncated unicode escape in ${s.take(80)}")
             b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
             i += 6
           case c => b += c; i += 2

@@ -21,10 +21,11 @@ import org.apache.spark.sql.expressions.Window
   *    (/root/reference/src/NLP/Nerf.hs:94-99) — SURVEY.md §4.3.
   *  - the KB/alias table is tiny vs the corpus → `broadcast()` join, no
   *    shuffle of the big side for candidate generation.
-  *  - the only wide operations are the per-mention argmax (partial-agg
-  *    `max_by`, one shuffle on mentionId) and the CC fixpoint over the
+  *  - the wide operations are the per-mention argmax (partial-agg
+  *    `max_by`, one shuffle on mentionId), the CC fixpoint over the
   *    *distinct* alias edge set (orders of magnitude smaller than the
-  *    corpus).
+  *    corpus), and the type-triple dedup (map-side partial distinct
+  *    collapses per-file repeats before the exchange — see `triples`).
   *  - popular-repo skew is defused by a salted repartition before the
   *    partitioned triple write.
   */
@@ -90,6 +91,14 @@ object KgPipeline {
       .toDF("alias_norm", "entity_id", "entity_type", "canonical")
   }
 
+  /** %-escape the id/provenance separator characters ('%' first, then
+    * '#') so component boundaries in composed ids stay unambiguous for
+    * any input string. Injective, and the identity on strings without
+    * '%'/'#' — ids over ordinary repo/path/commit values are unchanged.
+    */
+  private def sepEscaped(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, "%", "%25"), "#", "%23")
+
   /** Link mentions to KB entities: candidate generation via broadcast
     * hash join on (blocking key = first alias token) — the standard
     * Spark entity-resolution blocking pattern (cf. SparkER, EDBT 2019;
@@ -109,17 +118,25 @@ object KgPipeline {
     // at two commits is two distinct provenance sites.
     val m = mentions.toDF()
       .where(col("depth") === 0)
+      // the id components are %-escaped before joining on '#': a '#'
+      // inside a real-world path would otherwise let two DIFFERENT
+      // mentions collide into one id and the argmax groupBy would
+      // silently drop one of them
       .withColumn("mention_id",
-        concat_ws("#", col("repo"), col("path"), col("commit"),
+        concat_ws("#", sepEscaped(col("repo")), sepEscaped(col("path")),
+          sepEscaped(col("commit")),
           col("sentIdx"), col("begin"), col("end"), col("depth")))
       .withColumn("surface_norm", lower(col("surface")))
       .withColumn("block_key", split(col("surface_norm"), " ").getItem(0))
       // context narrowed to capitalized tokens (the only ones that can
       // match a canonical name) — the candidate join replicates this
-      // array ~30x per mention, so its width is a shuffle/CPU multiplier
+      // array ~30x per mention, so its width is a shuffle/CPU multiplier.
+      // "Capitalized" is the UNICODE test (first char differs from its
+      // lowercase), not an ASCII 'A'..'Z' range — "Łukasz" and "Örebro"
+      // must survive as disambiguating context
       .withColumn("ctx_toks",
         transform(filter(split(col("context"), " "),
-          t => t.substr(1, 1) >= "A" && t.substr(1, 1) <= "Z"),
+          t => t.substr(1, 1) =!= lower(t.substr(1, 1))),
           t => lower(t)))
       .withColumn("ne_root", substring_index(col("neType"), ".", 1))
       .drop("context")
@@ -165,7 +182,10 @@ object KgPipeline {
       .agg(
         max_by(when(col("valid"), col("entity_id")),
           struct(col("score"), col("entity_id"))).as("best_entity"),
-        max(col("score")).as("score"),
+        // NIL mentions (no valid candidate) publish NULL, not the
+        // internal -1000 ordering sentinel — a consumer thresholding on
+        // score must not see the marker as a real value
+        max(when(col("valid"), col("score"))).as("score"),
         first(col("repo")).as("repo"), first(col("path")).as("path"),
         first(col("commit")).as("commit"), first(col("sentIdx")).as("sentIdx"),
         first(col("begin")).as("begin"), first(col("end")).as("end"),
@@ -183,23 +203,34 @@ object KgPipeline {
   //  input_hint — SURVEY.md §2.9)
   // ------------------------------------------------------------------
 
+  /** Lineage truncation for fixpoint rounds: a RELIABLE checkpoint (to
+    * the session's checkpoint dir) when one is configured — executor
+    * loss is routine at the 1000-executor design point, and
+    * localCheckpoint blocks die with their executor, killing the job —
+    * falling back to localCheckpoint when no checkpoint dir is set
+    * (local mode, tests: executors == driver, so executor loss IS job
+    * loss and the cheaper truncation is sound).
+    */
+  private def chk(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** Minimum-label propagation (hash-to-min) over an undirected edge
     * set. Returns (node, component) where component = min node id in the
     * component. Edge sets here are alias clusters: tiny diameter, so the
-    * fixpoint converges in a handful of rounds; `localCheckpoint`
-    * truncates lineage each round.
+    * fixpoint converges in a handful of rounds; each round's lineage is
+    * truncated via [[chk]].
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
     // undirected, distinct edge set (the only wide dep on the full input)
-    val und = edges.select(col("src"), col("dst"))
+    val und = chk(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint()
+    var labels = chk(und.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")))
 
     var iter = 0
     var converged = false
@@ -211,10 +242,9 @@ object KgPipeline {
                     .withColumnRenamed("comp", "ncomp"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("ncomp")).as("ncomp"))
-      val next = labels.join(viaNeighbor, Seq("node"), "left")
+      val next = chk(labels.join(viaNeighbor, Seq("node"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")))
       val changed = next.as("n").join(labels.as("o"), Seq("node"))
         .where(col("n.comp") =!= col("o.comp")).limit(1).count()
       labels = next
@@ -289,12 +319,12 @@ object KgPipeline {
 
     // canonical representative: the min *entity* id in the component
     val entities = comps.where(!col("node").startsWith("alias:"))
-    val out = broadcast(entities.groupBy("comp").agg(min(col("node")).as("canon_id")))
+    val out0 = broadcast(entities.groupBy("comp").agg(min(col("node")).as("canon_id")))
       .join(entities, Seq("comp"))
       .select(col("node").as("entity_id"), col("canon_id"))
-      .localCheckpoint()
+    val pinned = chk(out0)
     edges.unpersist()
-    out
+    pinned
   }
 
   /** Above this many distinct alias edges, canonicalization switches
@@ -345,7 +375,12 @@ object KgPipeline {
     val withCanon = linked.join(broadcast(canon), Seq("entity_id"), "left")
       .withColumn("canon_id", coalesce(col("canon_id"), col("entity_id")))
     val mentionTriples = withCanon.select(
-      concat(col("repo"), lit("/"), col("path"), lit("#"),
+      // '#' in repo/path is %-escaped so the span suffix after '#' is
+      // unambiguous; '/' is left alone (subjects are opaque provenance
+      // ids — "org/repo/dir/file" reads naturally and is never parsed
+      // back component-wise)
+      concat(sepEscaped(col("repo")), lit("/"), sepEscaped(col("path")),
+        lit("#"),
         col("sentIdx"), lit(":"), col("begin"), lit("-"), col("end")).as("subj"),
       lit("hasEntity").as("pred"),
       col("canon_id").as("obj"),
@@ -356,7 +391,16 @@ object KgPipeline {
       lit("hasType").as("pred"),
       col("neType").as("obj"),
       col("repo").as("src_repo"), col("path").as("src_path"),
-      col("commit").as("src_commit")).distinct()
+      col("commit").as("src_commit"))
+      // a wide op, deliberately: repeat mentions of one entity in one
+      // file all emit the identical type-triple row, so the map-side
+      // partial dedup collapses them before the exchange (mentions of a
+      // file are co-partitioned) — shuffle volume ≈ distinct
+      // (entity, type, file) rows, typically 5–10x smaller than the
+      // mention count, and the write downstream shrinks by the same
+      // factor. Dropping provenance here would shrink it further but
+      // change the output contract.
+      .distinct()
     mentionTriples.unionByName(typeTriples)
   }
 

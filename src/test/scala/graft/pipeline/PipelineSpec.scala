@@ -227,6 +227,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "observed manifest counters disagree with the written data")
   }
 
+  test("resume refuses a bucket-count mismatch (no mixed partitionings)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_nbuckets").toString
+    val df = Seq(("r1", "a"), ("r2", "b"), ("r3", "c")).toDF("src_repo", "src_path")
+    TableIO.writeResumable(df, s"$dir/t", 4, Seq("src_repo"))
+    // same dir, different bucket count: every manifest records buckets=4
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.writeResumable(df, s"$dir/t", 8, Seq("src_repo"))
+    }
+    assert(ex.getMessage.contains("bucket"), ex.getMessage)
+    // and shrinking below committed manifest ids is caught by the range guard
+    val ex2 = intercept[IllegalArgumentException] {
+      TableIO.writeResumable(df, s"$dir/t", 2, Seq("src_repo"))
+    }
+    assert(ex2.getMessage.contains("bucket"), ex2.getMessage)
+  }
+
+  test("a zero-row bucket with stale uncommitted data is cleaned, not blessed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_stale").toString
+    val df = Seq(("r1", "a"), ("r2", "b"), ("r3", "c")).toDF("src_repo", "src_path")
+    // find a bucket that receives zero rows under buckets=64
+    val probe = df.withColumn("_b",
+      pmod(hash(col("src_repo")), lit(64))).select("_b")
+      .collect().map(_.getInt(0)).toSet
+    val emptyBucket = (0 until 64).find(k => !probe.contains(k)).get
+    // plant STALE parquet (a prior run's uncommitted leftovers) there
+    df.limit(2).write.parquet(s"$dir/t/data/_bucket=$emptyBucket")
+    val commits = TableIO.writeResumable(df, s"$dir/t", 64, Seq("src_repo"))
+    val c = commits.find(_.bucket == emptyBucket).get
+    assert(c.rows == 0L && c.checksum == 0L,
+      "stale rows must not be blessed into the manifest")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/t/data/_bucket=$emptyBucket")),
+      "stale bucket directory must be deleted")
+    // the audit agrees the table is clean
+    assert(TableIO.verifyCommits(spark, s"$dir/t", 64).isEmpty)
+  }
+
   test("resume refuses a layout-version mismatch (no split-layout tables)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_io_layout").toString
