@@ -82,43 +82,63 @@ object Features {
 
   // ---------------- basic accessors ----------------
 
-  @inline private def orthAt(sent: IndexedSeq[String], i: Int): String =
-    if (i >= 0 && i < sent.length) sent(i) else null
-
-  @inline private def lowOrthAt(sent: IndexedSeq[String], i: Int): String = {
-    val w = orthAt(sent, i)
-    // Locale.ROOT: features must be identical on every executor JVM
-    // regardless of default locale (tr_TR lowercases I to dotless ı,
-    // silently desynchronizing tag-time features from the trained model)
-    if (w == null) null else w.toLowerCase(java.util.Locale.ROOT)
+  /** Per-sentence precomputed derivations. The schema blocks consult the
+    * same token's lowercase/shape/pack many times per position (the
+    * default schema: ~5 lowercases and ~8 shape builds per position if
+    * recomputed inline) — on the once-per-token-of-100TB hot path that
+    * is pure allocation waste, so each derivation is materialized ONCE
+    * per sentence and the blocks index it. `null` arrays = derivation
+    * not needed by the active config.
+    *
+    * Locale.ROOT lowercase: features must be identical on every executor
+    * JVM regardless of default locale (tr_TR lowercases I to dotless ı,
+    * silently desynchronizing tag-time features from the trained model).
+    */
+  private final class Pre(toks: IndexedSeq[String], lows: Array[String],
+                          shapes: Array[String], packs: Array[String]) {
+    private val n = toks.length
+    @inline def orth(i: Int): String = if (i >= 0 && i < n) toks(i) else null
+    @inline def low(i: Int): String = if (i >= 0 && i < n) lows(i) else null
+    @inline def shapeAt(i: Int): String = if (i >= 0 && i < n) shapes(i) else null
+    @inline def packAt(i: Int): String = if (i >= 0 && i < n) packs(i) else null
   }
 
-  /** Affix helper: non-negative n = take n chars; negative n = take
-    * len+n chars; out of range -> null.
+  /** Affix helper: non-negative n = take n CODE POINTS; negative n =
+    * take len+n; out of range -> null. Counting code points (not UTF-16
+    * units) matters twice over: the reference's Haskell Char is a code
+    * point, and a lone surrogate produced by a unit-offset cut would be
+    * mangled to '?' by the model writer's UTF-8 encode — tag-time
+    * features would then silently miss the saved weights on any
+    * astral-character token (emoji are routine in web text).
     */
   def prefix(n: Int, w: String): String = {
-    val len = w.length
-    val m = if (n >= 0) n else len + n
-    if (m >= 0 && m <= len) w.substring(0, m) else null
+    val cps = w.codePointCount(0, w.length)
+    val m = if (n >= 0) n else cps + n
+    if (m >= 0 && m <= cps) w.substring(0, w.offsetByCodePoints(0, m))
+    else null
   }
 
   def suffix(n: Int, w: String): String = {
-    val len = w.length
-    val m = if (n >= 0) n else len + n
-    if (m >= 0 && m <= len) w.substring(len - m) else null
+    val cps = w.codePointCount(0, w.length)
+    val m = if (n >= 0) n else cps + n
+    if (m >= 0 && m <= cps) w.substring(w.offsetByCodePoints(0, cps - m))
+    else null
   }
 
-  /** Character shape (Schema.hs:156-161). */
+  /** Character shape (Schema.hs:156-161), per CODE POINT like the
+    * reference's Data.Char predicates — an astral uppercase (U+1D400)
+    * is one 'X', not two 'o's.
+    */
   def shape(w: String): String = {
     val b = new java.lang.StringBuilder(w.length)
     var i = 0
     while (i < w.length) {
-      val c = w.charAt(i)
+      val cp = w.codePointAt(i)
       b.append(
-        if (Character.isUpperCase(c)) 'X'
-        else if (Character.isLowerCase(c)) 'x'
-        else if (Character.isDigit(c)) 'd' else 'o')
-      i += 1
+        if (Character.isUpperCase(cp)) 'X'
+        else if (Character.isLowerCase(cp)) 'x'
+        else if (Character.isDigit(cp)) 'd' else 'o')
+      i += Character.charCount(cp)
     }
     b.toString
   }
@@ -184,15 +204,13 @@ object Features {
   // ids are stable (fromBlock: absolute positions = range.map(_ + k),
   // Schema.hs:99-102).
 
-  private type Sent = IndexedSeq[String]
+  private def orthB(ox: Ox, pre: Pre, ks: List[Int]): Unit =
+    ks.foreach(i => ox.save(pre.orth(i)))
 
-  private def orthB(ox: Ox, sent: Sent, ks: List[Int]): Unit =
-    ks.foreach(i => ox.save(orthAt(sent, i)))
-
-  private def splitOrthB(ox: Ox, sent: Sent, ks: List[Int]): Unit = {
-    ks.foreach(i => ox.save(lowOrthAt(sent, i)))
+  private def splitOrthB(ox: Ox, pre: Pre, ks: List[Int]): Unit = {
+    ks.foreach(i => ox.save(pre.low(i)))
     ks.foreach { i =>
-      val w = orthAt(sent, i)
+      val w = pre.orth(i)
       ox.save(if (w != null && hasUpper(w)) w else null)
     }
   }
@@ -200,27 +218,28 @@ object Features {
   @inline private def hasUpper(w: String): Boolean = {
     var i = 0
     while (i < w.length) {
-      if (Character.isUpperCase(w.charAt(i))) return true
-      i += 1
+      val cp = w.codePointAt(i) // code point: astral uppercase counts
+      if (Character.isUpperCase(cp)) return true
+      i += Character.charCount(cp)
     }
     false
   }
 
-  private def lowPrefixesB(ox: Ox, sent: Sent, ks: List[Int], ns: List[Int]): Unit =
+  private def lowPrefixesB(ox: Ox, pre: Pre, ks: List[Int], ns: List[Int]): Unit =
     ks.foreach { i =>
-      val w = lowOrthAt(sent, i)
+      val w = pre.low(i)
       ns.foreach(n => ox.save(if (w == null) null else prefix(n, w)))
     }
 
-  private def lowSuffixesB(ox: Ox, sent: Sent, ks: List[Int], ns: List[Int]): Unit =
+  private def lowSuffixesB(ox: Ox, pre: Pre, ks: List[Int], ns: List[Int]): Unit =
     ks.foreach { i =>
-      val w = lowOrthAt(sent, i)
+      val w = pre.low(i)
       ns.foreach(n => ox.save(if (w == null) null else suffix(n, w)))
     }
 
-  private def lemmaB(ox: Ox, sent: Sent, ks: List[Int], n: Int): Unit =
+  private def lemmaB(ox: Ox, pre: Pre, ks: List[Int], n: Int): Unit =
     ks.foreach { i =>
-      val w = lowOrthAt(sent, i)
+      val w = pre.low(i)
       // deltas [0, -1 .. -n] (Schema.hs:152); the reference nests these
       // under an Ox.group — flattened here, identity preserved by the
       // sequential site numbering
@@ -230,37 +249,30 @@ object Features {
       while (d >= -n) { ox.save(if (w == null) null else suffix(d, w)); d -= 1 }
     }
 
-  private def shapeB(ox: Ox, sent: Sent, ks: List[Int]): Unit =
+  private def shapeB(ox: Ox, pre: Pre, ks: List[Int]): Unit =
+    ks.foreach(i => ox.save(pre.shapeAt(i)))
+
+  private def packedB(ox: Ox, pre: Pre, ks: List[Int]): Unit =
+    ks.foreach(i => ox.save(pre.packAt(i)))
+
+  private def shapePairB(ox: Ox, pre: Pre, ks: List[Int]): Unit =
     ks.foreach { i =>
-      val w = orthAt(sent, i)
-      ox.save(if (w == null) null else shape(w))
+      val a = pre.shapeAt(i); val b = pre.shapeAt(i - 1)
+      ox.save(if (a == null || b == null) null else a + "-" + b)
     }
 
-  private def packedB(ox: Ox, sent: Sent, ks: List[Int]): Unit =
+  private def packedPairB(ox: Ox, pre: Pre, ks: List[Int]): Unit =
     ks.foreach { i =>
-      val w = orthAt(sent, i)
-      ox.save(if (w == null) null else pack(shape(w)))
-    }
-
-  private def shapePairB(ox: Ox, sent: Sent, ks: List[Int]): Unit =
-    ks.foreach { i =>
-      val a = orthAt(sent, i); val b = orthAt(sent, i - 1)
-      ox.save(if (a == null || b == null) null else shape(a) + "-" + shape(b))
-    }
-
-  private def packedPairB(ox: Ox, sent: Sent, ks: List[Int]): Unit =
-    ks.foreach { i =>
-      val a = orthAt(sent, i); val b = orthAt(sent, i - 1)
-      ox.save(if (a == null || b == null) null
-              else pack(shape(a)) + "-" + pack(shape(b)))
+      val a = pre.packAt(i); val b = pre.packAt(i - 1)
+      ox.save(if (a == null || b == null) null else a + "-" + b)
     }
 
   private val noHits: List[String] = Nil
 
-  private def dictB(ox: Ox, sent: Sent, ks: List[Int],
+  private def dictB(ox: Ox, pre: Pre, ks: List[Int],
                     dict: CompactDict): Unit =
     ks.foreach { i =>
-      val w = orthAt(sent, i)
+      val w = pre.orth(i)
       val hits = if (w == null) noHits else dict.getOrElse(w, noHits)
       ox.saves(hits) // dict lists are pre-sorted (S.toList, Schema.hs:206-212)
     }
@@ -273,23 +285,36 @@ object Features {
     */
   def schematize(conf: SchemaConf, tokens: IndexedSeq[String]): Array[PosObs] = {
     val n = tokens.length
+    // per-sentence derivations, computed once and only if the config
+    // uses them (see Pre)
+    val needLow = conf.splitOrthC.isDefined || conf.lowPrefixesC.isDefined ||
+      conf.lowSuffixesC.isDefined || conf.lemmaC.isDefined
+    val needShape = conf.shapeC.isDefined || conf.packedC.isDefined ||
+      conf.shapePairC.isDefined || conf.packedPairC.isDefined
+    val needPack = conf.packedC.isDefined || conf.packedPairC.isDefined
+    val lows = if (needLow)
+      Array.tabulate(n)(i => tokens(i).toLowerCase(java.util.Locale.ROOT))
+      else null
+    val shapes = if (needShape) Array.tabulate(n)(i => shape(tokens(i))) else null
+    val packs = if (needPack) Array.tabulate(n)(i => pack(shapes(i))) else null
+    val pre = new Pre(tokens, lows, shapes, packs)
     Array.tabulate(n) { k =>
       val ox = new Ox
       def abs(range: List[Int]): List[Int] = range.map(_ + k)
-      conf.orthC.foreach(r => orthB(ox, tokens, abs(r)))
-      conf.splitOrthC.foreach(r => splitOrthB(ox, tokens, abs(r)))
-      conf.lowPrefixesC.foreach { case (r, ns) => lowPrefixesB(ox, tokens, abs(r), ns) }
-      conf.lowSuffixesC.foreach { case (r, ns) => lowSuffixesB(ox, tokens, abs(r), ns) }
-      conf.lemmaC.foreach { case (r, m) => lemmaB(ox, tokens, abs(r), m) }
-      conf.shapeC.foreach(r => shapeB(ox, tokens, abs(r)))
-      conf.packedC.foreach(r => packedB(ox, tokens, abs(r)))
-      conf.shapePairC.foreach(r => shapePairB(ox, tokens, abs(r)))
-      conf.packedPairC.foreach(r => packedPairB(ox, tokens, abs(r)))
+      conf.orthC.foreach(r => orthB(ox, pre, abs(r)))
+      conf.splitOrthC.foreach(r => splitOrthB(ox, pre, abs(r)))
+      conf.lowPrefixesC.foreach { case (r, ns) => lowPrefixesB(ox, pre, abs(r), ns) }
+      conf.lowSuffixesC.foreach { case (r, ns) => lowSuffixesB(ox, pre, abs(r), ns) }
+      conf.lemmaC.foreach { case (r, m) => lemmaB(ox, pre, abs(r), m) }
+      conf.shapeC.foreach(r => shapeB(ox, pre, abs(r)))
+      conf.packedC.foreach(r => packedB(ox, pre, abs(r)))
+      conf.shapePairC.foreach(r => shapePairB(ox, pre, abs(r)))
+      conf.packedPairC.foreach(r => packedPairB(ox, pre, abs(r)))
       conf.dictC.foreach { case (r, dicts) =>
-        dicts.foreach(d => dictB(ox, tokens, abs(r), d))
+        dicts.foreach(d => dictB(ox, pre, abs(r), d))
       }
-      conf.intTrigsC.foreach { case (r, d) => dictB(ox, tokens, abs(r), d) }
-      conf.extTrigsC.foreach { case (r, d) => dictB(ox, tokens, abs(r), d) }
+      conf.intTrigsC.foreach { case (r, d) => dictB(ox, pre, abs(r), d) }
+      conf.extTrigsC.foreach { case (r, d) => dictB(ox, pre, abs(r), d) }
       ox.result()
     }
   }

@@ -26,8 +26,11 @@ object Iob {
   def renderLabel(l: Label): String =
     if (l.isEmpty) Outside
     else l.map { a =>
-      // ';' is the frozen atom separator: an NE type containing it would
-      // train fine but crash parseLabel at tag time — fail HERE instead
+      // ';' is the frozen atom separator and an EMPTY type renders as
+      // "B-", which parseLabel rejects: either would train fine and then
+      // crash on the first tag call of every input — fail HERE instead
+      require(a.ne.nonEmpty, "NE type must be non-empty (an empty " +
+        "<>...</> tag in the training corpus renders an unparseable label)")
       require(!a.ne.contains(';'),
         s"NE type must not contain ';' (label separator): '${a.ne}'")
       (if (a.begin) "B-" else "I-") + a.ne

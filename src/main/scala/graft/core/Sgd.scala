@@ -39,6 +39,11 @@ object Sgd {
     val labelIds = mutable.LinkedHashMap.empty[String, Int]
     data.foreach(_.labels.foreach(l => labelIds.getOrElseUpdate(l, labelIds.size)))
     val L = labelIds.size
+    // an all-empty corpus (whitespace-only lines) passes data.nonEmpty
+    // but yields zero labels — the model would save fine and crash with
+    // ArrayIndexOutOfBounds on the first tag call; fail at train time
+    require(L > 0, "no labeled tokens in the training data — every " +
+      "sentence is empty; check the input corpus")
     // per save-site value -> global obs id (observation identity is the
     // (site, value) pair)
     val nSites = data.iterator.flatMap(_.obs.iterator)
@@ -238,6 +243,12 @@ object Sgd {
     }
 
     // local forward-backward over os using current w (transition weights)
+    // NOTE: this hand-rolls the same log-domain alpha/beta recursions as
+    // Crf.forwardBackward over the trainer's sparse (w, transPresent)
+    // weight layout; only logSumExp is shared. Any numerics change in
+    // either copy MUST be mirrored in the other (the golden decodings
+    // pin training numerics, so a one-sided edit is invisible until
+    // accuracy drifts).
     def fbLocal(os: Array[Array[Double]]) = {
       val m = os.length
       val alpha = Array.ofDim[Double](m, L)
