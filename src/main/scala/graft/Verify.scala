@@ -22,11 +22,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any output from a PREVIOUS run: stale parquet under this
         // name would let the driver's DuckDB compare validate last run's
-        // rows as current and report a pass for a query that no longer runs
-        val stale = Paths.get(s"$outDir/$name")
-        if (Files.exists(stale)) {
-          Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
+        // rows as current and report a pass for a query that no longer
+        // runs. The cleanup itself must never abort the remaining
+        // queries — log and continue if the walk/delete throws.
+        try {
+          val stale = Paths.get(s"$outDir/$name")
+          if (Files.exists(stale)) {
+            Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          }
+        } catch { case c: Throwable =>
+          System.err.println(s"[verify] $name stale-output cleanup failed " +
+            s"(${c.getMessage}) — remove $outDir/$name manually")
         }
       }
     }

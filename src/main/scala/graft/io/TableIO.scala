@@ -31,6 +31,16 @@ object TableIO {
     */
   val LayoutVersion = 2
 
+  /** Default Hadoop configuration for manifest IO when the caller passes
+    * none: the ACTIVE session's hadoop conf — which carries its
+    * `spark.hadoop.*` settings (s3a credentials, endpoints) — not a bare
+    * `new Configuration()` that silently drops them and resolves remote
+    * paths differently from the data write (ADVICE r3).
+    */
+  private def defaultConf(): Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   // ------------------------------------------------------------------
   // Input snapshot with sha256 invariant column
   // ------------------------------------------------------------------
@@ -72,7 +82,7 @@ object TableIO {
     * on an object store each exists() is a sequential HEAD round-trip.
     */
   def committedBuckets(dir: String, buckets: Int,
-                       conf: Configuration = new Configuration()): Set[Int] = {
+                       conf: Configuration = defaultConf()): Set[Int] = {
     val p = new HPath(s"$dir/_commits")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Set.empty
@@ -203,38 +213,62 @@ object TableIO {
     todo.map { k =>
       val observed = BucketCommit(k, metrics(s"rows_$k").asInstanceOf[Long],
         metrics(s"sum_$k").asInstanceOf[Long])
-      // retry-safety cross-check (see scaladoc): footer row counts are
-      // ground truth for what this job WROTE. Two distinct mismatches:
-      //  - observed > footer: a re-executed stage double-applied metric
-      //    updates — the files are right, recompute counters from them.
-      //  - observed == 0 but footer > 0: this job wrote NOTHING for the
-      //    bucket (dynamic overwrite leaves untouched partitions alone),
-      //    so the files are STALE leftovers of an earlier uncommitted
-      //    attempt — blessing them into a manifest would mix inputs.
-      //    Delete them and commit the truthful zero.
-      val bucketPath = s"$dir/data/_bucket=$k"
-      val footer = footerRows(bucketPath, conf)
-      val c =
-        if (footer == observed.rows) observed
-        else if (observed.rows == 0 && footer > 0) {
-          System.err.println(s"[TableIO] bucket $k received no rows this " +
-            s"run but its directory holds $footer stale rows from an " +
-            "uncommitted earlier attempt — deleting them")
-          val p = new HPath(bucketPath)
-          p.getFileSystem(conf).delete(p, true)
-          BucketCommit(k, 0L, 0L)
-        } else {
-          System.err.println(s"[TableIO] observed rows for bucket $k " +
-            s"(${observed.rows}) != parquet footers ($footer) — stage " +
-            "re-execution detected; recomputing counters from written data")
-          recomputeBucket(df.sparkSession, dir, k)
-        }
+      val c = crossCheck(df.sparkSession, dir, observed, conf)
       val lineageJson = lineage.toSeq.sortBy(_._1).map { case (k2, v) =>
         s"${jstr(k2)}:${jstr(v)}" }.mkString(",")
       atomicWrite(commitPath(dir, k),
         s"""{"bucket":${c.bucket},"rows":${c.rows},"checksum":${c.checksum},"layout":$LayoutVersion,"buckets":$buckets,"lineage":{$lineageJson}}""",
         conf)
       c
+    }
+  }
+
+  /** Retry-safety cross-check for one bucket's observed counters against
+    * the parquet FOOTER row counts — ground truth for what this job
+    * WROTE (metadata-only, no data read). Package-private so the rare
+    * branches — the ones that only run during a production incident —
+    * are directly testable (VERDICT r3 #3). Three mismatch outcomes:
+    *  - observed ≠ footer, both data present: a re-executed stage
+    *    double-applied metric updates (double-apply strictly INCREASES
+    *    the observed count) — the files are right, recompute the
+    *    counters from them.
+    *  - observed == 0 but footer > 0: this job wrote NOTHING for the
+    *    bucket (dynamic overwrite leaves untouched partitions alone), so
+    *    the files are STALE leftovers of an earlier uncommitted attempt
+    *    — blessing them into a manifest would mix inputs. Delete them
+    *    and commit the truthful zero.
+    *  - observed > 0 but footer == 0: the write claimed rows for this
+    *    bucket yet no files exist — data LOSS, not a counter glitch.
+    *    Committing rows=0 would mark the bucket permanently done and
+    *    silently drop its rows on every resume (ADVICE r3) — fail fast
+    *    instead.
+    */
+  private[graft] def crossCheck(spark: SparkSession, dir: String,
+                                observed: BucketCommit,
+                                conf: Configuration): BucketCommit = {
+    val k = observed.bucket
+    val bucketPath = s"$dir/data/_bucket=$k"
+    val footer = footerRows(bucketPath, conf)
+    if (footer == observed.rows) observed
+    else if (observed.rows == 0 && footer > 0) {
+      System.err.println(s"[TableIO] bucket $k received no rows this " +
+        s"run but its directory holds $footer stale rows from an " +
+        "uncommitted earlier attempt — deleting them")
+      val p = new HPath(bucketPath)
+      p.getFileSystem(conf).delete(p, true)
+      BucketCommit(k, 0L, 0L)
+    } else if (observed.rows > 0 && footer == 0) {
+      throw new IllegalStateException(
+        s"bucket $k observed ${observed.rows} rows during the write but " +
+          s"its directory ($bucketPath) holds no data — the write " +
+          "reported success without producing files; refusing to commit " +
+          "an empty manifest that would silently lose these rows on " +
+          "every resume")
+    } else {
+      System.err.println(s"[TableIO] observed rows for bucket $k " +
+        s"(${observed.rows}) != parquet footers ($footer) — stage " +
+        "re-execution detected; recomputing counters from written data")
+      recomputeBucket(spark, dir, k)
     }
   }
 
@@ -304,7 +338,7 @@ object TableIO {
     * cannot pollute the parsed map (a greedy `(.*)}` did both).
     */
   def readLineage(dir: String, bucket: Int,
-                  conf: Configuration = new Configuration()): Map[String, String] = {
+                  conf: Configuration = defaultConf()): Map[String, String] = {
     val txt = hRead(commitPath(dir, bucket), conf).getOrElse(return Map.empty)
     val body = "\"lineage\":\\{((?:[^{}\"]|\"(?:[^\"\\\\]|\\\\.)*\")*)\\}".r
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
@@ -318,7 +352,7 @@ object TableIO {
     * under ANY count is unverifiable).
     */
   def readBucketsTotal(dir: String, bucket: Int,
-                       conf: Configuration = new Configuration()): Int =
+                       conf: Configuration = defaultConf()): Int =
     hRead(commitPath(dir, bucket), conf)
       .flatMap("\"buckets\":(\\d+)".r.findFirstMatchIn(_))
       .map(_.group(1).toInt).getOrElse(-1)
@@ -327,7 +361,7 @@ object TableIO {
     * manifests predating the field (round 1) are layout 1.
     */
   def readLayout(dir: String, bucket: Int,
-                 conf: Configuration = new Configuration()): Int =
+                 conf: Configuration = defaultConf()): Int =
     hRead(commitPath(dir, bucket), conf)
       .flatMap("\"layout\":(\\d+)".r.findFirstMatchIn(_))
       .map(_.group(1).toInt).getOrElse(1)
@@ -345,7 +379,11 @@ object TableIO {
     case c => c.toString
   } + "\""
 
-  private[graft] def junescape(s: String): String = {
+  /** `context` names the input being unescaped ("manifest", the DSv2
+    * `paths` option, …) so a malformed escape is reported against the
+    * thing the caller actually passed, not a misleading fixed label.
+    */
+  private[graft] def junescape(s: String, context: String = "manifest"): String = {
     val b = new StringBuilder
     var i = 0
     while (i < s.length) {
@@ -355,10 +393,10 @@ object TableIO {
           case 'r' => b += '\r'; i += 2
           case 't' => b += '\t'; i += 2
           case 'u' =>
-            // a truncated \uXX at end-of-string must fail as a manifest
-            // error, not a raw StringIndexOutOfBoundsException
+            // a truncated \uXX at end-of-string must fail as a named
+            // input error, not a raw StringIndexOutOfBoundsException
             require(i + 6 <= s.length,
-              s"malformed manifest: truncated unicode escape in ${s.take(80)}")
+              s"malformed $context: truncated unicode escape in ${s.take(80)}")
             b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
             i += 6
           case c => b += c; i += 2
@@ -370,7 +408,7 @@ object TableIO {
 
   /** Read back all committed bucket manifests (lineage + counters). */
   def readCommits(dir: String, buckets: Int,
-                  conf: Configuration = new Configuration()): Seq[BucketCommit] =
+                  conf: Configuration = defaultConf()): Seq[BucketCommit] =
     (0 until buckets).flatMap { k =>
       hRead(commitPath(dir, k), conf).map { txt =>
         val rows = "\"rows\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
@@ -410,7 +448,7 @@ object TableIO {
     * (ADVICE r2).
     */
   private[graft] def atomicWrite(path: String, content: String,
-                                 conf: Configuration = new Configuration()): Unit = {
+                                 conf: Configuration = defaultConf()): Unit = {
     val fs = new HPath(path).getFileSystem(conf)
     val dst = fs.makeQualified(new HPath(path))
     val tmp = fs.makeQualified(new HPath(path + ".tmp"))

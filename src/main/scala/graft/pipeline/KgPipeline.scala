@@ -216,6 +216,38 @@ object KgPipeline {
       df.checkpoint()
     else df.localCheckpoint()
 
+  /** The reliable-checkpoint directory backing a [[chk]] result, when it
+    * was a reliable checkpoint (None for localCheckpoint — local blocks
+    * die with their executors and need no cleanup).
+    */
+  private def checkpointFileOf(df: DataFrame): Option[String] =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  /** Delete a superseded reliable checkpoint's files. Spark never cleans
+    * these itself unless `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * is set (default false), so every fixpoint round would otherwise leak
+    * one checkpoint directory into durable storage for the life of the
+    * cluster (ADVICE r3). Only call once every consumer of the
+    * checkpointed frame has materialized; cleanup failure is logged, not
+    * fatal — a leaked directory beats a dead job.
+    */
+  private def dropCheckpoint(spark: org.apache.spark.sql.SparkSession,
+                             file: Option[String]): Unit =
+    file.foreach { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[KgPipeline] checkpoint cleanup of $f " +
+            s"failed (${e.getMessage}) — remove it manually")
+      }
+    }
+
   /** Minimum-label propagation (hash-to-min) over an undirected edge
     * set. Returns (node, component) where component = min node id in the
     * component. Edge sets here are alias clusters: tiny diameter, so the
@@ -234,23 +266,30 @@ object KgPipeline {
 
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
-      // (loop body below; non-convergence fails LOUD after the loop —
-      // silently returning split components would corrupt canonical ids)
-      val viaNeighbor = und
-        .join(labels.withColumnRenamed("node", "dst")
-                    .withColumnRenamed("comp", "ncomp"), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("ncomp")).as("ncomp"))
-      val next = chk(labels.join(viaNeighbor, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")))
-      val changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .where(col("n.comp") =!= col("o.comp")).limit(1).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
+    try {
+      while (iter < maxIter && !converged) {
+        // (loop body below; non-convergence fails LOUD after the loop —
+        // silently returning split components would corrupt canonical ids)
+        val viaNeighbor = und
+          .join(labels.withColumnRenamed("node", "dst")
+                      .withColumnRenamed("comp", "ncomp"), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(min(col("ncomp")).as("ncomp"))
+        val next = chk(labels.join(viaNeighbor, Seq("node"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")))
+        val changed = next.as("n").join(labels.as("o"), Seq("node"))
+          .where(col("n.comp") =!= col("o.comp")).limit(1).count()
+        // `next` is eagerly materialized by chk and `changed` has been
+        // computed, so the superseded round's checkpoint files are now
+        // garbage — drop them here instead of leaking one directory per
+        // round into durable storage (ADVICE r3)
+        dropCheckpoint(spark, checkpointFileOf(labels))
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+    } finally dropCheckpoint(spark, checkpointFileOf(und))
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds the iteration budget; raise maxIter " +
@@ -322,7 +361,13 @@ object KgPipeline {
     val out0 = broadcast(entities.groupBy("comp").agg(min(col("node")).as("canon_id")))
       .join(entities, Seq("comp"))
       .select(col("node").as("entity_id"), col("canon_id"))
+    // chk is eager, so once `pinned` exists the CC labels' checkpoint
+    // (out0's only upstream checkpoint) is garbage. `pinned`'s own
+    // checkpoint is caller-owned: it backs the returned frame for the
+    // rest of the run and is reclaimed with the checkpoint dir (or by
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true).
     val pinned = chk(out0)
+    dropCheckpoint(spark, checkpointFileOf(comps))
     edges.unpersist()
     pinned
   }

@@ -178,13 +178,30 @@ object TextDedup {
   }
 
   /** SimHash collision groups (near/exact dup clusters), scalars only:
-    * (simhash, n_docs, min_doc, max_doc, docs_csv).
+    * (simhash, n_docs, min_doc, max_doc, docs_csv) — where `docs_csv` is
+    * a roster of the group's `rosterCap` SMALLEST doc ids, not the full
+    * membership. A boilerplate cluster of 10M near-identical documents
+    * is routine at 100 TB; an uncapped `collect_list` would materialize
+    * one multi-hundred-MB aggregation buffer on a single executor
+    * (VERDICT r3 #4). The cap is enforced BEFORE the collect — a
+    * `row_number` window ranks members per fingerprint, and only ranks
+    * ≤ `rosterCap` enter the list — so the aggregation buffer itself is
+    * bounded, not just the output string. The window and the groupBy
+    * share the `simhash` hash-partitioning, so capping adds no extra
+    * exchange; full-membership counts survive as `n_docs`/`min_doc`/
+    * `max_doc`, which aggregate without any buffer.
     */
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String,
-                    bits: Int = 32): DataFrame =
+                    bits: Int = 32, rosterCap: Int = 16): DataFrame = {
+    require(rosterCap >= 1, s"rosterCap must be >= 1: $rosterCap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("simhash").orderBy("doc_id")
     simhash(docs, idCol, textCol, bits)
+      .withColumn("rn", row_number().over(w))
       .groupBy("simhash").agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
-        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("docs_csv"))
+        concat_ws(",", sort_array(collect_list(
+          when(col("rn") <= rosterCap, col("doc_id"))))).as("docs_csv"))
       .where(col("n_docs") > 1)
+  }
 }

@@ -46,12 +46,36 @@ object Train {
         f.labels)
     }
 
+  /** Driver-collect budget for [[train]]: annotated NER corpora are
+    * thousands of sentences by contract (NKJP-scale; the reference
+    * trains in one process the same way), so half a million flattened
+    * sentences — roughly GBs of features — signals a caller pointing the
+    * trainer at a corpus-scale table, which must fail loudly before the
+    * collect OOMs the driver (VERDICT r3 #6, same hazard class as
+    * `CompactDict.MaxBroadcastEntries`).
+    */
+  val MaxTrainSentences: Long = 500000L
+
   /** Train on an ENAMEX corpus Dataset: distributed flatten, driver SGD,
     * model ready to broadcast.
+    *
+    * Fails fast (cheap distributed count, no rows pulled) when the
+    * corpus exceeds `maxSentences` instead of collecting until the
+    * driver dies. For genuinely corpus-scale training, partition the
+    * corpus and average per-partition gradients via `mapPartitions`
+    * (SURVEY.md §2 C8's escape hatch) rather than raising the budget.
     */
   def train(spark: SparkSession, lines: Dataset[String],
             schema: Features.SchemaConf = graft.NerfModel.defaultSchema,
-            cfg: Sgd.Config = Sgd.Config()): NerfModel = {
+            cfg: Sgd.Config = Sgd.Config(),
+            maxSentences: Long = MaxTrainSentences): NerfModel = {
+    val n = lines.filter(_.nonEmpty).count()
+    require(n <= maxSentences,
+      s"training corpus has $n sentences, above the driver-collect budget " +
+        s"of $maxSentences (Train.MaxTrainSentences) — driver SGD mirrors " +
+        "the reference's single-process trainer and collects the encoded " +
+        "corpus; for corpus-scale training average per-partition gradients " +
+        "via mapPartitions (SURVEY.md §2 C8) instead of raising the budget")
     val flat = flatten(spark, lines, schema).collect()
     NerfModel(schema, Sgd.train(toTrainSents(flat), cfg))
   }

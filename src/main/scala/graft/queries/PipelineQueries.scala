@@ -67,10 +67,13 @@ object PipelineQueries {
 
   /** 32-bit SimHash collision groups (scalar columns only — the driver's
     * rows-only check sorts with pandas, which cannot factorize arrays).
+    * `docs_csv` is an exemplar roster capped at 16 smallest ids — the
+    * full membership is unbounded at scale (see
+    * [[graft.pipeline.TextDedup.simhashGroups]]); counts stay exact.
     */
   def q45_simhash(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.TextDedup.simhashGroups(docs(s, dir), "doc_id", "text",
-      bits = 32)
+      bits = 32, rosterCap = 16)
 
   // =================================================================
   // LSH-bucketed approximate nearest neighbors (scale path for q20)

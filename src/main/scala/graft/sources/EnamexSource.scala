@@ -92,7 +92,8 @@ object EnamexSource {
       // \\): Spark Jackson-encodes the paths array, so a path containing
       // a control character arrives as an escape sequence
       "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
-        .map(m => graft.io.TableIO.junescape(m.group(1)))
+        .map(m => graft.io.TableIO.junescape(m.group(1),
+          context = "enamex `paths` option"))
         .toSeq
     }
     val single = Option(options.get("path")).toSeq

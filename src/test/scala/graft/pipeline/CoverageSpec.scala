@@ -235,6 +235,17 @@ class TrainSpec extends AnyFunSuite {
     }
   }
 
+  test("train refuses an over-budget corpus before collecting it") {
+    import spark.implicits._
+    val ds = spark.createDataset(Synth.corpusLines(25, seed = 5))
+    val ex = intercept[IllegalArgumentException] {
+      Train.train(spark, ds, cfg = Sgd.Config(iterNum = 1, seed = 3),
+        maxSentences = 10)
+    }
+    assert(ex.getMessage.contains("driver-collect budget"), ex.getMessage)
+    assert(ex.getMessage.contains("mapPartitions"), ex.getMessage)
+  }
+
   test("cross-validation yields high P/R on every fold") {
     import spark.implicits._
     val ds = spark.createDataset(Synth.corpusLines(150, seed = 9))

@@ -266,6 +266,63 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TableIO.verifyCommits(spark, s"$dir/t", 64).isEmpty)
   }
 
+  test("reliable fixpoint checkpoints are cleaned after convergence (no leak)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    assume(sc.getCheckpointDir.isEmpty)
+    sc.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_ck").toString)
+    try {
+      // a 3-chain needs several propagation rounds — each round used to
+      // leak one checkpoint dir (cleanCheckpoints defaults to false)
+      val edges = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("src", "dst")
+      val comps = KgPipeline.connectedComponents(edges)
+      assert(comps.count() == 5)
+      val ckDir = new java.io.File(new java.net.URI(
+        sc.getCheckpointDir.get).getPath)
+      val rdds = ckDir.listFiles().filter(_.getName.startsWith("rdd-"))
+      assert(rdds.length == 1,
+        s"leaked checkpoints beyond the returned frame's own: " +
+          rdds.map(_.getName).mkString(","))
+    } finally sc.setCheckpointDir(null)
+  }
+
+  test("cross-check recomputes counters when a stage retry double-applied metrics") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_retry").toString
+    val df = (1 to 200).map(i => (s"repo$i", s"path$i")).toDF("src_repo", "src_path")
+    val commits = TableIO.writeResumable(df, s"$dir/t", 4, Seq("src_repo"))
+    val truth = commits.find(_.rows > 0).get
+    // simulate the FetchFailed double-apply: a re-executed shuffle-map
+    // stage re-applies its partitions' accumulator updates, inflating the
+    // observed row count and XOR-cancelling those partitions out of the
+    // checksum — the written files themselves are correct
+    val inflated = TableIO.BucketCommit(truth.bucket, truth.rows + 5,
+      truth.checksum ^ 0x5eedL)
+    val checked = TableIO.crossCheck(spark, s"$dir/t", inflated,
+      spark.sessionState.newHadoopConf())
+    assert(checked == truth,
+      s"recompute must restore footer-derived truth: got $checked want $truth")
+  }
+
+  test("cross-check fails fast when observed rows have no files on disk") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_loss").toString
+    val df = (1 to 50).map(i => (s"repo$i", s"path$i")).toDF("src_repo", "src_path")
+    val commits = TableIO.writeResumable(df, s"$dir/t", 4, Seq("src_repo"))
+    val victim = commits.find(_.rows > 0).get
+    // wipe the bucket's data: write "succeeded" per the metrics but the
+    // files are gone — committing rows=0 would mark it done and silently
+    // lose the rows on every resume (ADVICE r3)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/t/data/_bucket=${victim.bucket}")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val ex = intercept[IllegalStateException] {
+      TableIO.crossCheck(spark, s"$dir/t", victim,
+        spark.sessionState.newHadoopConf())
+    }
+    assert(ex.getMessage.contains("no data"), ex.getMessage)
+  }
+
   test("resume refuses a layout-version mismatch (no split-layout tables)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_io_layout").toString

@@ -1,0 +1,123 @@
+package graft.plans
+
+import graft.KgMain
+import graft.core.Synth
+import graft.pipeline.{KgPipeline, SparkTestSession}
+import graft.queries.{PipelineQueries, RelationalQueries}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared physical-plan traversal for plan gates: descends into AQE
+  * wrappers and materialized/reused query stages, which
+  * `TreeNode.children` alone does not traverse.
+  */
+object PlanInspector {
+  import org.apache.spark.sql.execution.{ReusedSubqueryExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val next = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedSubqueryExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: next.flatMap(allNodes)
+  }
+}
+
+/** Plan-hygiene gates, in-suite (VERDICT r3 #2): the dev-tool
+  * `ExplainCheck` asserted parquet filter pushdown, column pruning, and
+  * broadcast joins for the key queries, but as a main it never ran in
+  * CI — a regression that un-broadcast the linker join or un-pruned a
+  * scan would have shipped with green tests. These are the same
+  * assertions as suite tests, plus the q44 shuffle-key type gate (the
+  * r2 text-keyed-shuffle regression is structurally unrepeatable).
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.01"
+  def available: Boolean = new java.io.File(s"$dir/lineitem.parquet").exists()
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertPushed(name: String, p: String): Unit =
+    assert("PushedFilters: \\[[^\\]]*\\]".r.findAllIn(p)
+      .exists(s => s.length > "PushedFilters: []".length),
+      s"$name: expected a non-empty PushedFilters on the parquet scan:\n$p")
+
+  private def assertBhj(name: String, p: String, atLeast: Int): Unit = {
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= atLeast,
+      s"$name: expected >=$atLeast BroadcastHashJoin, found $bhj:\n$p")
+  }
+
+  /** Every parquet scan in the plan must read at most `maxCols` columns
+    * — a scan reading more than the query projects means pruning broke.
+    */
+  private def assertPruned(name: String, p: String, maxCols: Int): Unit = {
+    val widths = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1).count(_ == ':')).toList
+    assert(widths.nonEmpty, s"$name: no ReadSchema found in plan:\n$p")
+    assert(widths.forall(_ <= maxCols),
+      s"$name: a scan reads ${widths.max} columns, want <=$maxCols (pruning):\n$p")
+  }
+
+  test("q01 dict build: filter pushed to the scan, <=3 columns read") {
+    assume(available)
+    val p = planString(RelationalQueries.q01_dict_build(spark, dir))
+    assertPushed("q01", p)
+    assertPruned("q01", p, 3)
+  }
+
+  test("q04 dict lookup: broadcast hash join, <=2 columns read per scan") {
+    assume(available)
+    val p = planString(RelationalQueries.q04_broadcast_join(spark, dir))
+    assertBhj("q04", p, 1)
+    assertPruned("q04", p, 2)
+  }
+
+  test("q05 range join: interval side broadcasts") {
+    assume(available)
+    val p = planString(RelationalQueries.q05_range_join(spark, dir))
+    assertBhj("q05", p, 1)
+  }
+
+  test("q12 sha256 invariant: filter pushed, <=2 columns read") {
+    assume(available)
+    val p = planString(RelationalQueries.q12_sha256(spark, dir))
+    assertPushed("q12", p)
+    assertPruned("q12", p, 2)
+  }
+
+  test("q10 topk: <=3 columns read") {
+    assume(available)
+    val p = planString(RelationalQueries.q10_topk(spark, dir))
+    assertPruned("q10", p, 3)
+  }
+
+  test("kg linker join is a broadcast (KB side)") {
+    val files = KgPipeline.synthInput(spark, 50, partitions = 2)
+    val ments = KgPipeline.detectMentions(spark, files, KgMain.model)
+    val kb = KgPipeline.kbAliasDf(spark, Synth.knowledgeBase)
+    assertBhj("kg_link", planString(KgPipeline.linkMentions(spark, ments, kb)), 1)
+  }
+
+  test("q44 minhash: no shuffle carries a string-typed column") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.StringType
+    val df = PipelineQueries.q44_minhash_pairs(spark, dir)
+    df.collect() // gate the FINAL adaptive plan
+    val offenders = PlanInspector.allNodes(df.queryExecution.executedPlan)
+      .collect {
+        case s: ShuffleExchangeLike
+            if s.output.exists(_.dataType == StringType) => s
+      }
+    assert(offenders.isEmpty,
+      s"q44: ${offenders.size} shuffle(s) carry string columns — every " +
+        s"shuffle key must be a fixed-width hash (VERDICT r2 #2):\n" +
+        offenders.mkString("\n"))
+  }
+}

@@ -155,7 +155,8 @@ class AnnSpec extends AnyFunSuite {
       .groupBy(_._1).filter(_._2.length > 1)
       .map { case (fp, members) =>
         val ids = members.map(_._2).sorted
-        (fp, ids.length.toLong, ids.head, ids.last, ids.mkString(","))
+        // roster capped at the 16 smallest ids (counts stay exact)
+        (fp, ids.length.toLong, ids.head, ids.last, ids.take(16).mkString(","))
       }.toSet
     val got = PipelineQueries.q45_simhash(spark, qDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -163,6 +164,32 @@ class AnnSpec extends AnyFunSuite {
     assert(want.nonEmpty, "gate is vacuous: no simhash collisions at this SF")
     assert(got == want,
       s"simhash groups diverge from brute force: extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("simhash roster is capped at rosterCap while counts stay exact") {
+    import spark.implicits._
+    // 40 identical docs (one fingerprint group, size >> cap) + 2 other dups
+    val docs = ((0L until 40L).map(i => (i, "common boilerplate header text")) ++
+      Seq((100L, "unique payload alpha beta"), (101L, "unique payload alpha beta")))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextDedup
+      .simhashGroups(docs, "doc_id", "text", bits = 32, rosterCap = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got == Set(
+      (40L, 0L, 39L, "0,1,2,3,4"),
+      (2L, 100L, 101L, "100,101")),
+      s"got $got")
+    // capping must not add an exchange: simhash agg (doc_id) + one
+    // shuffle shared by the rank window and the fingerprint groupBy
+    val df = graft.pipeline.TextDedup
+      .simhashGroups(docs, "doc_id", "text", bits = 32, rosterCap = 5)
+    df.collect()
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shuffles = graft.plans.PlanInspector
+      .allNodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 2, s"roster cap added an exchange: $shuffles shuffles")
   }
 
   test("q50 bucketed join plans without a join-side shuffle") {
@@ -194,5 +221,112 @@ class AnnSpec extends AnyFunSuite {
     def runOnce() = PipelineQueries.q49_ann_ivf(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(runOnce() == runOnce())
+  }
+
+  /** The ANN probe join must be a plan-guaranteed broadcast: the probe
+    * side comes out of a typed flatMap whose size Catalyst cannot
+    * estimate, so without the explicit hint the static plan shuffles the
+    * corpus side — full embedding vectors, ×nTables replicas for LSH —
+    * on the bucket keys (VERDICT r3 #1). Gate: BroadcastHashJoin
+    * present, no SortMergeJoin anywhere, and no shuffle exchange whose
+    * rows carry an embedding vector (scoring happens before every
+    * exchange, so shuffles are scalar-only).
+    */
+  private def assertVectorShuffleFree(df: org.apache.spark.sql.DataFrame,
+                                      name: String): Unit = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    df.collect() // AQE: gate the FINAL executed plan, not the static one
+    val nodes = graft.plans.PlanInspector.allNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"$name: probe join is not a BroadcastHashJoin:\n${df.queryExecution.executedPlan}")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      s"$name: plan contains a SortMergeJoin — the corpus side is being " +
+        s"shuffled:\n${df.queryExecution.executedPlan}")
+    val vectorShuffles = nodes.collect {
+      case s: ShuffleExchangeLike
+          if s.output.exists(a => a.name == "embedding" || a.name == "q_emb") => s
+    }
+    assert(vectorShuffles.isEmpty,
+      s"$name: ${vectorShuffles.size} shuffle(s) carry embedding vectors " +
+        s"(must be scalar-only):\n${vectorShuffles.mkString("\n")}")
+  }
+
+  test("q46 LSH probe join is a guaranteed broadcast; shuffles are vector-free") {
+    assume(available)
+    assertVectorShuffleFree(PipelineQueries.q46_ann_lsh(spark, dir), "q46")
+  }
+
+  test("q49 IVF probe join is a guaranteed broadcast; shuffles are vector-free") {
+    assume(available)
+    assertVectorShuffleFree(PipelineQueries.q49_ann_ivf(spark, dir), "q49")
+  }
+
+  test("IVF recall@3 holds across quantizer seeds (min-over-seeds gate)") {
+    assume(available)
+    val brute = bruteTopK(vectors(), 3)
+    // deterministic seed list — the 0.8 claim must not hinge on one
+    // lucky kmeans++ draw (VERDICT r3 #5); this corpus is uniform-random
+    // 64-dim, the worst case for any partitioning index
+    val seeds = Seq(4321L, 7L, 99L)
+    val recalls = seeds.map { seed =>
+      val vecsDf = spark.read.parquet(s"$dir/embeddings.parquet")
+      val got = graft.pipeline.Ann.ivfNeighbors(vecsDf, "vec_id", "embedding",
+          probePred = col("vec_id") < 20, k = 3, nCells = 32, nProbe = 16,
+          seed = seed)
+        .collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+      val hits = brute.toSeq.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size }.sum
+      seed -> hits.toDouble / brute.map(_._2.size).sum
+    }
+    info(recalls.map { case (s, r) => f"seed=$s recall=$r%.3f" }.mkString(", "))
+    val worst = recalls.minBy(_._2)
+    assert(worst._2 >= 0.8,
+      f"IVF recall@3 ${worst._2}%.3f below 0.8 at seed ${worst._1}")
+  }
+
+  /** Deterministic clustered corpus: 20 well-separated gaussian centers,
+    * 50 points each with small isotropic noise — the REALISTIC regime for
+    * learned embeddings (the parquet testdata is uniform-random, the
+    * worst case for any partitioning index; VERDICT r3 #7 asks for
+    * evidence on data the indexes are actually built for).
+    */
+  private def clusteredVecs(): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(20, 64)(rnd.nextGaussian().toFloat)
+    (0L until 1000L).map { id =>
+      val c = centers((id % 20).toInt)
+      id -> c.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+    }
+  }
+
+  test("clustered embeddings: LSH and IVF recall@3 >= 0.95") {
+    import spark.implicits._
+    val vs = clusteredVecs()
+    val df = vs.toDF("vec_id", "embedding")
+    val brute = {
+      val arr = vs.toArray
+      val probes = arr.filter(_._1 < 20)
+      probes.map { case (qid, q) =>
+        qid -> arr.filter(_._1 != qid)
+          .map { case (id, v) => (id, cosine(q, v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+      }.toMap
+    }
+    def recallOf(got: org.apache.spark.sql.DataFrame): Double = {
+      val byQ = got.collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+      brute.toSeq.map { case (q, want) =>
+        byQ.getOrElse(q, Set.empty).intersect(want).size }.sum.toDouble /
+        brute.map(_._2.size).sum
+    }
+    val lsh = recallOf(graft.pipeline.Ann.lshNeighbors(df, "vec_id", "embedding",
+      probePred = col("vec_id") < 20, k = 3, nBits = 4, nTables = 12))
+    val ivf = recallOf(graft.pipeline.Ann.ivfNeighbors(df, "vec_id", "embedding",
+      probePred = col("vec_id") < 20, k = 3, nCells = 32, nProbe = 16))
+    info(f"clustered recall@3: LSH=$lsh%.3f IVF=$ivf%.3f")
+    assert(lsh >= 0.95, f"LSH recall on clustered data $lsh%.3f < 0.95")
+    assert(ivf >= 0.95, f"IVF recall on clustered data $ivf%.3f < 0.95")
   }
 }
