@@ -106,13 +106,14 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("shared"))
   }
 
-  /** Exact duplicated substrings: every `n`-token span occurring in
-    * more than one document, with document and occurrence counts — the
-    * substring-level exact dedup a curation pipeline runs to strip
-    * boilerplate (license headers, navigation chrome) that
-    * document-level dedup misses. Spans are grouped by their TEXT here
-    * (portable, oracle-checkable — this is q51's shape); the 100-TB
-    * rendition is [[duplicatedSpanHashes]].
+  /** Oracle rendition of substring-level exact dedup: every `n`-token
+    * span occurring in more than one document, grouped by its TEXT —
+    * portable and DuckDB-checkable (q51's shape), but the final shuffle
+    * carries `n` words of text per span. **The default entry point for
+    * curation pipelines is [[duplicatedSpanHashes]]**, which computes
+    * the same counts over fixed-width hashed keys; use this variant only
+    * where full span text (not one exemplar) must survive, or for
+    * cross-engine verification.
     */
   /** Every n-token span of every document: (doc_id, gram) — the shared
     * generator for both duplicated-span renditions, so the short-doc
@@ -135,9 +136,11 @@ object TextDedup {
            count(lit(1)).as("n_occ"))
       .where(col("n_docs") > 1)
 
-  /** Scale rendition of [[duplicatedSpans]]: spans grouped by
-    * `xxhash64(gram)` — the final shuffle carries a fixed-width 8-byte
-    * key per span instead of `n` words of text — with ONE exemplar
+  /** Substring-level exact dedup of Lee et al. — the DEFAULT entry
+    * point (q52; [[duplicatedSpans]] is the text-keyed oracle
+    * rendition): spans grouped by `xxhash64(gram)` — the final shuffle
+    * carries a fixed-width 8-byte key per span instead of `n` words of
+    * text — with ONE exemplar
     * string kept per hash via `min(gram)` so the output stays
     * human-actionable. The exemplar min() is partial-agg friendly:
     * map-side combine reduces each partition to one candidate string
