@@ -53,6 +53,27 @@ object Ann {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Resolve the hashing width: defaults to the actual embedding width
+    * (one tiny probe job) — a too-small explicit dim silently hashes
+    * only a prefix and recall collapses without error.
+    */
+  private def resolveDim(vecs: DataFrame, embCol: String, dim: Int): Int =
+    if (dim > 0) dim
+    else {
+      val first = vecs.select(size(col(embCol))).limit(1).collect()
+      require(first.nonEmpty, "empty vector table")
+      first(0).getInt(0)
+    }
+
+  /** Deterministic random-hyperplane set: `nTables` tables × `nBits`
+    * planes × `dim` gaussian coordinates.
+    */
+  private def planesFor(nTables: Int, nBits: Int, dim: Int,
+                        seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nTables, nBits, dim)(rnd.nextGaussian())
+  }
+
   /** Multi-table random-hyperplane LSH. Recall = 1 − (1 − p^bits)^tables
     * with p = 1 − θ/π; grow `nBits` with log(corpus) to hold bucket
     * occupancy and add tables to hold recall.
@@ -63,49 +84,80 @@ object Ann {
                    seed: Long = 1234L): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
-    // dim defaults to the actual embedding width (one tiny probe job) —
-    // a too-small explicit dim silently hashes only a prefix and recall
-    // collapses without error
-    val useDim =
-      if (dim > 0) dim
-      else {
-        val first = vecs.select(size(col(embCol))).limit(1).collect()
-        require(first.nonEmpty, "empty vector table")
-        first(0).getInt(0)
-      }
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nTables, nBits, useDim)(rnd.nextGaussian())
-    val bPlanes = s.sparkContext.broadcast(planes)
+    val useDim = resolveDim(vecs, embCol, dim)
+    val bPlanes = s.sparkContext.broadcast(
+      planesFor(nTables, nBits, useDim, seed))
     val nb = nBits
-    val nt = nTables
-    val d = useDim
-    // probePred is evaluated against the CALLER's columns here, before
-    // normalization — the API never leaks internal column names
-    val typed = vecs.select(col(idCol).as("vec_id"),
-        col(embCol).as("embedding"), probePred.as("is_probe"))
-      .as[(Long, Array[Float], Boolean)]
-    val bucketed = typed.flatMap { case (id, v, p) =>
-      val ps = bPlanes.value
-      (0 until nt).map { t =>
-        var bucket = 0L
-        var b = 0
-        while (b < nb) {
-          var dot = 0.0
-          var i = 0
-          val pl = ps(t)(b)
-          while (i < math.min(d, v.length)) { dot += pl(i) * v(i); i += 1 }
-          if (dot > 0) bucket |= (1L << b)
-          b += 1
-        }
-        (id, t, bucket, v, p)
-      }
-    }.toDF("vec_id", "tbl", "bucket", "embedding", "is_probe")
-    val probes = bucketed.where(col("is_probe"))
-      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"),
-        col("embedding").as("q_emb"))
+    val bucketed = vecs.select(col(idCol).as("vec_id"),
+        col(embCol).as("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        SignLsh.buckets(bPlanes.value, nb, v).zipWithIndex
+          .map { case (bk, t) => (id, t, bk, v) }
+      }.toDF("vec_id", "tbl", "bucket", "embedding")
+    // The probe subtree filters FIRST — probePred is evaluated against
+    // the caller's columns, so `where` pushes it into the parquet scan —
+    // and only then hashes. Deriving probes from `bucketed` instead (as
+    // round 3 did) made the broadcast build side re-scan and re-hash the
+    // ENTIRE corpus to keep a handful of probe rows; at 100 TB the
+    // "small by contract" broadcast side would itself cost a full
+    // corpus pass.
+    val probes = vecs.where(probePred)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        SignLsh.buckets(bPlanes.value, nb, v).zipWithIndex
+          .map { case (bk, t) => (id, t, bk, v) }
+      }.toDF("q_id", "tbl", "bucket", "q_emb")
     // a pair colliding in several tables must score once
-    topK(bucketed.drop("is_probe"), probes, Seq("tbl", "bucket"), k,
-      dedupe = true)
+    topK(bucketed, probes, Seq("tbl", "bucket"), k, dedupe = true)
+  }
+
+  /** All-pairs embedding near-duplicates at scale — the vector analogue
+    * of the MinHash pipeline (TextDedup.minhashPairs): multi-table
+    * sign-LSH candidate generation over SCALAR keys, then exact cosine
+    * verification of candidates only. Output (d1, d2, cos) with
+    * d1 < d2 and cos ≥ `minCos` (rounded to 6 digits).
+    *
+    * Scale shape: stage 1 hashes every vector to `nTables` (tbl, bucket)
+    * key rows and self-joins them — the join inputs are identical plans
+    * (ReuseExchange computes the hashing once) and carry only
+    * (id, tbl, bucket) scalars, never embeddings. Stage 2 re-attaches
+    * each side's vector by an id-keyed join (each embedding crosses the
+    * wire once per side, independent of how many buckets it collided
+    * in) and scores with the native codegen `ner_cosine`. Precision is
+    * exact by construction; recall = 1 − (1 − p^nBits)^nTables with
+    * p = 1 − θ/π at the threshold angle — at minCos 0.5 (θ = 60°) the
+    * 4/12 default gives ~0.93, tighter thresholds approach 1.
+    */
+  def lshCosinePairs(vecs: DataFrame, idCol: String, embCol: String,
+                     minCos: Double, nBits: Int = 4, nTables: Int = 12,
+                     dim: Int = -1, seed: Long = 1234L): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val useDim = resolveDim(vecs, embCol, dim)
+    val bPlanes = s.sparkContext.broadcast(
+      planesFor(nTables, nBits, useDim, seed))
+    val nb = nBits
+    val keys = vecs.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        SignLsh.buckets(bPlanes.value, nb, v).zipWithIndex
+          .map { case (bk, t) => (id, t, bk) }
+      }.toDF("vec_id", "tbl", "bucket")
+    val cand = keys.select(col("vec_id").as("d1"), col("tbl"), col("bucket"))
+      .join(keys.select(col("vec_id").as("d2"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val emb = vecs.select(col(idCol), col(embCol))
+    cand
+      .join(emb.select(col(idCol).as("d1"), col(embCol).as("e1")), "d1")
+      .join(emb.select(col(idCol).as("d2"), col(embCol).as("e2")), "d2")
+      .withColumn("cos", round(
+        VecFunctions.ner_cosine(col("e1"), col("e2")), 6))
+      .where(col("cos") >= minCos)
+      .select(col("d1"), col("d2"), col("cos"))
   }
 
   /** Coarse IVF quantizer: deterministic seeded sample (smallest
@@ -193,6 +245,34 @@ object Ann {
     seeds
   }
 
+  /** Pure sign-LSH kernel, Serializable so executor closures reference
+    * it without dragging session-holding objects into the task.
+    */
+  private[pipeline] object SignLsh extends Serializable {
+    /** Per-table sign bucket of `v` under `planes` (tables × bits × dim). */
+    def buckets(planes: Array[Array[Array[Double]]], nBits: Int,
+                v: Array[Float]): Array[Long] = {
+      val out = new Array[Long](planes.length)
+      var t = 0
+      while (t < planes.length) {
+        var bucket = 0L
+        var b = 0
+        while (b < nBits) {
+          var dot = 0.0
+          var i = 0
+          val pl = planes(t)(b)
+          val n = math.min(pl.length, v.length)
+          while (i < n) { dot += pl(i) * v(i); i += 1 }
+          if (dot > 0) bucket |= (1L << b)
+          b += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      out
+    }
+  }
+
   /** IVF search: assign every vector to its nearest centroid; probes
     * search their `nProbe` nearest cells (corpus-side cost unchanged,
     * probe-side fans out nProbe-fold).
@@ -206,16 +286,22 @@ object Ann {
     val bCent = s.sparkContext.broadcast(
       ivfCentroids(vecs, idCol, embCol, nCells, sampleN, seed = seed))
     val np = nProbe
-    // probePred evaluated against the caller's columns (see lshNeighbors)
-    val typed = vecs.select(col(idCol).as("vec_id"),
-        col(embCol).as("embedding"), probePred.as("is_probe"))
-      .as[(Long, Array[Float], Boolean)]
-    val bucketed = typed.map { case (id, v, _) =>
-      (id, VecOps.nearestCell(bCent.value, v), v)
-    }.toDF("vec_id", "cell", "embedding")
-    val probes = typed.filter(_._3).flatMap { case (id, v, _) =>
-      VecOps.topCells(bCent.value, v, np).map(c => (id, c, v))
-    }.toDF("q_id", "cell", "q_emb")
+    val bucketed = vecs.select(col(idCol).as("vec_id"),
+        col(embCol).as("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, VecOps.nearestCell(bCent.value, v), v) }
+      .toDF("vec_id", "cell", "embedding")
+    // probe subtree filters FIRST (probePred against the caller's
+    // columns → parquet pushdown), then assigns cells: the broadcast
+    // build side costs a filtered scan, not a corpus pass (round 3's
+    // typed `.filter(_._3)` was an opaque lambda over the deserialized
+    // tuple that no scan could push down — see lshNeighbors)
+    val probes = vecs.where(probePred)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        VecOps.topCells(bCent.value, v, np).map(c => (id, c, v))
+      }.toDF("q_id", "cell", "q_emb")
     topK(bucketed, probes, Seq("cell"), k, dedupe = false)
   }
 }

@@ -118,6 +118,19 @@ object PipelineQueries {
     graft.pipeline.Ann.ivfNeighbors(emb(s, dir), "vec_id", "embedding",
       probePred = col("vec_id") < 20, k = 3, nCells = 32, nProbe = 16)
 
+  /** Embedding-cosine near-duplicate PAIRS at scale — the vector
+    * analogue of q44 and the scale path for q21's id-bounded brute
+    * force: scalar-keyed LSH candidate generation + exact cosine verify
+    * of candidates only (precision 1.0 by construction; see
+    * [[graft.pipeline.Ann.lshCosinePairs]] for the recall math).
+    */
+  def q53_cosine_pairs(s: SparkSession, dir: String): DataFrame =
+    // threshold 0.4: the uniform-random testdata has ~60 true pairs there
+    // (0.5 leaves at most one — a vacuous surface); 16 tables hold
+    // recall ~0.94 at the threshold angle
+    graft.pipeline.Ann.lshCosinePairs(emb(s, dir), "vec_id", "embedding",
+      minCos = 0.4, nBits = 4, nTables = 16)
+
   // =================================================================
   // Multimodal: opaque payload + typed metadata; decode is a STUB
   // =================================================================
@@ -216,7 +229,8 @@ object PipelineQueries {
     "q46_ann_lsh" -> (q46_ann_lsh _),
     "q47_media_decode" -> (q47_media_decode _),
     "q48_media_frames" -> (q48_media_frames _),
-    "q49_ann_ivf" -> (q49_ann_ivf _))
+    "q49_ann_ivf" -> (q49_ann_ivf _),
+    "q53_cosine_pairs" -> (q53_cosine_pairs _))
 }
 
 /** Pure vector math, free of any Spark or session state: executor

@@ -250,6 +250,12 @@ class AnnSpec extends AnyFunSuite {
     assert(vectorShuffles.isEmpty,
       s"$name: ${vectorShuffles.size} shuffle(s) carry embedding vectors " +
         s"(must be scalar-only):\n${vectorShuffles.mkString("\n")}")
+    // the probe (broadcast build) side must cost a FILTERED scan, not a
+    // corpus pass: its vec_id predicate has to reach the parquet reader
+    val planStr = df.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(vec_id,20\\)".r
+      .findFirstIn(planStr).isDefined,
+      s"$name: probe predicate not pushed to the parquet scan:\n$planStr")
   }
 
   test("q46 LSH probe join is a guaranteed broadcast; shuffles are vector-free") {
@@ -299,6 +305,75 @@ class AnnSpec extends AnyFunSuite {
       val c = centers((id % 20).toInt)
       id -> c.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
     }
+  }
+
+  test("q53 cosine pairs: exact precision vs brute force; q21 parity on its id range") {
+    assume(available)
+    val vs = vectors()
+    // driver-side brute-force truth at the q53 threshold
+    val cosOf = vs.map { case (id, v) => id -> v }.toMap
+    def allPairs(th: Double): Set[(Long, Long)] = (for {
+      i <- vs.indices.iterator
+      j <- (i + 1) until vs.length
+      (a, va) = vs(i); (b, vb) = vs(j)
+      if cosine(va, vb) >= th - 1e-9
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    val truth = allPairs(0.4)
+    val got = PipelineQueries.q53_cosine_pairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision is exact by construction (cosine verify on candidates)
+    got.foreach { case (a, b, c) =>
+      val bc = cosine(cosOf(a), cosOf(b))
+      assert(math.abs(bc - c) < 1e-5, s"pair ($a,$b) cos $c vs brute $bc")
+      assert(truth.contains((a, b)), s"false positive pair ($a,$b) cos=$c")
+    }
+    assert(got.nonEmpty, "q53 surface is vacuous: no pairs found")
+    info(s"q53: ${got.length} pairs of ${truth.size} brute-force true pairs")
+  }
+
+  test("clustered embeddings: near-dup pairs recall >= 0.95, precision exact") {
+    import spark.implicits._
+    val vs = clusteredVecs()
+    val df = vs.toDF("vec_id", "embedding")
+    // same-cluster points sit at cos ~0.98; cross-cluster ~0 — the
+    // brute-force truth at 0.9 is exactly the within-cluster pair set
+    val truth = (for {
+      i <- vs.indices.iterator
+      j <- (i + 1) until vs.length
+      (a, va) = vs(i); (b, vb) = vs(j)
+      if cosine(va, vb) >= 0.9
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    val got = graft.pipeline.Ann
+      .lshCosinePairs(df, "vec_id", "embedding", minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "gate is vacuous: no true near-dup pairs")
+    assert(got.subsetOf(truth), s"false positives: ${(got -- truth).take(5)}")
+    val recall = got.size.toDouble / truth.size
+    info(f"clustered near-dup pair recall = $recall%.3f (${got.size}/${truth.size})")
+    assert(recall >= 0.95, f"near-dup pair recall $recall%.3f < 0.95")
+  }
+
+  test("q53 candidate self-join reuses the hashing exchange; no vector shuffle") {
+    assume(available)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = PipelineQueries.q53_cosine_pairs(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"hashing pipeline not reused — upstream would run once per join side:\n$plan")
+    // candidate generation must shuffle scalars only; the verify joins
+    // move each embedding once, keyed by id — never by bucket
+    val offenders = graft.plans.PlanInspector
+      .allNodes(df.queryExecution.executedPlan)
+      .collect {
+        case s: ShuffleExchangeLike
+            if s.output.exists(a => a.name == "embedding" || a.name == "e1" ||
+              a.name == "e2") && !s.outputPartitioning.toString.contains("d1") &&
+              !s.outputPartitioning.toString.contains("d2") &&
+              !s.outputPartitioning.toString.contains("vec_id") => s
+      }
+    assert(offenders.isEmpty,
+      s"q53: embedding shuffled on a non-id key:\n${offenders.mkString("\n")}")
   }
 
   test("clustered embeddings: LSH and IVF recall@3 >= 0.95") {
