@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.functions.VecFunctions
+import graft.functions.{AnnFunctions, VecFunctions}
 import graft.queries.VecOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -82,33 +82,26 @@ object Ann {
                    probePred: Column, k: Int = 3, nBits: Int = 4,
                    nTables: Int = 12, dim: Int = -1,
                    seed: Long = 1234L): DataFrame = {
-    val s = vecs.sparkSession
-    import s.implicits._
     val useDim = resolveDim(vecs, embCol, dim)
-    val bPlanes = s.sparkContext.broadcast(
-      planesFor(nTables, nBits, useDim, seed))
-    val nb = nBits
-    val bucketed = vecs.select(col(idCol).as("vec_id"),
-        col(embCol).as("embedding"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        SignLsh.buckets(bPlanes.value, nb, v).zipWithIndex
-          .map { case (bk, t) => (id, t, bk, v) }
-      }.toDF("vec_id", "tbl", "bucket", "embedding")
+    val planes = planesFor(nTables, nBits, useDim, seed)
+    // hashing is the native codegen `ner_sign_buckets` + posexplode —
+    // the corpus side never leaves WholeStageCodegen (the round-3 typed
+    // flatMap paid a DeserializeToObject/SerializeFromObject round-trip
+    // per corpus row; plan gate in AnnSpec)
+    def hashed(df: DataFrame, id: String, emb: String): DataFrame =
+      df.select(col(idCol).as(id),
+        posexplode(AnnFunctions.ner_sign_buckets(col(embCol), planes))
+          .as(Seq("tbl", "bucket")),
+        col(embCol).as(emb))
     // The probe subtree filters FIRST — probePred is evaluated against
     // the caller's columns, so `where` pushes it into the parquet scan —
-    // and only then hashes. Deriving probes from `bucketed` instead (as
-    // round 3 did) made the broadcast build side re-scan and re-hash the
-    // ENTIRE corpus to keep a handful of probe rows; at 100 TB the
-    // "small by contract" broadcast side would itself cost a full
-    // corpus pass.
-    val probes = vecs.where(probePred)
-      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        SignLsh.buckets(bPlanes.value, nb, v).zipWithIndex
-          .map { case (bk, t) => (id, t, bk, v) }
-      }.toDF("q_id", "tbl", "bucket", "q_emb")
+    // and only then hashes. Deriving probes from the corpus subtree
+    // instead (as round 3 did) made the broadcast build side re-scan and
+    // re-hash the ENTIRE corpus to keep a handful of probe rows; at
+    // 100 TB the "small by contract" broadcast side would itself cost a
+    // full corpus pass.
+    val bucketed = hashed(vecs, "vec_id", "embedding")
+    val probes = hashed(vecs.where(probePred), "q_id", "q_emb")
     // a pair colliding in several tables must score once
     topK(bucketed, probes, Seq("tbl", "bucket"), k, dedupe = true)
   }
@@ -133,18 +126,11 @@ object Ann {
   def lshCosinePairs(vecs: DataFrame, idCol: String, embCol: String,
                      minCos: Double, nBits: Int = 4, nTables: Int = 12,
                      dim: Int = -1, seed: Long = 1234L): DataFrame = {
-    val s = vecs.sparkSession
-    import s.implicits._
     val useDim = resolveDim(vecs, embCol, dim)
-    val bPlanes = s.sparkContext.broadcast(
-      planesFor(nTables, nBits, useDim, seed))
-    val nb = nBits
-    val keys = vecs.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        SignLsh.buckets(bPlanes.value, nb, v).zipWithIndex
-          .map { case (bk, t) => (id, t, bk) }
-      }.toDF("vec_id", "tbl", "bucket")
+    val planes = planesFor(nTables, nBits, useDim, seed)
+    val keys = vecs.select(col(idCol).as("vec_id"),
+      posexplode(AnnFunctions.ner_sign_buckets(col(embCol), planes))
+        .as(Seq("tbl", "bucket")))
     val cand = keys.select(col("vec_id").as("d1"), col("tbl"), col("bucket"))
       .join(keys.select(col("vec_id").as("d2"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
@@ -245,10 +231,12 @@ object Ann {
     seeds
   }
 
-  /** Pure sign-LSH kernel, Serializable so executor closures reference
-    * it without dragging session-holding objects into the task.
+  /** Pure sign-LSH reference kernel over plain arrays. The production
+    * path is the codegen `ner_sign_buckets` expression
+    * (graft.functions.AnnKernels); this stays as the independent
+    * formulation AnnExprSpec pins the expression against.
     */
-  private[pipeline] object SignLsh extends Serializable {
+  private[graft] object SignLsh extends Serializable {
     /** Per-table sign bucket of `v` under `planes` (tables × bits × dim). */
     def buckets(planes: Array[Array[Array[Double]]], nBits: Int,
                 v: Array[Float]): Array[Long] = {
@@ -281,27 +269,24 @@ object Ann {
                    probePred: Column, k: Int = 3, nCells: Int = 8,
                    nProbe: Int = 3, sampleN: Int = DefaultSampleN,
                    seed: Long = 4321L): DataFrame = {
-    val s = vecs.sparkSession
-    import s.implicits._
-    val bCent = s.sparkContext.broadcast(
-      ivfCentroids(vecs, idCol, embCol, nCells, sampleN, seed = seed))
-    val np = nProbe
+    val cents = ivfCentroids(vecs, idCol, embCol, nCells, sampleN, seed = seed)
+    // corpus-side cell assignment is the native codegen
+    // `ner_nearest_cell` — no object round-trip per corpus row (the
+    // centroid matrix rides as a codegen reference object, not a
+    // broadcast of a closure capture)
     val bucketed = vecs.select(col(idCol).as("vec_id"),
-        col(embCol).as("embedding"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, VecOps.nearestCell(bCent.value, v), v) }
-      .toDF("vec_id", "cell", "embedding")
+      AnnFunctions.ner_nearest_cell(col(embCol), cents).as("cell"),
+      col(embCol).as("embedding"))
     // probe subtree filters FIRST (probePred against the caller's
-    // columns → parquet pushdown), then assigns cells: the broadcast
-    // build side costs a filtered scan, not a corpus pass (round 3's
-    // typed `.filter(_._3)` was an opaque lambda over the deserialized
-    // tuple that no scan could push down — see lshNeighbors)
+    // columns → parquet pushdown), then fans each probe out to its
+    // nProbe nearest cells (round 3's typed `.filter(_._3)` was an
+    // opaque lambda over the deserialized tuple that no scan could push
+    // down — see lshNeighbors)
     val probes = vecs.where(probePred)
-      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        VecOps.topCells(bCent.value, v, np).map(c => (id, c, v))
-      }.toDF("q_id", "cell", "q_emb")
+      .select(col(idCol).as("q_id"),
+        explode(AnnFunctions.ner_top_cells(col(embCol), cents, nProbe))
+          .as("cell"),
+        col(embCol).as("q_emb"))
     topK(bucketed, probes, Seq("cell"), k, dedupe = false)
   }
 }

@@ -256,6 +256,11 @@ class AnnSpec extends AnyFunSuite {
     assert("PushedFilters: \\[[^\\]]*LessThan\\(vec_id,20\\)".r
       .findFirstIn(planStr).isDefined,
       s"$name: probe predicate not pushed to the parquet scan:\n$planStr")
+    // hashing/assignment are codegen expressions — no typed-map object
+    // round-trip anywhere in the executed plan
+    assert(!planStr.contains("DeserializeToObject"),
+      s"$name: plan crosses the object boundary (typed map on the hot " +
+        s"path):\n$planStr")
   }
 
   test("q46 LSH probe join is a guaranteed broadcast; shuffles are vector-free") {
