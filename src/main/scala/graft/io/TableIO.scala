@@ -38,7 +38,12 @@ object TableIO {
     * paths differently from the data write (ADVICE r3).
     */
   private def defaultConf(): Configuration =
-    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+    // getActiveSession is THREAD-LOCAL: a call from a thread that never
+    // activated the session (driver-side Future, user pool) must still
+    // find the session conf via the process-wide default, or s3a
+    // credentials silently vanish on exactly one thread
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
   // ------------------------------------------------------------------
@@ -197,41 +202,63 @@ object TableIO {
       .where(col("_bucket").isin(todo: _*))
       .observe(obs, metricCols.head, metricCols.tail: _*)
     val saltCol = pmod(xxhash64(dataCols: _*), lit(salts))
-    bucketed
-      .repartition(todo.length * salts, col("_bucket"), saltCol)
-      .sortWithinPartitions(col("_bucket"), col(bucketCols.head))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("_bucket")
-      .parquet(s"$dir/data")
-    // Publish per-bucket manifests from the observed metrics. A bucket
-    // that received ZERO rows gets no directory from the dynamic
-    // partitionBy write, but its metric reads 0 and it still commits
-    // (rows=0) — otherwise resume would recompute the whole input forever
-    // chasing a bucket that can never appear.
-    val metrics = obs.get
-    todo.map { k =>
-      val observed = BucketCommit(k, metrics(s"rows_$k").asInstanceOf[Long],
-        metrics(s"sum_$k").asInstanceOf[Long])
-      val c = crossCheck(df.sparkSession, dir, observed, conf)
-      val lineageJson = lineage.toSeq.sortBy(_._1).map { case (k2, v) =>
-        s"${jstr(k2)}:${jstr(v)}" }.mkString(",")
-      atomicWrite(commitPath(dir, k),
-        s"""{"bucket":${c.bucket},"rows":${c.rows},"checksum":${c.checksum},"layout":$LayoutVersion,"buckets":$buckets,"lineage":{$lineageJson}}""",
-        conf)
-      c
-    }
+    // Stage-retry witness for the cross-check below: observed > footer is
+    // BENIGN (double-applied accumulators, files correct) only if some
+    // stage actually re-executed during this write; with no retry seen,
+    // the same arithmetic means files are MISSING. The listener is the
+    // discriminator between "recompute and continue" and "fail fast".
+    val retries = new RetryWitness
+    val sc = df.sparkSession.sparkContext
+    sc.addSparkListener(retries)
+    try {
+      bucketed
+        .repartition(todo.length * salts, col("_bucket"), saltCol)
+        .sortWithinPartitions(col("_bucket"), col(bucketCols.head))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(s"$dir/data")
+      // Publish per-bucket manifests from the observed metrics. A bucket
+      // that received ZERO rows gets no directory from the dynamic
+      // partitionBy write, but its metric reads 0 and it still commits
+      // (rows=0) — otherwise resume would recompute the whole input
+      // forever chasing a bucket that can never appear.
+      val metrics = obs.get
+      // consulted only on the rare mismatch path; the listener bus is
+      // async, so give queued stage events a moment to drain first
+      lazy val sawRetry = { Thread.sleep(2000); retries.seen }
+      todo.map { k =>
+        val observed = BucketCommit(k, metrics(s"rows_$k").asInstanceOf[Long],
+          metrics(s"sum_$k").asInstanceOf[Long])
+        val c = crossCheck(df.sparkSession, dir, observed, conf,
+          stageRetried = sawRetry)
+        val lineageJson = lineage.toSeq.sortBy(_._1).map { case (k2, v) =>
+          s"${jstr(k2)}:${jstr(v)}" }.mkString(",")
+        atomicWrite(commitPath(dir, k),
+          s"""{"bucket":${c.bucket},"rows":${c.rows},"checksum":${c.checksum},"layout":$LayoutVersion,"buckets":$buckets,"lineage":{$lineageJson}}""",
+          conf)
+        c
+      }
+    } finally sc.removeSparkListener(retries)
+  }
+
+  /** Records whether any stage RE-EXECUTED (attempt > 0) while
+    * registered — the witness that distinguishes benign accumulator
+    * double-apply from genuine file loss in [[crossCheck]].
+    */
+  private final class RetryWitness
+      extends org.apache.spark.scheduler.SparkListener {
+    @volatile var seen: Boolean = false
+    override def onStageSubmitted(
+        s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      if (s.stageInfo.attemptNumber() > 0) seen = true
   }
 
   /** Retry-safety cross-check for one bucket's observed counters against
     * the parquet FOOTER row counts — ground truth for what this job
     * WROTE (metadata-only, no data read). Package-private so the rare
     * branches — the ones that only run during a production incident —
-    * are directly testable (VERDICT r3 #3). Three mismatch outcomes:
-    *  - observed ≠ footer, both data present: a re-executed stage
-    *    double-applied metric updates (double-apply strictly INCREASES
-    *    the observed count) — the files are right, recompute the
-    *    counters from them.
+    * are directly testable (VERDICT r3 #3). Mismatch outcomes:
     *  - observed == 0 but footer > 0: this job wrote NOTHING for the
     *    bucket (dynamic overwrite leaves untouched partitions alone), so
     *    the files are STALE leftovers of an earlier uncommitted attempt
@@ -240,12 +267,23 @@ object TableIO {
     *  - observed > 0 but footer == 0: the write claimed rows for this
     *    bucket yet no files exist — data LOSS, not a counter glitch.
     *    Committing rows=0 would mark the bucket permanently done and
-    *    silently drop its rows on every resume (ADVICE r3) — fail fast
-    *    instead.
+    *    silently drop its rows on every resume (ADVICE r3) — fail fast.
+    *  - observed ≠ footer, both data present AND `stageRetried`: a
+    *    re-executed stage double-applied metric updates — the files are
+    *    right, recompute the counters from them.
+    *  - observed > footer with NO stage retry this run: the arithmetic
+    *    of double-apply cannot explain it (nothing re-executed), so
+    *    files that the job wrote are MISSING — e.g. a part file lost on
+    *    the store between task commit and manifest publish. Recomputing
+    *    would bless the surviving partial files as truth and silently
+    *    drop the rest on every resume — fail fast instead. The
+    *    `stageRetried` witness is what discriminates this from the
+    *    benign case above; both look identical in counts alone.
     */
   private[graft] def crossCheck(spark: SparkSession, dir: String,
                                 observed: BucketCommit,
-                                conf: Configuration): BucketCommit = {
+                                conf: Configuration,
+                                stageRetried: => Boolean): BucketCommit = {
     val k = observed.bucket
     val bucketPath = s"$dir/data/_bucket=$k"
     val footer = footerRows(bucketPath, conf)
@@ -264,11 +302,19 @@ object TableIO {
           "reported success without producing files; refusing to commit " +
           "an empty manifest that would silently lose these rows on " +
           "every resume")
-    } else {
+    } else if (stageRetried) {
       System.err.println(s"[TableIO] observed rows for bucket $k " +
-        s"(${observed.rows}) != parquet footers ($footer) — stage " +
-        "re-execution detected; recomputing counters from written data")
+        s"(${observed.rows}) != parquet footers ($footer) and a stage " +
+        "re-executed this run — double-applied metrics; recomputing " +
+        "counters from written data")
       recomputeBucket(spark, dir, k)
+    } else {
+      throw new IllegalStateException(
+        s"bucket $k observed ${observed.rows} rows but its files hold " +
+          s"$footer, and no stage re-executed this run — written files " +
+          s"are missing from $bucketPath; refusing to commit a partial " +
+          "manifest that would silently lose the difference on every " +
+          "resume")
     }
   }
 

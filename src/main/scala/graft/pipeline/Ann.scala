@@ -23,6 +23,31 @@ object Ann {
     */
   val DefaultSampleN: Int = 1024
 
+  /** Budget for the probe-side broadcast (bytes of raw vector payload).
+    * The probe join is broadcast BY CONTRACT; a probePred that matches a
+    * non-tiny corpus slice must fail fast with an actionable message,
+    * not die at executor time on the 8 GB BroadcastExchange limit (the
+    * same convention as `CompactDict.MaxBroadcastEntries`).
+    */
+  val MaxProbeBroadcastBytes: Long = 1L << 28 // 256 MB
+
+  /** Count the probe rows (filter-pushdown count, no fan-out) and refuse
+    * a probe set whose replicated vector payload would blow the
+    * broadcast budget. `replication` = nTables for LSH, nProbe for IVF.
+    */
+  private def guardProbeSize(vecs: DataFrame, probePred: Column,
+                             dim: Int, replication: Int,
+                             budget: Long): Unit = {
+    val nProbes = vecs.where(probePred).count()
+    val bytes = nProbes * dim.toLong * 4L * replication
+    require(bytes <= budget,
+      s"probe set of $nProbes vectors (dim=$dim, x$replication bucket " +
+        s"replication = $bytes bytes) exceeds the probe-broadcast budget " +
+        s"of $budget bytes — the probe side of the ANN " +
+        "join is broadcast by design; run the probes in batches, or use " +
+        "lshCosinePairs for all-pairs workloads")
+  }
+
   private def topK(bucketed: DataFrame, probes: DataFrame,
                    joinKeys: Seq[String], k: Int,
                    dedupe: Boolean): DataFrame = {
@@ -81,18 +106,24 @@ object Ann {
   def lshNeighbors(vecs: DataFrame, idCol: String, embCol: String,
                    probePred: Column, k: Int = 3, nBits: Int = 4,
                    nTables: Int = 12, dim: Int = -1,
-                   seed: Long = 1234L): DataFrame = {
+                   seed: Long = 1234L,
+                   maxProbeBytes: Long = MaxProbeBroadcastBytes): DataFrame = {
     val useDim = resolveDim(vecs, embCol, dim)
+    guardProbeSize(vecs, probePred, useDim, nTables, maxProbeBytes)
     val planes = planesFor(nTables, nBits, useDim, seed)
     // hashing is the native codegen `ner_sign_buckets` + posexplode —
     // the corpus side never leaves WholeStageCodegen (the round-3 typed
     // flatMap paid a DeserializeToObject/SerializeFromObject round-trip
-    // per corpus row; plan gate in AnnSpec)
+    // per corpus row; plan gate in AnnSpec). Rows with a NULL embedding
+    // are EXPLICITLY excluded here — without the filter, posexplode of
+    // the null bucket array would drop them as a silent generator
+    // side-effect rather than a documented contract.
     def hashed(df: DataFrame, id: String, emb: String): DataFrame =
-      df.select(col(idCol).as(id),
-        posexplode(AnnFunctions.ner_sign_buckets(col(embCol), planes))
-          .as(Seq("tbl", "bucket")),
-        col(embCol).as(emb))
+      df.where(col(embCol).isNotNull)
+        .select(col(idCol).as(id),
+          posexplode(AnnFunctions.ner_sign_buckets(col(embCol), planes))
+            .as(Seq("tbl", "bucket")),
+          col(embCol).as(emb))
     // The probe subtree filters FIRST — probePred is evaluated against
     // the caller's columns, so `where` pushes it into the parquet scan —
     // and only then hashes. Deriving probes from the corpus subtree
@@ -110,40 +141,60 @@ object Ann {
     * of the MinHash pipeline (TextDedup.minhashPairs): multi-table
     * sign-LSH candidate generation over SCALAR keys, then exact cosine
     * verification of candidates only. Output (d1, d2, cos) with
-    * d1 < d2 and cos ≥ `minCos` (rounded to 6 digits).
+    * d1 < d2 and true cosine ≥ `minCos` (the filter applies to the RAW
+    * cosine; the output column is rounded to 6 digits for cross-engine
+    * stability — filtering on the rounded value would admit pairs up to
+    * half an ulp below the threshold). Rows with a NULL embedding are
+    * excluded up front.
     *
     * Scale shape: stage 1 hashes every vector to `nTables` (tbl, bucket)
     * key rows and self-joins them — the join inputs are identical plans
     * (ReuseExchange computes the hashing once) and carry only
     * (id, tbl, bucket) scalars, never embeddings. Stage 2 re-attaches
-    * each side's vector by an id-keyed join (each embedding crosses the
-    * wire once per side, independent of how many buckets it collided
-    * in) and scores with the native codegen `ner_cosine`. Precision is
-    * exact by construction; recall = 1 − (1 − p^nBits)^nTables with
-    * p = 1 − θ/π at the threshold angle — at minCos 0.5 (θ = 60°) the
-    * 4/12 default gives ~0.93, tighter thresholds approach 1.
+    * the vectors: the first id-keyed join moves each embedding once per
+    * id, but its OUTPUT carries one `e1` per candidate pair through the
+    * second join's exchange — wire cost O(candidates) × vector width,
+    * not O(ids). That is exactly why `maxBucketSize` exists: a
+    * degenerate bucket of B members (mass-duplicated boilerplate,
+    * all-zero vectors) contributes O(B²) candidates, and enumerating a
+    * mass-dup cluster pairwise is quadratic in the OUTPUT by definition.
+    * Buckets above the cap are dropped (standard LSH practice); handle
+    * mass-dup clusters by grouping (exact dedup / simhashGroups), not
+    * pair enumeration. Precision is exact by construction; recall =
+    * 1 − (1 − p^nBits)^nTables with p = 1 − θ/π at the threshold angle —
+    * at minCos 0.5 (θ = 60°) the 4/12 default gives ~0.93, tighter
+    * thresholds approach 1.
     */
   def lshCosinePairs(vecs: DataFrame, idCol: String, embCol: String,
                      minCos: Double, nBits: Int = 4, nTables: Int = 12,
-                     dim: Int = -1, seed: Long = 1234L): DataFrame = {
+                     dim: Int = -1, seed: Long = 1234L,
+                     maxBucketSize: Int = 10000): DataFrame = {
     val useDim = resolveDim(vecs, embCol, dim)
     val planes = planesFor(nTables, nBits, useDim, seed)
-    val keys = vecs.select(col(idCol).as("vec_id"),
-      posexplode(AnnFunctions.ner_sign_buckets(col(embCol), planes))
-        .as(Seq("tbl", "bucket")))
-    val cand = keys.select(col("vec_id").as("d1"), col("tbl"), col("bucket"))
-      .join(keys.select(col("vec_id").as("d2"), col("tbl"), col("bucket")),
+    val keys = vecs.where(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        posexplode(AnnFunctions.ner_sign_buckets(col(embCol), planes))
+          .as(Seq("tbl", "bucket")))
+    // drop degenerate buckets BEFORE the quadratic self-join (scaladoc);
+    // the over-cap set is tiny (≤ corpus/maxBucketSize entries), the
+    // anti-join keys are scalars
+    val oversized = keys.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
+      .select("tbl", "bucket")
+    val pruned = keys.join(oversized, Seq("tbl", "bucket"), "left_anti")
+    val cand = pruned.select(col("vec_id").as("d1"), col("tbl"), col("bucket"))
+      .join(pruned.select(col("vec_id").as("d2"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .where(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    val emb = vecs.select(col(idCol), col(embCol))
+    val emb = vecs.where(col(embCol).isNotNull)
+      .select(col(idCol), col(embCol))
     cand
       .join(emb.select(col(idCol).as("d1"), col(embCol).as("e1")), "d1")
       .join(emb.select(col(idCol).as("d2"), col(embCol).as("e2")), "d2")
-      .withColumn("cos", round(
-        VecFunctions.ner_cosine(col("e1"), col("e2")), 6))
-      .where(col("cos") >= minCos)
-      .select(col("d1"), col("d2"), col("cos"))
+      .withColumn("raw_cos", VecFunctions.ner_cosine(col("e1"), col("e2")))
+      .where(col("raw_cos") >= minCos)
+      .select(col("d1"), col("d2"), round(col("raw_cos"), 6).as("cos"))
   }
 
   /** Coarse IVF quantizer: deterministic seeded sample (smallest
@@ -162,6 +213,7 @@ object Ann {
     val s = vecs.sparkSession
     import s.implicits._
     val sample = vecs
+      .where(col(embCol).isNotNull) // match the index's null-row contract
       .select(col(idCol).as("vec_id"), col(embCol).as("embedding"),
         xxhash64(col(idCol), lit(7)).as("hk"))
       .orderBy(col("hk"), col("vec_id")).limit(sampleN)
@@ -268,21 +320,26 @@ object Ann {
   def ivfNeighbors(vecs: DataFrame, idCol: String, embCol: String,
                    probePred: Column, k: Int = 3, nCells: Int = 8,
                    nProbe: Int = 3, sampleN: Int = DefaultSampleN,
-                   seed: Long = 4321L): DataFrame = {
+                   seed: Long = 4321L,
+                   maxProbeBytes: Long = MaxProbeBroadcastBytes): DataFrame = {
+    val useDim = resolveDim(vecs, embCol, -1)
+    guardProbeSize(vecs, probePred, useDim, nProbe, maxProbeBytes)
     val cents = ivfCentroids(vecs, idCol, embCol, nCells, sampleN, seed = seed)
     // corpus-side cell assignment is the native codegen
     // `ner_nearest_cell` — no object round-trip per corpus row (the
     // centroid matrix rides as a codegen reference object, not a
-    // broadcast of a closure capture)
-    val bucketed = vecs.select(col(idCol).as("vec_id"),
-      AnnFunctions.ner_nearest_cell(col(embCol), cents).as("cell"),
-      col(embCol).as("embedding"))
+    // broadcast of a closure capture). NULL-embedding rows are excluded
+    // explicitly (documented contract, not a join side-effect).
+    val bucketed = vecs.where(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        AnnFunctions.ner_nearest_cell(col(embCol), cents).as("cell"),
+        col(embCol).as("embedding"))
     // probe subtree filters FIRST (probePred against the caller's
     // columns → parquet pushdown), then fans each probe out to its
     // nProbe nearest cells (round 3's typed `.filter(_._3)` was an
     // opaque lambda over the deserialized tuple that no scan could push
     // down — see lshNeighbors)
-    val probes = vecs.where(probePred)
+    val probes = vecs.where(probePred && col(embCol).isNotNull)
       .select(col(idCol).as("q_id"),
         explode(AnnFunctions.ner_top_cells(col(embCol), cents, nProbe))
           .as("cell"),

@@ -300,9 +300,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val inflated = TableIO.BucketCommit(truth.bucket, truth.rows + 5,
       truth.checksum ^ 0x5eedL)
     val checked = TableIO.crossCheck(spark, s"$dir/t", inflated,
-      spark.sessionState.newHadoopConf())
+      spark.sessionState.newHadoopConf(), stageRetried = true)
     assert(checked == truth,
       s"recompute must restore footer-derived truth: got $checked want $truth")
+    // the SAME mismatch with no stage retry this run is unexplainable by
+    // double-apply: files the job wrote are missing — must fail fast,
+    // not bless the surviving partial data (partial-loss hole)
+    val ex = intercept[IllegalStateException] {
+      TableIO.crossCheck(spark, s"$dir/t", inflated,
+        spark.sessionState.newHadoopConf(), stageRetried = false)
+    }
+    assert(ex.getMessage.contains("missing"), ex.getMessage)
   }
 
   test("cross-check fails fast when observed rows have no files on disk") {
@@ -317,8 +325,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = new org.apache.hadoop.fs.Path(s"$dir/t/data/_bucket=${victim.bucket}")
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     val ex = intercept[IllegalStateException] {
+      // total loss fails fast regardless of whether a retry was seen
       TableIO.crossCheck(spark, s"$dir/t", victim,
-        spark.sessionState.newHadoopConf())
+        spark.sessionState.newHadoopConf(), stageRetried = true)
     }
     assert(ex.getMessage.contains("no data"), ex.getMessage)
   }

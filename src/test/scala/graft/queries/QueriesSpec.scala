@@ -381,6 +381,70 @@ class AnnSpec extends AnyFunSuite {
       s"q53: embedding shuffled on a non-id key:\n${offenders.mkString("\n")}")
   }
 
+  test("degenerate buckets are dropped by maxBucketSize; normal pairs survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val other = Array.fill(64)(rnd.nextGaussian().toFloat)
+    // 30 identical vectors (a mass-dup cluster: every table's bucket
+    // holds all 30) + one genuine near-dup pair elsewhere
+    val vs = (0L until 30L).map(id => (id, base.clone)) ++
+      Seq((100L, other.clone),
+        (101L, other.map(x => x + 1e-4f)))
+    val df = vs.toDF("vec_id", "embedding")
+    val capped = graft.pipeline.Ann
+      .lshCosinePairs(df, "vec_id", "embedding", minCos = 0.9,
+        maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      s"cap must drop only the mass-dup cluster's pairs: $capped")
+    val uncapped = graft.pipeline.Ann
+      .lshCosinePairs(df, "vec_id", "embedding", minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 30 * 29 / 2 + 1,
+      s"default cap must keep all ${30 * 29 / 2 + 1} pairs: ${uncapped.size}")
+  }
+
+  test("NULL-embedding rows are excluded from every ANN path without error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val good = (0L until 40L).map(id =>
+      (id, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = good.toDF("vec_id", "embedding")
+      .union(Seq(999L).toDF("vec_id")
+        .select(col("vec_id"),
+          lit(null).cast("array<float>").as("embedding")))
+    def ids(out: org.apache.spark.sql.DataFrame, c: String): Set[Long] =
+      out.select(c).collect().map(_.getLong(0)).toSet
+    val lsh = graft.pipeline.Ann.lshNeighbors(df, "vec_id", "embedding",
+      probePred = col("vec_id") < 5)
+    assert(!ids(lsh, "vec_id").contains(999L) && ids(lsh, "q_id").nonEmpty)
+    val ivf = graft.pipeline.Ann.ivfNeighbors(df, "vec_id", "embedding",
+      probePred = col("vec_id") < 5, nCells = 4, nProbe = 2)
+    assert(!ids(ivf, "vec_id").contains(999L) && ids(ivf, "q_id").nonEmpty)
+    val pairs = graft.pipeline.Ann.lshCosinePairs(df, "vec_id", "embedding",
+      minCos = -1.0)
+    assert(!ids(pairs, "d1").contains(999L) && !ids(pairs, "d2").contains(999L))
+    assert(ids(pairs, "d1").nonEmpty)
+  }
+
+  test("an oversized probe set fails fast before any broadcast") {
+    import spark.implicits._
+    val vs = (0L until 50L).map(id =>
+      (id, Array.fill(64)(id.toFloat)))
+    val df = vs.toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipeline.Ann.lshNeighbors(df, "vec_id", "embedding",
+        probePred = lit(true), maxProbeBytes = 1024L)
+    }
+    assert(ex.getMessage.contains("probe-broadcast budget"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.pipeline.Ann.ivfNeighbors(df, "vec_id", "embedding",
+        probePred = lit(true), maxProbeBytes = 1024L)
+    }
+    assert(ex2.getMessage.contains("probe-broadcast budget"), ex2.getMessage)
+  }
+
   test("clustered embeddings: LSH and IVF recall@3 >= 0.95") {
     import spark.implicits._
     val vs = clusteredVecs()
