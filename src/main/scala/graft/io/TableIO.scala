@@ -355,6 +355,42 @@ object TableIO {
     }
   }
 
+  /** Committed-snapshot read — the consumer-side half of the resumable
+    * contract. A crashed writer leaves bucket directories whose manifest
+    * never committed; a raw `spark.read.parquet(dir/data)` between the
+    * crash and the next resume (which cleans them) would serve that
+    * UNCOMMITTED data to readers. This reads only buckets with a commit
+    * manifest, under the same layout/range validation as resume —
+    * snapshot isolation in the Iceberg sense, on plain parquet.
+    * Zero-row buckets have a manifest but no directory and contribute
+    * nothing. Fails loudly when NO committed data exists — an empty
+    * frame would need a schema this layer cannot invent, and silently
+    * returning one would mask a wrong `dir`.
+    */
+  def readCommitted(spark: SparkSession, dir: String,
+                    buckets: Int): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val done = committedBuckets(dir, buckets, conf)
+    require(done.nonEmpty,
+      s"no committed buckets under $dir — nothing to read (wrong dir, or " +
+        "the table's first write has not committed yet)")
+    done.toSeq.sorted.foreach { k =>
+      val layout = readLayout(dir, k, conf)
+      require(layout == LayoutVersion,
+        s"read layout mismatch on bucket $k: committed layout=$layout, " +
+          s"this build reads layout=$LayoutVersion ($dir)")
+    }
+    val paths = done.toSeq.sorted
+      .map(k => s"$dir/data/_bucket=$k")
+      .filter(p => hExists(p, conf))
+    require(paths.nonEmpty,
+      s"all ${done.size} committed buckets under $dir are empty — the " +
+        "table holds zero rows, and an empty frame would need a schema " +
+        "this layer cannot invent")
+    // basePath keeps the hive `_bucket` partition column in the schema
+    spark.read.option("basePath", s"$dir/data").parquet(paths: _*)
+  }
+
   /** Opt-in audit: re-read each committed bucket's parquet and recompute
     * (rows, checksum); returns buckets whose recomputation DISAGREES with
     * the manifest (empty = table verified). This is the round-2 manifest

@@ -287,6 +287,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sc.setCheckpointDir(null)
   }
 
+  test("readCommitted serves only committed buckets (no dirty reads)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_read").toString
+    val df = (1 to 200).map(i => (s"repo$i", s"path$i")).toDF("src_repo", "src_path")
+    val commits = TableIO.writeResumable(df, s"$dir/t", 4, Seq("src_repo"))
+    // simulate a crashed later run: bucket data present, manifest missing
+    val victim = commits.filter(_.rows > 0).last.bucket
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/t/_commits/bucket-$victim.json"))
+    val committedRows = commits.filter(_.bucket != victim).map(_.rows).sum
+    val snap = TableIO.readCommitted(spark, s"$dir/t", 4)
+    assert(snap.count() == committedRows,
+      "committed read must exclude the uncommitted bucket")
+    assert(snap.columns.contains("_bucket"), "partition column must survive")
+    // the raw path DOES see the dirty data — that is the hazard
+    assert(spark.read.parquet(s"$dir/t/data").count() ==
+      commits.map(_.rows).sum)
+    // an empty/nonexistent table fails loudly, not with an empty frame
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.readCommitted(spark, s"$dir/nothing", 4)
+    }
+    assert(ex.getMessage.contains("no committed buckets"), ex.getMessage)
+  }
+
   test("cross-check recomputes counters when a stage retry double-applied metrics") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_io_retry").toString
