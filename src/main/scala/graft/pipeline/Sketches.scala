@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import graft.functions.SketchFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch-based operators — the "novel sketch" slot of the custom-op
+  * inventory beside the as-of join (q27) and range join (q05).
+  *
+  * Published method: Count-Min Sketch (Cormode & Muthukrishnan, "An
+  * improved data stream summary: the count-min sketch and its
+  * applications", J. Algorithms 55(1), 2005), via Spark's built-in
+  * CountMinSketch aggregate (compose-existing-ops before custom code).
+  */
+object Sketches {
+
+  /** Heavy-hitter keys: every key whose exact frequency is at least
+    * `total / minShareDenom` of the input (e.g. denom 125 = keys holding
+    * ≥ 0.8% of all rows — the hot-key detection a skew-salting pipeline
+    * runs BEFORE choosing salt factors). Output: (keyCol, n) with n the
+    * EXACT count.
+    *
+    * Scale shape (the reason this beats a straight groupBy-having at
+    * 100 TB): pass 1 folds the full stream into a fixed-size sketch —
+    * the CountMinSketch aggregate is merge-associative, so each
+    * partition reduces to one sketch and only sketches cross the wire;
+    * no per-partition full-vocabulary hash map is ever built (that map
+    * is the OOM hazard when the key universe outgrows executor memory).
+    * Pass 2 filters the DISTINCT key set (vocabulary-sized, not
+    * stream-sized) by sketch estimate via the codegen `ner_cms_estimate`
+    * lookup. Pass 3 exact-counts ONLY the surviving candidates — the
+    * shuffle carries candidate-key rows, not the full stream's keys.
+    *
+    * Exactness: CMS error is ONE-SIDED (estimates only ever
+    * overestimate), so no true heavy hitter can be pruned in pass 2 —
+    * recall is 1.0 by construction, not by tuning. False candidates
+    * admitted by over-estimation are removed by the exact count in
+    * pass 3. The output therefore EQUALS the brute-force
+    * groupBy-having answer deterministically — which is why q54 can be
+    * oracled against plain SQL even though a sketch sits in the middle.
+    * `eps`/`confidence` only trade sketch memory against candidate-set
+    * size (wasted pass-3 work), never against correctness.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String,
+                   minShareDenom: Long = 125,
+                   eps: Double = 1e-3, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    require(minShareDenom >= 1, s"minShareDenom must be >= 1: $minShareDenom")
+    val total = df.count()
+    val sketch = df.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val candidates = df.select(keyCol).distinct()
+      .where(SketchFunctions.ner_cms_estimate(col(keyCol), sketch) *
+        minShareDenom >= lit(total))
+    df.join(candidates, Seq(keyCol))
+      .groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .where(col("n") * minShareDenom >= lit(total))
+  }
+}

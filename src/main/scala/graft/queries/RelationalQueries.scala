@@ -732,6 +732,22 @@ object RelationalQueries {
 
   val q52_sql: String = substringDupsSql("exemplar")
 
+  /** Sketch-based heavy hitters: event users holding ≥ 1/125 of all
+    * traffic — the hot-key detection a skew-salting pipeline runs before
+    * choosing salt factors. A Count-Min Sketch prunes candidates and an
+    * exact count verifies them; CMS error is one-sided, so the output
+    * EQUALS the brute-force groupBy-having answer deterministically and
+    * the plain-SQL oracle holds even with a sketch in the pipeline (see
+    * graft.pipeline.Sketches.heavyHitters for the scale argument).
+    */
+  def q54_heavy_hitters(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sketches.heavyHitters(
+      t(s, dir, "events"), "user_id", minShareDenom = 125)
+
+  val q54_sql: String =
+    """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+      |HAVING count(*) * 125 >= (SELECT count(*) FROM events)""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -763,5 +779,6 @@ object RelationalQueries {
     "q30_media_meta" -> ((q30_media_meta _, q30_sql)),
     "q50_bucketed_join" -> ((q50_bucketed_join _, q50_sql)),
     "q51_substring_dups" -> ((q51_substring_dups _, q51_sql)),
-    "q52_substring_dups_hashed" -> ((q52_substring_dups_hashed _, q52_sql)))
+    "q52_substring_dups_hashed" -> ((q52_substring_dups_hashed _, q52_sql)),
+    "q54_heavy_hitters" -> ((q54_heavy_hitters _, q54_sql)))
 }
