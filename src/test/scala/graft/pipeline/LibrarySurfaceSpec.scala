@@ -9,6 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class LibrarySurfaceSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("SparkEntry contract: every oracle key names a query; counts hold") {
+    val queries = graft.SparkEntry.queries.keySet
+    val oracles = graft.SparkEntry.oracleSql.keySet
+    // an oracle whose key matches no query silently drops out of the
+    // driver's correctness board — nothing else catches the typo
+    assert(oracles.subsetOf(queries),
+      s"oracle keys without a query: ${oracles -- queries}")
+    assert(queries.size >= 42, s"query surface shrank: ${queries.size}")
+    assert(oracles.size >= 31, s"oracled surface shrank: ${oracles.size}")
+  }
+
   test("TextDedup.minhashPairs finds planted near-duplicates, custom columns") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
