@@ -207,9 +207,14 @@ object TableIO {
     // stage actually re-executed during this write; with no retry seen,
     // the same arithmetic means files are MISSING. The listener is the
     // discriminator between "recompute and continue" and "fail fast".
-    val retries = new RetryWitness
+    val groupTag = s"graft-write-${java.util.UUID.randomUUID()}"
+    val retries = new RetryWitness(groupTag)
     val sc = df.sparkSession.sparkContext
     sc.addSparkListener(retries)
+    // setJobGroup is thread-local: it tags exactly the jobs this thread
+    // launches below, which is what scopes the witness
+    sc.setJobGroup(groupTag, s"graft resumable write to $dir",
+      interruptOnCancel = false)
     try {
       bucketed
         .repartition(todo.length * salts, col("_bucket"), saltCol)
@@ -239,19 +244,48 @@ object TableIO {
           conf)
         c
       }
-    } finally sc.removeSparkListener(retries)
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(retries)
+    }
   }
 
-  /** Records whether any stage RE-EXECUTED (attempt > 0) while
-    * registered — the witness that distinguishes benign accumulator
+  /** Records whether any stage or task of THIS WRITE's job group
+    * re-executed — the witness that distinguishes benign accumulator
     * double-apply from genuine file loss in [[crossCheck]].
+    *
+    * Scoped to a job-group tag: a SparkContext-global witness would let
+    * a FetchFailed retry in a CONCURRENT unrelated job mask this write's
+    * partial file loss as benign. Watches both stage re-submission
+    * (attempt > 0) and task-level duplicate success (speculative or
+    * zombie attempts, `Resubmitted` task ends) — accumulator double-
+    * apply does not require a whole-stage retry. The listener methods
+    * delegate to plain testable transitions.
     */
-  private final class RetryWitness
+  private[graft] final class RetryWitness(groupId: String)
       extends org.apache.spark.scheduler.SparkListener {
+    private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     @volatile var seen: Boolean = false
+
+    private[graft] def jobStarted(group: String, stageIds: Seq[Int]): Unit =
+      if (group == groupId) stageIds.foreach(stages.add(_))
+    private[graft] def stageAttempt(stageId: Int, attempt: Int): Unit =
+      if (attempt > 0 && stages.contains(stageId)) seen = true
+    private[graft] def taskAttempt(stageId: Int, attempt: Int,
+                                   resubmitted: Boolean): Unit =
+      if ((attempt > 0 || resubmitted) && stages.contains(stageId)) seen = true
+
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobStarted(Option(j.properties)
+        .map(_.getProperty("spark.jobGroup.id")).orNull, j.stageIds)
     override def onStageSubmitted(
         s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
-      if (s.stageInfo.attemptNumber() > 0) seen = true
+      stageAttempt(s.stageInfo.stageId, s.stageInfo.attemptNumber())
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      taskAttempt(e.stageId, e.taskInfo.attemptNumber,
+        e.reason == org.apache.spark.Resubmitted)
   }
 
   /** Retry-safety cross-check for one bucket's observed counters against
@@ -380,9 +414,19 @@ object TableIO {
         s"read layout mismatch on bucket $k: committed layout=$layout, " +
           s"this build reads layout=$LayoutVersion ($dir)")
     }
-    val paths = done.toSeq.sorted
-      .map(k => s"$dir/data/_bucket=$k")
-      .filter(p => hExists(p, conf))
+    // a manifest knows its row count: a rows>0 bucket whose directory is
+    // gone is DATA LOSS after commit, not a zero-row bucket — silently
+    // filtering it would serve a short table and report success
+    val commits = readCommits(dir, buckets, conf)
+    val lost = commits.filter(c =>
+      c.rows > 0 && !hExists(s"$dir/data/_bucket=${c.bucket}", conf))
+    require(lost.isEmpty,
+      s"committed buckets ${lost.map(_.bucket).mkString(",")} under $dir " +
+        s"hold ${lost.map(_.rows).sum} rows per their manifests but their " +
+        "data directories are missing — refusing to serve a silently " +
+        "short table")
+    val paths = commits.filter(_.rows > 0)
+      .map(c => s"$dir/data/_bucket=${c.bucket}")
     require(paths.nonEmpty,
       s"all ${done.size} committed buckets under $dir are empty — the " +
         "table holds zero rows, and an empty frame would need a schema " +

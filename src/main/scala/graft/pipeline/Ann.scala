@@ -85,8 +85,11 @@ object Ann {
   private def resolveDim(vecs: DataFrame, embCol: String, dim: Int): Int =
     if (dim > 0) dim
     else {
-      val first = vecs.select(size(col(embCol))).limit(1).collect()
-      require(first.nonEmpty, "empty vector table")
+      // null rows are excluded from the index contract-wide; the probe
+      // must skip them too or a leading NULL embedding NPEs right here
+      val first = vecs.where(col(embCol).isNotNull)
+        .select(size(col(embCol))).limit(1).collect()
+      require(first.nonEmpty, "empty vector table (or all embeddings NULL)")
       first(0).getInt(0)
     }
 
@@ -322,9 +325,11 @@ object Ann {
                    nProbe: Int = 3, sampleN: Int = DefaultSampleN,
                    seed: Long = 4321L,
                    maxProbeBytes: Long = MaxProbeBroadcastBytes): DataFrame = {
-    val useDim = resolveDim(vecs, embCol, -1)
-    guardProbeSize(vecs, probePred, useDim, nProbe, maxProbeBytes)
+    // centroids first: their sample collect already pins the embedding
+    // width, so the budget guard needs no extra dim-probe job — and it
+    // still fires before any corpus-side work
     val cents = ivfCentroids(vecs, idCol, embCol, nCells, sampleN, seed = seed)
+    guardProbeSize(vecs, probePred, cents(0).length, nProbe, maxProbeBytes)
     // corpus-side cell assignment is the native codegen
     // `ner_nearest_cell` — no object round-trip per corpus row (the
     // centroid matrix rides as a codegen reference object, not a

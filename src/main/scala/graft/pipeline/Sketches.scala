@@ -40,14 +40,27 @@ object Sketches {
     * oracled against plain SQL even though a sketch sits in the middle.
     * `eps`/`confidence` only trade sketch memory against candidate-set
     * size (wasted pass-3 work), never against correctness.
+    *
+    * NULL keys are EXCLUDED from the output (the sketch aggregate skips
+    * them and a NULL never equals itself in the candidate join); the
+    * denominator `total` still counts every row. A SQL mirror must
+    * filter the NULL group (`WHERE key IS NOT NULL`) to match.
+    *
+    * Pass 1 is literally one job: the row count and the sketch come from
+    * a single aggregate over the stream (two full scans would double the
+    * dominant IO of the whole operator).
     */
   def heavyHitters(df: DataFrame, keyCol: String,
                    minShareDenom: Long = 125,
                    eps: Double = 1e-3, confidence: Double = 0.99,
                    seed: Int = 42): DataFrame = {
     require(minShareDenom >= 1, s"minShareDenom must be >= 1: $minShareDenom")
-    val total = df.count()
-    val sketch = df.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val first = df.agg(count(lit(1)).as("total"),
+      expr(s"count_min_sketch(`$keyCol`, ${eps}d, ${confidence}d, $seed)")
+        .as("cms")).head()
+    val total = first.getLong(0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(first.getAs[Array[Byte]](1)))
     val candidates = df.select(keyCol).distinct()
       .where(SketchFunctions.ner_cms_estimate(col(keyCol), sketch) *
         minShareDenom >= lit(total))

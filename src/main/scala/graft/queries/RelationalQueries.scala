@@ -745,7 +745,8 @@ object RelationalQueries {
       t(s, dir, "events"), "user_id", minShareDenom = 125)
 
   val q54_sql: String =
-    """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    """SELECT user_id, count(*) AS n FROM events
+      |WHERE user_id IS NOT NULL GROUP BY user_id
       |HAVING count(*) * 125 >= (SELECT count(*) FROM events)""".stripMargin
 
   /** All oracle-checked queries: name -> (builder, duckdb sql). */

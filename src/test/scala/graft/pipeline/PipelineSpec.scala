@@ -309,6 +309,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       TableIO.readCommitted(spark, s"$dir/nothing", 4)
     }
     assert(ex.getMessage.contains("no committed buckets"), ex.getMessage)
+    // a COMMITTED bucket (manifest rows>0) whose data directory was lost
+    // after commit is data loss — the snapshot read must refuse, not
+    // silently serve a short table
+    val lost = commits.filter(c => c.rows > 0 && c.bucket != victim).head
+    val lostPath = new org.apache.hadoop.fs.Path(
+      s"$dir/t/data/_bucket=${lost.bucket}")
+    lostPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(lostPath, true)
+    val ex2 = intercept[IllegalArgumentException] {
+      TableIO.readCommitted(spark, s"$dir/t", 4)
+    }
+    assert(ex2.getMessage.contains("missing"), ex2.getMessage)
+  }
+
+  test("retry witness: scoped to its job group, sees stage and task retries") {
+    val w = new TableIO.RetryWitness("mine")
+    w.jobStarted("other", Seq(1, 2))
+    w.stageAttempt(1, 1) // a CONCURRENT job's retry must not count
+    assert(!w.seen, "foreign job group leaked into the witness")
+    w.jobStarted("mine", Seq(5, 6))
+    w.stageAttempt(7, 1) // unknown stage
+    assert(!w.seen)
+    w.stageAttempt(5, 0) // first attempt is not a retry
+    assert(!w.seen)
+    w.taskAttempt(6, 1, resubmitted = false) // speculative duplicate task
+    assert(w.seen, "task-level duplicate success must count as a retry")
+    val w2 = new TableIO.RetryWitness("g")
+    w2.jobStarted("g", Seq(3))
+    w2.taskAttempt(3, 0, resubmitted = true) // Resubmitted task end
+    assert(w2.seen)
+    val w3 = new TableIO.RetryWitness("g")
+    w3.jobStarted("g", Seq(4))
+    w3.stageAttempt(4, 1) // whole-stage re-execution
+    assert(w3.seen)
   }
 
   test("cross-check recomputes counters when a stage retry double-applied metrics") {

@@ -410,10 +410,12 @@ class AnnSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(13)
     val good = (0L until 40L).map(id =>
       (id, Array.fill(64)(rnd.nextGaussian().toFloat)))
-    val df = good.toDF("vec_id", "embedding")
-      .union(Seq(999L).toDF("vec_id")
-        .select(col("vec_id"),
-          lit(null).cast("array<float>").as("embedding")))
+    // the null row comes FIRST: resolveDim's width probe must skip it
+    // rather than NPE on size(NULL) of the first scanned row
+    val df = Seq(999L).toDF("vec_id")
+      .select(col("vec_id"),
+        lit(null).cast("array<float>").as("embedding"))
+      .union(good.toDF("vec_id", "embedding"))
     def ids(out: org.apache.spark.sql.DataFrame, c: String): Set[Long] =
       out.select(c).collect().map(_.getLong(0)).toSet
     val lsh = graft.pipeline.Ann.lshNeighbors(df, "vec_id", "embedding",
