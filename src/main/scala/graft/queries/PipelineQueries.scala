@@ -132,65 +132,51 @@ object PipelineQueries {
       minCos = 0.4, nBits = 4, nTables = 16)
 
   // =================================================================
-  // Multimodal: opaque payload + typed metadata; decode is a STUB
+  // Multimodal: opaque payload + typed metadata; REAL JDK codecs
   // =================================================================
 
-  /** Multimodal column plumbing: payloads as opaque binary with typed
-    * metadata, batch-decoded per partition (Scala side of the
-    * mapInPandas pattern). The actual media decode is STUBBED with a
-    * deterministic fake (no image/audio libs in the sandbox); schema,
-    * partitioning and batch shape are real.
+  /** Multimodal batch image decode — REAL, not a stub: each task
+    * synthesizes a genuine PNG payload per doc id (the testdata has no
+    * media column) and decodes it back through `javax.imageio`, a real
+    * codec, recovering pixel data. Schema, partitioning and the batch
+    * mapPartitions shape are the pattern a production image pipeline
+    * uses: opaque binary in, typed features out, no shuffle. The
+    * decoded probe pixel proves full pixel decode (PNG is lossless);
+    * MediaSpec asserts it equals the synthesis constant per row.
     */
   def q47_media_decode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val payloads = docs(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-    payloads.mapPartitions { batch =>
-      batch.map { case (id, bytes) =>
-        // STUB decode: a real implementation would hand `bytes` to an
-        // image/audio codec; we derive deterministic fake dimensions.
-        val w = 320 + (math.abs(bytes.headOption.getOrElse(0.toByte).toInt) % 4) * 160
-        val h = w * 3 / 4
-        val frames = 1 + bytes.length % 8
-        (id, bytes.length.toLong, w, h, frames)
+    val ids = docs(s, dir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { batch =>
+      batch.map { id =>
+        val bytes = graft.pipeline.Media.pngPayload(id)
+        val (w, h, rgb) = graft.pipeline.Media.decodePng(bytes)
+        (id, bytes.length.toLong, w, h, rgb)
       }
-    }.toDF("doc_id", "n_bytes", "width", "height", "n_frames")
+    }.toDF("doc_id", "n_bytes", "width", "height", "probe_rgb")
   }
 
-  /** Multimodal frame sampling: one row per sampled frame with typed
-    * metadata (timestamp, dimensions, content hash), the flatMap shape a
-    * real video pipeline needs — frame count scales the output, the
-    * input partitioning carries over, no shuffle. The codec call is
-    * STUBBED deterministically (no media libs in the sandbox); the
-    * sampling policy (every ~2000 ms, max 8 frames) and schema are real.
+  /** Multimodal frame sampling — REAL audio decode: a genuine WAV
+    * payload per doc id is parsed back through `javax.sound.sampled`
+    * (RIFF container + PCM), windowed every 100 ms, and each window's
+    * RMS amplitude computed from the decoded samples — the flatMap
+    * shape of video frame sampling with real signal math in place of a
+    * demuxer (the JDK ships image and audio codecs but no video;
+    * MediaSpec pins the RMS values against a driver-side recompute).
     */
   def q48_media_frames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val payloads = docs(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-    payloads.mapPartitions { batch =>
-      batch.flatMap { case (id, bytes) =>
-        // STUB decode: duration/dims derived deterministically from the
-        // payload; a real build hands `bytes` to a demuxer here
-        // abs AFTER widening to Long: abs(Int.MinValue) stays negative in
-        // Int and would emit zero frames for ~1-in-2^32 payloads; the
-        // widened abs is positive for every input
-        val durationMs = 1000L + math.abs(
-          scala.util.hashing.MurmurHash3.bytesHash(bytes, 7).toLong) % 16000L
-        val w = 320 + (math.abs(bytes.headOption.getOrElse(0.toByte).toInt) % 4) * 160
-        val h = w * 3 / 4
-        val stepMs = 2000L
-        val nFrames = math.min(8L, durationMs / stepMs + 1).toInt
-        (0 until nFrames).map { f =>
-          val ts = f * stepMs
-          // stand-in for the sampled frame's content hash
-          val fhash = java.util.Arrays.hashCode(bytes) * 31L + ts
-          (id, f, ts, w, h, fhash)
+    val ids = docs(s, dir).select(col("doc_id")).as[Long]
+    ids.mapPartitions { batch =>
+      batch.flatMap { id =>
+        val bytes = graft.pipeline.Media.wavPayload(id)
+        val (frames, rate, ch, windows) = graft.pipeline.Media.wavWindows(bytes)
+        windows.map { case (idx, ts, rms) =>
+          (id, idx, ts, frames, rate.toDouble, ch, rms)
         }
       }
-    }.toDF("doc_id", "frame_idx", "ts_ms", "width", "height", "frame_hash")
+    }.toDF("doc_id", "frame_idx", "ts_ms", "n_samples", "sample_rate",
+      "channels", "rms")
   }
 
   // =================================================================

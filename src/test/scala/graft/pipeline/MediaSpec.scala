@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import graft.queries.PipelineQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The multimodal queries decode REAL bytes through REAL JDK codecs;
+  * every decoded value has a closed-form expectation from the
+  * deterministic payload synthesis.
+  */
+class MediaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+  def available: Boolean = new java.io.File(s"$dir/documents.parquet").exists()
+
+  test("PNG roundtrip recovers dimensions and exact pixel data") {
+    (0L until 8L).foreach { id =>
+      val bytes = Media.pngPayload(id)
+      // a genuine PNG container, not a fake: magic bytes present
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N',
+        s"doc $id payload is not PNG")
+      val (w, h, rgb) = Media.decodePng(bytes)
+      assert(w == Media.widthFor(id) && h == Media.heightFor(id),
+        s"doc $id decoded ${w}x$h")
+      assert(rgb == Media.probeRgb(id),
+        s"doc $id probe pixel ${rgb.toHexString} != synthesized " +
+          s"${Media.probeRgb(id).toHexString} — decode is not reading pixels")
+    }
+  }
+
+  test("WAV roundtrip: container parses, window RMS matches PCM recompute") {
+    (0L until 8L).foreach { id =>
+      val bytes = Media.wavPayload(id)
+      assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F',
+        s"doc $id payload is not RIFF/WAV")
+      val (frames, rate, ch, windows) = Media.wavWindows(bytes)
+      val pcm = Media.pcmFor(id)
+      assert(frames == pcm.length && rate == Media.SampleRate && ch == 1)
+      val step = Media.SampleRate * Media.FrameStepMs.toInt / 1000
+      assert(windows.length ==
+        (pcm.length + step - 1) / step, s"doc $id window count")
+      windows.foreach { case (idx, ts, rms) =>
+        assert(ts == idx * Media.FrameStepMs)
+        val slice = pcm.slice(idx * step, math.min((idx + 1) * step, pcm.length))
+        val want = math.rint(math.sqrt(
+          slice.map(s => s.toDouble * s).sum / slice.length) * 1000) / 1000
+        assert(rms == want,
+          s"doc $id window $idx rms $rms != $want — decoded PCM diverges")
+      }
+    }
+  }
+
+  test("q47 decodes every document's image with exact expectations") {
+    assume(available)
+    val rows = PipelineQueries.q47_media_decode(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(2) == Media.widthFor(id) &&
+        r.getInt(3) == Media.heightFor(id) &&
+        r.getInt(4) == Media.probeRgb(id), s"doc $id: $r")
+    }
+  }
+
+  test("q48 emits per-window rows with decode-derived stream facts") {
+    assume(available)
+    val rows = PipelineQueries.q48_media_frames(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rs) =>
+      val pcm = Media.pcmFor(id)
+      val step = Media.SampleRate * Media.FrameStepMs.toInt / 1000
+      assert(rs.length == (pcm.length + step - 1) / step, s"doc $id frames")
+      rs.foreach { r =>
+        assert(r.getLong(3) == pcm.length.toLong, s"doc $id n_samples")
+        assert(r.getDouble(4) == Media.SampleRate.toDouble &&
+          r.getInt(5) == 1, s"doc $id stream facts")
+      }
+    }
+  }
+}
