@@ -40,21 +40,28 @@ object Media extends Serializable {
   def probeRgb(id: Long): Int =
     (java.lang.Long.hashCode(id * 0x9E3779B97F4A7C15L) & 0xffffff)
 
-  /** A real PNG payload: gradient content + the probe pixel. */
+  /** A real PNG payload: gradient content + the probe pixel. Pixels are
+    * written straight into the backing int raster — per-pixel `setRGB`
+    * goes through color-model conversion on every call and made payload
+    * synthesis (not the codec) the dominant cost of q47.
+    */
   def pngPayload(id: Long): Array[Byte] = {
     val w = widthFor(id)
     val h = heightFor(id)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < h) {
+      val row = y * w
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, (((x ^ y) * 31) + id.toInt) & 0xffffff)
+        px(row + x) = (((x ^ y) * 31) + id.toInt) & 0xffffff
         x += 1
       }
       y += 1
     }
-    img.setRGB(7, 5, probeRgb(id))
+    px(5 * w + 7) = probeRgb(id)
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
