@@ -146,7 +146,12 @@ object PipelineQueries {
     */
   def q47_media_decode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // codec-bound stage: parallelism must come from the cluster, not
+    // from however few splits the id scan happens to produce — the
+    // repartition shuffles only 8-byte ids, the decode fans out to every
+    // core (without it a single-file scan decodes on one task)
     val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
     ids.mapPartitions { batch =>
       batch.map { id =>
         val bytes = graft.pipeline.Media.pngPayload(id)
@@ -166,7 +171,9 @@ object PipelineQueries {
     */
   def q48_media_frames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // same codec-bound repartition as q47
     val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
     ids.mapPartitions { batch =>
       batch.flatMap { id =>
         val bytes = graft.pipeline.Media.wavPayload(id)
