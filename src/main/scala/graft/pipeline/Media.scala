@@ -27,10 +27,19 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   */
 object Media extends Serializable {
 
+  // memory-backed codec streams: the default disk cache creates and
+  // deletes a temp file per ImageIO.write/read call — two filesystem
+  // round-trips per document on the hot decode path
+  ImageIO.setUseCache(false)
+
   // -------------------- image (PNG via javax.imageio) ----------------
 
-  /** Deterministic image geometry per doc id: 64–160 px wide, 4:3. */
-  def widthFor(id: Long): Int = 64 + (id % 4).toInt * 32
+  /** Deterministic image geometry per doc id: 64–160 px wide, 4:3.
+    * floorMod, not `%`: a negative id under sign-preserving remainder
+    * would yield width 0 and crash BufferedImage (the stub this
+    * replaced carried the same every-input-valid invariant).
+    */
+  def widthFor(id: Long): Int = 64 + Math.floorMod(id, 4L).toInt * 32
   def heightFor(id: Long): Int = widthFor(id) * 3 / 4
 
   /** Deterministic probe-pixel color at (7, 5) — decoding must recover
@@ -79,16 +88,19 @@ object Media extends Serializable {
   val SampleRate = 16000
   val FrameStepMs = 100L
 
-  /** Deterministic audio duration per doc id: 200–900 ms. */
-  def durationMsFor(id: Long): Long = 200L + (id % 8) * 100L
+  /** Deterministic audio duration per doc id: 200–900 ms (floorMod —
+    * see [[widthFor]]; a negative remainder would silently emit an
+    * empty PCM stream and drop the doc from the output).
+    */
+  def durationMsFor(id: Long): Long = 200L + Math.floorMod(id, 8L) * 100L
 
   /** Raw 16-bit mono PCM for doc `id`: a seeded sine with id-dependent
     * frequency and amplitude — RMS per window is closed-form checkable.
     */
   def pcmFor(id: Long): Array[Short] = {
     val n = (durationMsFor(id) * SampleRate / 1000L).toInt
-    val freq = 0.02 + (id % 10) * 0.01
-    val amp = 4000 + (id % 5).toInt * 1000
+    val freq = 0.02 + Math.floorMod(id, 10L) * 0.01
+    val amp = 4000 + Math.floorMod(id, 5L).toInt * 1000
     Array.tabulate(n)(i => (math.sin(i * freq) * amp).toShort)
   }
 
@@ -119,8 +131,14 @@ object Media extends Serializable {
   def wavWindows(bytes: Array[Byte]): (Long, Float, Int, Seq[(Int, Long, Double)]) = {
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     val fmt = ais.getFormat
-    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-      s"unexpected WAV shape: $fmt")
+    // the sample loop below assembles LITTLE-ENDIAN SIGNED PCM: a
+    // big-endian or unsigned stream (AIFF/AU parse through the same
+    // entry point) would pass a bits/channels-only check and yield
+    // byte-swapped garbage RMS with no error
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian &&
+      fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+      s"unexpected audio shape (need 16-bit mono little-endian signed PCM): $fmt")
     val data = ais.readAllBytes()
     ais.close()
     val n = data.length / 2

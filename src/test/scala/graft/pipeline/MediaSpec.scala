@@ -74,6 +74,15 @@ class MediaSpec extends AnyFunSuite {
         assert(r.getLong(3) == pcm.length.toLong, s"doc $id n_samples")
         assert(r.getDouble(4) == Media.SampleRate.toDouble &&
           r.getInt(5) == 1, s"doc $id stream facts")
+        // pin the QUERY-level rms/ts projection, not just the kernel:
+        // a swapped tuple position in q48 must fail here
+        val idx = r.getInt(1)
+        assert(r.getLong(2) == idx * Media.FrameStepMs, s"doc $id ts_ms")
+        val slice = pcm.slice(idx * step,
+          math.min((idx + 1) * step, pcm.length))
+        val want = math.rint(math.sqrt(
+          slice.map(s => s.toDouble * s).sum / slice.length) * 1000) / 1000
+        assert(r.getDouble(6) == want, s"doc $id window $idx rms")
       }
     }
   }
