@@ -101,6 +101,10 @@ object Bench {
           val secs = (System.nanoTime() - t0) / 1e9
           name -> (if (ok) secs else -1.0)
         }
+        // teardown: drop the memoized q40–q43 pipeline pins before the
+        // session goes away (stop() would reclaim the blocks anyway, but
+        // the cache map entry keyed on this session must not outlive it)
+        graft.queries.PipelineQueries.releaseAll(spark)
         spark.stop()
         rs
       }

@@ -16,9 +16,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // NonFatal, not Throwable: an OutOfMemoryError / fatal VM error
+      // means the JVM is broken — results from the remaining queries
+      // would be untrustworthy; let it propagate and kill the run
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any output from a PREVIOUS run: stale parquet under this
         // name would let the driver's DuckDB compare validate last run's
@@ -31,7 +34,7 @@ object Verify {
             Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.deleteIfExists(p))
           }
-        } catch { case c: Throwable =>
+        } catch { case scala.util.control.NonFatal(c) =>
           System.err.println(s"[verify] $name stale-output cleanup failed " +
             s"(${c.getMessage}) — remove $outDir/$name manually")
         }

@@ -230,8 +230,19 @@ object TableIO {
       // forever chasing a bucket that can never appear.
       val metrics = obs.get
       // consulted only on the rare mismatch path; the listener bus is
-      // async, so give queued stage events a moment to drain first
-      lazy val sawRetry = { Thread.sleep(2000); retries.seen }
+      // async, so POLL for the retry event instead of a single fixed
+      // sleep — on a loaded driver (large jobs are exactly when retries
+      // happen) a late-delivered stage-retry event after a fixed 2s
+      // window would make crossCheck fail fast on a benign accumulator
+      // double-apply. Returns as soon as a retry is seen; only the
+      // (retry truly absent → fail fast, which is safe) direction pays
+      // the full bound.
+      lazy val sawRetry = {
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while (!retries.seen && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        retries.seen
+      }
       todo.map { k =>
         val observed = BucketCommit(k, metrics(s"rows_$k").asInstanceOf[Long],
           metrics(s"sum_$k").asInstanceOf[Long])
@@ -302,7 +313,11 @@ object TableIO {
     *    bucket yet no files exist — data LOSS, not a counter glitch.
     *    Committing rows=0 would mark the bucket permanently done and
     *    silently drop its rows on every resume (ADVICE r3) — fail fast.
-    *  - observed ≠ footer, both data present AND `stageRetried`: a
+    *  - observed < footer, both > 0: double-apply can only INFLATE the
+    *    observed side, so a footer excess means EXTRA rows on disk
+    *    (e.g. leftovers of a crashed attempt) — fail fast even if a
+    *    retry was seen; recomputing would bless a mixed directory.
+    *  - observed > footer, both data present AND `stageRetried`: a
     *    re-executed stage double-applied metric updates — the files are
     *    right, recompute the counters from them.
     *  - observed > footer with NO stage retry this run: the arithmetic
@@ -336,19 +351,32 @@ object TableIO {
           "reported success without producing files; refusing to commit " +
           "an empty manifest that would silently lose these rows on " +
           "every resume")
+    } else if (observed.rows < footer) {
+      // Double-apply can only INFLATE observed (a re-executed stage adds
+      // its accumulator updates again, never subtracts) — so footer >
+      // observed with both sides holding data means EXTRA rows on disk
+      // (e.g. leftovers of a crashed attempt mixed into the directory),
+      // a state recomputeBucket would bless into the manifest. Fail fast
+      // regardless of the retry witness.
+      throw new IllegalStateException(
+        s"bucket $k observed ${observed.rows} rows during the write but " +
+          s"its files hold $footer — extra/stale rows on disk at " +
+          s"$bucketPath (double-apply can only inflate the observed " +
+          "side, so a retry cannot explain this); refusing to commit a " +
+          "manifest over a mixed directory")
     } else if (stageRetried) {
       System.err.println(s"[TableIO] observed rows for bucket $k " +
-        s"(${observed.rows}) != parquet footers ($footer) and a stage " +
+        s"(${observed.rows}) > parquet footers ($footer) and a stage " +
         "re-executed this run — double-applied metrics; recomputing " +
         "counters from written data")
       recomputeBucket(spark, dir, k)
     } else {
       throw new IllegalStateException(
         s"bucket $k observed ${observed.rows} rows but its files hold " +
-          s"$footer, and no stage re-executed this run — written files " +
-          s"are missing from $bucketPath; refusing to commit a partial " +
-          "manifest that would silently lose the difference on every " +
-          "resume")
+          s"only $footer, and no stage re-executed this run — written " +
+          s"files are missing from $bucketPath; refusing to commit a " +
+          "partial manifest that would silently lose the difference on " +
+          "every resume")
     }
   }
 

@@ -36,9 +36,13 @@ object Ann {
     * broadcast budget. `replication` = nTables for LSH, nProbe for IVF.
     */
   private def guardProbeSize(vecs: DataFrame, probePred: Column,
-                             dim: Int, replication: Int,
+                             embCol: String, dim: Int, replication: Int,
                              budget: Long): Unit = {
-    val nProbes = vecs.where(probePred).count()
+    // count exactly the rows the hash paths will broadcast: they all
+    // filter NULL embeddings out, so the guard must too — NULL-embedding
+    // probe rows would otherwise inflate the byte estimate and reject a
+    // probe set that actually fits the budget
+    val nProbes = vecs.where(probePred && col(embCol).isNotNull).count()
     val bytes = nProbes * dim.toLong * 4L * replication
     require(bytes <= budget,
       s"probe set of $nProbes vectors (dim=$dim, x$replication bucket " +
@@ -112,7 +116,7 @@ object Ann {
                    seed: Long = 1234L,
                    maxProbeBytes: Long = MaxProbeBroadcastBytes): DataFrame = {
     val useDim = resolveDim(vecs, embCol, dim)
-    guardProbeSize(vecs, probePred, useDim, nTables, maxProbeBytes)
+    guardProbeSize(vecs, probePred, embCol, useDim, nTables, maxProbeBytes)
     val planes = planesFor(nTables, nBits, useDim, seed)
     // hashing is the native codegen `ner_sign_buckets` + posexplode —
     // the corpus side never leaves WholeStageCodegen (the round-3 typed
@@ -329,7 +333,8 @@ object Ann {
     // width, so the budget guard needs no extra dim-probe job — and it
     // still fires before any corpus-side work
     val cents = ivfCentroids(vecs, idCol, embCol, nCells, sampleN, seed = seed)
-    guardProbeSize(vecs, probePred, cents(0).length, nProbe, maxProbeBytes)
+    guardProbeSize(vecs, probePred, embCol, cents(0).length, nProbe,
+      maxProbeBytes)
     // corpus-side cell assignment is the native codegen
     // `ner_nearest_cell` — no object round-trip per corpus row (the
     // centroid matrix rides as a codegen reference object, not a

@@ -461,6 +461,29 @@ object KgPipeline {
   final case class Result(mentions: Dataset[MentionRow], linked: DataFrame,
                           canon: DataFrame, triples: DataFrame)
 
+  /** Free everything a [[run]] Result pins: the persisted `linked`, the
+    * cached `canon` AND its backing checkpoint — local blocks when the
+    * fixpoint fell back to `localCheckpoint` (no checkpoint dir), the
+    * reliable checkpoint's files otherwise (Spark never reclaims those
+    * itself unless `cleanCheckpoints` is set). After release the Result's
+    * frames are dead: a localCheckpoint truncates lineage, so they are
+    * not recomputable — release means "done with this result".
+    */
+  def release(spark: SparkSession, r: Result,
+              blocking: Boolean = false): Unit = {
+    r.triples.unpersist(blocking)
+    r.canon.unpersist(blocking)
+    r.linked.unpersist(blocking)
+    r.canon.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile match {
+          case some @ Some(_) => dropCheckpoint(spark, some)
+          case None => lr.rdd.unpersist(blocking)
+        }
+      case _ => ()
+    }
+  }
+
   def run(spark: SparkSession, files: Dataset[RepoFile],
           model: NerfModel): Result = {
     val ments = detectMentions(spark, files, model)

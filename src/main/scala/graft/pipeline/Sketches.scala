@@ -55,6 +55,21 @@ object Sketches {
                    eps: Double = 1e-3, confidence: Double = 0.99,
                    seed: Int = 42): DataFrame = {
     require(minShareDenom >= 1, s"minShareDenom must be >= 1: $minShareDenom")
+    // Candidate-set bound, proven from parameters so the broadcast below
+    // is safe by construction rather than by luck: a key passes pass 2
+    // only if estimate >= total/denom, and CMS overestimates by at most
+    // eps*total (with prob `confidence`), so its TRUE count must be
+    // >= (1/denom - eps)*total. At most denom/(1 - eps*denom) keys can
+    // each hold that share. Requiring eps*denom <= 0.5 caps candidates
+    // at 2*denom keys w.h.p. — e.g. 250 rows for the defaults — far
+    // under any broadcast budget. This is the fail-fast analogue of
+    // Ann.MaxProbeBroadcastBytes, but free: it needs no counting job.
+    require(eps * minShareDenom <= 0.5,
+      s"eps ($eps) * minShareDenom ($minShareDenom) = ${eps * minShareDenom}" +
+        " > 0.5: the sketch is too coarse for this share threshold — the" +
+        " candidate set is no longer provably broadcast-sized (bound is" +
+        " denom/(1 - eps*denom)). Lower eps (finer sketch) or raise the" +
+        " share threshold (smaller denom).")
     val first = df.agg(count(lit(1)).as("total"),
       expr(s"count_min_sketch(`$keyCol`, ${eps}d, ${confidence}d, $seed)")
         .as("cms")).head()
@@ -64,7 +79,14 @@ object Sketches {
     val candidates = df.select(keyCol).distinct()
       .where(SketchFunctions.ner_cms_estimate(col(keyCol), sketch) *
         minShareDenom >= lit(total))
-    df.join(candidates, Seq(keyCol))
+    // Broadcast BY CONTRACT, not by estimator luck: `candidates` is a
+    // distinct() filtered by an opaque codegen sketch lookup, whose
+    // post-filter cardinality Catalyst cannot estimate — the static plan
+    // would otherwise be a SortMergeJoin shuffling the FULL stream keyed
+    // by the heavy-hitter (i.e. maximally skewed) keys, the exact
+    // scale-killer this operator exists to avoid. The require above
+    // proves the broadcast fits. Plan-gated in SketchSpec.
+    df.join(broadcast(candidates), Seq(keyCol))
       .groupBy(keyCol).agg(count(lit(1)).as("n"))
       .where(col("n") * minShareDenom >= lit(total))
   }

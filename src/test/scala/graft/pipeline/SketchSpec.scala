@@ -67,6 +67,53 @@ class SketchSpec extends AnyFunSuite {
     assert(est("a") >= 1L && est("a") <= 4L, s"gross overestimate: ${est("a")}")
   }
 
+  test("heavyHitters pass-3 candidates join is a guaranteed broadcast") {
+    assume(available)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val df = Sketches.heavyHitters(events, "user_id", minShareDenom = 125)
+    df.collect() // AQE: gate the FINAL executed plan, not the static one
+    val nodes = graft.plans.PlanInspector.allNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"q54: candidates join is not a BroadcastHashJoin:\n" +
+        s"${df.queryExecution.executedPlan}")
+    // `candidates` is distinct() filtered by an opaque codegen sketch
+    // lookup — Catalyst cannot estimate its cardinality, so without the
+    // explicit hint the static plan is a SortMergeJoin shuffling the
+    // FULL stream keyed by the heavy-hitter (maximally skewed) keys
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+        n.isInstanceOf[ShuffledHashJoinExec]),
+      s"q54: plan shuffles the stream for the candidates join:\n" +
+        s"${df.queryExecution.executedPlan}")
+    // the surviving shuffles must be vocabulary/candidate-sized: the
+    // candidates distinct() and the post-join exact-count aggregate —
+    // none may sit UPSTREAM of the broadcast join's stream side (i.e.
+    // the stream reaches the join unshuffled). Structural proof: every
+    // shuffle's subtree either contains the distinct (HashAggregate on
+    // the build side) or contains the join itself (post-join agg).
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    shuffles.foreach { s =>
+      val sub = graft.plans.PlanInspector.allNodes(s)
+      val feedsJoin = sub.exists(_.isInstanceOf[BroadcastHashJoinExec])
+      val isCandidateSide = s.output.size == 1 // distinct carries only the key
+      assert(feedsJoin || isCandidateSide,
+        s"q54: a shuffle carries the full stream before the candidates " +
+          s"join:\n$s")
+    }
+  }
+
+  test("heavyHitters refuses parameters whose candidate set is unbounded") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("k")
+    val ex = intercept[IllegalArgumentException] {
+      // eps * denom = 0.1 * 125 = 12.5 > 0.5: the sketch is too coarse
+      // to bound the candidate set, so the broadcast is no longer safe
+      Sketches.heavyHitters(df, "k", minShareDenom = 125, eps = 0.1)
+    }
+    assert(ex.getMessage.contains("broadcast"), ex.getMessage)
+  }
+
   test("NULL keys are excluded from heavy hitters (documented contract)") {
     import spark.implicits._
     // 60 null-key rows (heavy by share) + one hot key + noise keys
