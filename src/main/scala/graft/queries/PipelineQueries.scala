@@ -161,34 +161,104 @@ object PipelineQueries {
   // Multimodal: opaque payload + typed metadata; REAL JDK codecs
   // =================================================================
 
-  /** Multimodal batch image decode — REAL, not a stub: each task
-    * synthesizes a genuine PNG payload per doc id (the testdata has no
-    * media column) and decodes it back through `javax.imageio`, a real
-    * codec, recovering pixel data. Schema, partitioning and the batch
-    * mapPartitions shape are the pattern a production image pipeline
-    * uses: opaque binary in, typed features out, no shuffle. The
+  // Materialized payload table for q47/q48, keyed like the bucketed
+  // q50 tables (WEAK session keys; per-JVM temp root; dead-session
+  // copies swept before each build). Payloads are synthesized ONCE,
+  // untimed, so the timed queries measure the DECODE codec — r4's
+  // in-task synthesis made "media decode" time ImageIO.write (the
+  // expensive encode half) plus the decode it is named for.
+  private val mediaTables =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+  private var mediaTag = 0
+  private lazy val mediaBase =
+    java.nio.file.Files.createTempDirectory("graft_media").toString
+  private val mediaCopies = scala.collection.mutable.ListBuffer
+    .empty[(java.lang.ref.WeakReference[SparkSession], String)]
+
+  private def sweepDeadMedia(): Unit =
+    mediaCopies.filterInPlace { case (ref, path) =>
+      val owner = ref.get()
+      val dead = owner == null || owner.sparkContext.isStopped
+      if (dead) {
+        try {
+          val root = java.nio.file.Paths.get(path)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      !dead
+    }
+
+  /** Materialize the (doc_id, png, wav) payload parquet for `dir` —
+    * ingest-time work, run once per (session, dir). Bench calls this
+    * untimed before the query loop (the q50 `ensureBucketedTables`
+    * convention); a cold q47/q48 call builds it lazily. Returns the
+    * parquet path.
+    */
+  def ensureMediaPayloads(s: SparkSession, dir: String): String =
+    mediaTables.synchronized {
+      val perSession = {
+        val existing = mediaTables.get(s)
+        if (existing != null) existing
+        else {
+          val m = scala.collection.mutable.Map.empty[String, String]
+          mediaTables.put(s, m)
+          m
+        }
+      }
+      perSession.getOrElseUpdate(dir, {
+        sweepDeadMedia()
+        mediaTag += 1
+        val out = s"$mediaBase/payloads_$mediaTag"
+        import s.implicits._
+        docs(s, dir).select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .map(id => (id, graft.pipeline.Media.pngPayload(id),
+            graft.pipeline.Media.wavPayload(id)))
+          .toDF("doc_id", "png", "wav")
+          .write.mode("overwrite").parquet(out)
+        mediaCopies += ((new java.lang.ref.WeakReference(s), out))
+        out
+      })
+    }
+
+  /** Multimodal batch image decode — REAL, not a stub: genuine PNG
+    * payloads (materialized once per doc id by [[ensureMediaPayloads]];
+    * the testdata has no media column) are read back and decoded
+    * through `javax.imageio`, a real codec, recovering pixel data.
+    * Schema, partitioning and the batch mapPartitions shape are the
+    * pattern a production image pipeline uses: opaque binary in, typed
+    * features out, no shuffle beyond the small-fixture fan-out. The
     * decoded probe pixel proves full pixel decode (PNG is lossless);
     * MediaSpec asserts it equals the synthesis constant per row.
     */
   def q47_media_decode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // codec-bound stage: parallelism must come from the cluster, not
-    // from however few splits the id scan happens to produce — the
-    // repartition shuffles only 8-byte ids, the decode fans out to every
-    // core (without it a single-file scan decodes on one task)
-    val ids = docs(s, dir).select(col("doc_id")).as[Long]
+    // Read the materialized payloads and DECODE — synthesis (including
+    // ImageIO.write, the expensive encode half) happened once, untimed,
+    // in ensureMediaPayloads. Codec-bound stage: parallelism must come
+    // from the cluster, not from however few splits the tiny local
+    // payload file yields (maxPartitionBytes packs small files into one
+    // partition) — the repartition fans the decode out to every core.
+    // At production scale the payload table is large enough that the
+    // scan itself splits and the repartition drops out.
+    val payloads = s.read.parquet(ensureMediaPayloads(s, dir))
+      .select(col("doc_id"), col("png"))
+      .as[(Long, Array[Byte])]
       .repartition(s.sparkContext.defaultParallelism)
-    ids.mapPartitions { batch =>
-      batch.map { id =>
-        val bytes = graft.pipeline.Media.pngPayload(id)
+    payloads.mapPartitions { batch =>
+      batch.map { case (id, bytes) =>
         val (w, h, rgb) = graft.pipeline.Media.decodePng(bytes)
         (id, bytes.length.toLong, w, h, rgb)
       }
     }.toDF("doc_id", "n_bytes", "width", "height", "probe_rgb")
   }
 
-  /** Multimodal frame sampling — REAL audio decode: a genuine WAV
-    * payload per doc id is parsed back through `javax.sound.sampled`
+  /** Multimodal frame sampling — REAL audio decode: the materialized
+    * WAV payload per doc id is parsed back through `javax.sound.sampled`
     * (RIFF container + PCM), windowed every 100 ms, and each window's
     * RMS amplitude computed from the decoded samples — the flatMap
     * shape of video frame sampling with real signal math in place of a
@@ -197,12 +267,14 @@ object PipelineQueries {
     */
   def q48_media_frames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // same codec-bound repartition as q47
-    val ids = docs(s, dir).select(col("doc_id")).as[Long]
+    // read + decode only (synthesis untimed in ensureMediaPayloads);
+    // same codec-bound repartition rationale as q47
+    val payloads = s.read.parquet(ensureMediaPayloads(s, dir))
+      .select(col("doc_id"), col("wav"))
+      .as[(Long, Array[Byte])]
       .repartition(s.sparkContext.defaultParallelism)
-    ids.mapPartitions { batch =>
-      batch.flatMap { id =>
-        val bytes = graft.pipeline.Media.wavPayload(id)
+    payloads.mapPartitions { batch =>
+      batch.flatMap { case (id, bytes) =>
         val (frames, rate, ch, windows) = graft.pipeline.Media.wavWindows(bytes)
         windows.map { case (idx, ts, rms) =>
           (id, idx, ts, frames, rate.toDouble, ch, rms)

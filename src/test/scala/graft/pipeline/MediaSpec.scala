@@ -49,6 +49,32 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  /** A silent 16-bit mono WAV of exactly `seconds` seconds — the bound
+    * probe for the in-memory windowing limit.
+    */
+  private def silentWav(seconds: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (seconds * Media.SampleRate).toInt
+    val fmt = new AudioFormat(Media.SampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](n * 2)), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("wavWindows enforces its in-memory clip bound, from metadata alone") {
+    // AT the bound: decodes fine (silence → rms 0 everywhere)
+    val (frames, _, _, windows) = Media.wavWindows(silentWav(Media.MaxClipSeconds))
+    assert(frames == Media.MaxClipSeconds * Media.SampleRate)
+    assert(windows.forall(_._3 == 0.0))
+    // BEYOND the bound: rejected before the buffer is materialized
+    val ex = intercept[IllegalArgumentException] {
+      Media.wavWindows(silentWav(Media.MaxClipSeconds + 1))
+    }
+    assert(ex.getMessage.contains("in-memory windowing bound"), ex.getMessage)
+  }
+
   test("q47 decodes every document's image with exact expectations") {
     assume(available)
     val rows = PipelineQueries.q47_media_decode(spark, dir).collect()
