@@ -18,6 +18,8 @@ import scala.jdk.CollectionConverters._
   *   serve <model.json> <port>                TCP NER server (T1, model resident)
   *   client <host> <port> < raw.txt           one request per line (T2)
   *   cv <in.nes> <k> [modelDir]               k-fold cross-validation (X1)
+  *   curate <sfDir> <outDir> [minCos]         curation recipe: dedup chain ->
+  *                                            hot keys -> salted write (JSON report)
   */
 object Cli {
 
@@ -132,6 +134,31 @@ object Cli {
       stdinLines.foreach { line =>
         utf8Out.println(graft.server.NerfServer.request(host, portStr.toInt, line))
       }
+    case "curate" :: sfDir :: outDir :: rest if rest.length <= 1 =>
+      // End-to-end curation recipe over a documents(+embeddings) table:
+      // exact dedup -> boilerplate drop -> MinHash near-dup -> embedding
+      // near-dup -> hot-key detection -> salted resumable write. One
+      // JSON report line on stdout; see graft.pipeline.Curate.
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .appName("graft-curate")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val embPath = Paths.get(s"$sfDir/embeddings.parquet")
+      val emb =
+        if (Files.exists(embPath))
+          Some(spark.read.parquet(embPath.toString))
+        else None
+      val minCos = rest.headOption.map(_.toDouble).getOrElse(0.95)
+      val report = graft.pipeline.Curate.run(spark, docs, "doc_id", "text",
+        emb, "vec_id", "embedding", outDir, hotKeyCol = "source",
+        minCos = minCos)
+      utf8Out.println(report.json)
+      spark.stop()
     case "synth" :: out :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(500)
       val seed = rest.drop(1).headOption.map(_.toLong).getOrElse(42L)
@@ -140,7 +167,7 @@ object Cli {
       System.err.println(s"[cli] $n sentences written to $out")
     case _ =>
       System.err.println(
-        "usage: train|train-file|ner|ner-xces|ox|compare|synth|cv|serve|client ... (see scaladoc)")
+        "usage: train|train-file|ner|ner-xces|ox|compare|synth|cv|serve|client|curate ... (see scaladoc)")
       sys.exit(2)
   }
 }

@@ -320,20 +320,53 @@ object Ann {
     }
   }
 
+  /** The production IVF geometry rule, encoded as the DEFAULT so
+    * callers stop picking magic cell counts (VERDICT r4 #7):
+    *
+    *  - `nCells ≈ √corpus`, clamped to [4, 65536] — cells then hold
+    *    ~√n vectors each, the classic IVF balance between quantizer
+    *    cost (nCells distance evaluations per probe) and cell-scan
+    *    cost (cell occupancy per probed cell); the same √n rule the
+    *    published IVF implementations recommend as a starting point.
+    *  - `nProbe = max(4, nCells/8)` (capped at nCells) — a 12.5% probe
+    *    fraction, which holds recall ≥ 0.9 on CLUSTERED data, the
+    *    regime learned embeddings actually live in (gated in
+    *    QueriesSpec on the 20-cluster fixture). Uniform-random
+    *    corpora — the adversarial worst case for any partitioning
+    *    index — need a far larger fraction; q49 pins 32/16 explicitly
+    *    for the uniform parquet testdata and documents why.
+    */
+  def ivfAutoGeometry(corpusRows: Long): (Int, Int) = {
+    require(corpusRows > 0, "empty corpus: no IVF geometry exists")
+    val nCells = math.max(4, math.min(1 << 16,
+      math.round(math.sqrt(corpusRows.toDouble)).toInt))
+    val nProbe = math.min(nCells, math.max(4, nCells / 8))
+    (nCells, nProbe)
+  }
+
   /** IVF search: assign every vector to its nearest centroid; probes
     * search their `nProbe` nearest cells (corpus-side cost unchanged,
-    * probe-side fans out nProbe-fold).
+    * probe-side fans out nProbe-fold). Defaults (`nCells`/`nProbe`
+    * ≤ 0) resolve via [[ivfAutoGeometry]] — one partial-agg count job,
+    * paid only in auto mode.
     */
   def ivfNeighbors(vecs: DataFrame, idCol: String, embCol: String,
-                   probePred: Column, k: Int = 3, nCells: Int = 8,
-                   nProbe: Int = 3, sampleN: Int = DefaultSampleN,
+                   probePred: Column, k: Int = 3, nCells: Int = -1,
+                   nProbe: Int = -1, sampleN: Int = DefaultSampleN,
                    seed: Long = 4321L,
                    maxProbeBytes: Long = MaxProbeBroadcastBytes): DataFrame = {
+    val useCells =
+      if (nCells > 0) nCells
+      else ivfAutoGeometry(vecs.where(col(embCol).isNotNull).count())._1
+    val useProbe =
+      if (nProbe > 0) nProbe
+      else math.min(useCells, math.max(4, useCells / 8))
     // centroids first: their sample collect already pins the embedding
     // width, so the budget guard needs no extra dim-probe job — and it
     // still fires before any corpus-side work
-    val cents = ivfCentroids(vecs, idCol, embCol, nCells, sampleN, seed = seed)
-    guardProbeSize(vecs, probePred, embCol, cents(0).length, nProbe,
+    val cents = ivfCentroids(vecs, idCol, embCol, useCells, sampleN,
+      seed = seed)
+    guardProbeSize(vecs, probePred, embCol, cents(0).length, useProbe,
       maxProbeBytes)
     // corpus-side cell assignment is the native codegen
     // `ner_nearest_cell` — no object round-trip per corpus row (the
@@ -351,7 +384,7 @@ object Ann {
     // down — see lshNeighbors)
     val probes = vecs.where(probePred && col(embCol).isNotNull)
       .select(col(idCol).as("q_id"),
-        explode(AnnFunctions.ner_top_cells(col(embCol), cents, nProbe))
+        explode(AnnFunctions.ner_top_cells(col(embCol), cents, useProbe))
           .as("cell"),
         col(embCol).as("q_emb"))
     topK(bucketed, probes, Seq("cell"), k, dedupe = false)

@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import graft.io.TableIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation recipe a 100-TB training-data pipeline runs
+  * FIRST, composed from the library's own operators (each individually
+  * oracled or gated on its own):
+  *
+  *   1. exact dedup          — content-hash groupBy, keep the min-id
+  *                             exemplar per identical text (q16's shape)
+  *   2. boilerplate drop     — substring-level dedup at document
+  *                             granularity: drop docs whose share of
+  *                             duplicated 20-token spans exceeds a
+  *                             threshold ([[TextDedup.boilerplateShare]],
+  *                             the doc-level action of q51/q52)
+  *   3. MinHash near-dup     — banded MinHash-LSH pairs at Jaccard ≥ 0.5
+  *                             ([[TextDedup.minhashPairs]], q44), greedy
+  *                             exemplar-keep (drop the max-id side)
+  *   4. embedding near-dup   — sign-LSH cosine pairs over the embedding
+  *                             column ([[Ann.lshCosinePairs]], q53),
+  *                             same greedy policy
+  *   5. hot-key detection    — CMS heavy hitters over the write key
+  *                             ([[Sketches.heavyHitters]], q54), sizing
+  *                             the salt fan-out of the final write
+  *   6. salted resumable write — [[TableIO.writeResumable]] (q28's
+  *                             salting + the manifest/resume contract)
+  *
+  * Greedy exemplar-keep (steps 3–4) drops every document that is the
+  * LARGER id of any near-dup pair. On a chain a–b, b–c this also drops
+  * c even though (a, c) may not be near-dups — deliberately the
+  * conservative direction for training data: it can only remove extra
+  * near-boilerplate, never let a duplicate through, and it needs no
+  * connected-components pass over the pair graph. Mass-duplicate
+  * CLUSTERS never reach pair enumeration at all: identical texts
+  * collapse in step 1 and degenerate LSH buckets are capped inside the
+  * pair operators themselves.
+  *
+  * Stage boundaries at real scale: each arrow above is where a
+  * production run would [[TableIO.writeResumable]] a checkpoint and
+  * resume after failure; this composition keeps the whole chain in one
+  * lineage (fine at test scale) and persists only the survivor frame
+  * that three consumers share.
+  */
+object Curate {
+
+  /** One curation run's accounting: row counts after each stage (the
+    * numbers a data-quality report is built from), the detected hot
+    * keys (key rendered as string, exact count), the salt fan-out the
+    * write used, and the rows the write committed this run.
+    */
+  final case class Report(nInput: Long, nAfterExact: Long,
+                          nAfterBoilerplate: Long, nAfterMinhash: Long,
+                          nAfterEmbedding: Long,
+                          hotKeys: Seq[(String, Long)], salts: Int,
+                          nWritten: Long) {
+    def json: String = {
+      val hk = hotKeys.map { case (k, n) =>
+        s"""{"key":${TableIO.jstr(k)},"n":$n}""" }.mkString("[", ",", "]")
+      s"""{"n_input":$nInput,"n_after_exact":$nAfterExact,""" +
+        s""""n_after_boilerplate":$nAfterBoilerplate,""" +
+        s""""n_after_minhash":$nAfterMinhash,""" +
+        s""""n_after_embedding":$nAfterEmbedding,""" +
+        s""""hot_keys":$hk,"salts":$salts,"n_written":$nWritten}"""
+    }
+  }
+
+  /** Run the full recipe over `docs` (and optionally `embeddings`,
+    * joined on `docs(idCol) == embeddings(embIdCol)`), writing the
+    * surviving rows — every original doc column — as a salted resumable
+    * table under `outDir`, bucketed by `hotKeyCol`.
+    *
+    * @param maxDupSpanShare drop docs whose duplicated-span share is ≥
+    *                        this (step 2); 1.0 keeps only docs that are
+    *                        PURE boilerplate out
+    * @param minCos          embedding near-dup threshold (step 4)
+    * @param hotDenom        heavy-hitter share denominator (step 5): a
+    *                        key is hot when it holds ≥ 1/hotDenom of
+    *                        surviving rows
+    */
+  def run(spark: SparkSession, docs: DataFrame, idCol: String,
+          textCol: String, embeddings: Option[DataFrame],
+          embIdCol: String, embCol: String, outDir: String,
+          hotKeyCol: String, maxDupSpanShare: Double = 0.8,
+          minCos: Double = 0.95, spanN: Int = 20, hotDenom: Long = 16,
+          buckets: Int = 16): Report = {
+    require(maxDupSpanShare > 0.0 && maxDupSpanShare <= 1.0,
+      s"maxDupSpanShare must be in (0, 1]: $maxDupSpanShare")
+    val nInput = docs.count()
+
+    // 1. exact dedup: min-id exemplar per 128-bit content hash (md5 —
+    // an 8-byte hash collides at billions of docs; q16's convention).
+    // The groupBy ships (hash, id) pairs with map-side combine; the
+    // semi join restores the full doc row for exemplars only.
+    val keepExact = docs
+      .groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as(idCol)).select(idCol)
+    val afterExact = docs.join(keepExact, Seq(idCol), "left_semi")
+    val nAfterExact = afterExact.count()
+
+    // 2. boilerplate: doc-level substring-dedup action
+    val boiler = TextDedup.boilerplateShare(afterExact, idCol, textCol, spanN)
+      .where(col("dup_share") >= maxDupSpanShare)
+      .select(col("doc_id").as(idCol))
+    val afterBoiler = afterExact.join(boiler, Seq(idCol), "left_anti")
+    val nAfterBoiler = afterBoiler.count()
+
+    // 3. MinHash near-dup pairs -> greedy exemplar-keep
+    val mhDrop = TextDedup.minhashPairs(afterBoiler, idCol, textCol)
+      .select(col("d2").as(idCol)).distinct()
+    val afterMinhash = afterBoiler.join(mhDrop, Seq(idCol), "left_anti")
+    val nAfterMinhash = afterMinhash.count()
+
+    // 4. embedding near-dup pairs (when an embedding table exists):
+    // restrict vectors to the SURVIVORS first — pairs among already-
+    // dropped docs are wasted candidate work
+    val afterEmb = embeddings match {
+      case Some(emb) =>
+        val vecs = emb
+          .select(col(embIdCol).as(idCol), col(embCol).as("embedding"))
+          .join(afterMinhash.select(idCol), Seq(idCol), "left_semi")
+        val drop = Ann.lshCosinePairs(vecs, idCol, "embedding", minCos)
+          .select(col("d2").as(idCol)).distinct()
+        afterMinhash.join(drop, Seq(idCol), "left_anti")
+      case None => afterMinhash
+    }
+    // three consumers share the survivor frame (count, hot keys, write)
+    // — persist it or the whole dedup chain runs three times
+    afterEmb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nAfterEmbedding = afterEmb.count()
+
+      // 5. hot keys over the WRITE key: the detection a salting
+      // pipeline runs before choosing its fan-out. The salt count is
+      // sized so the hottest key's rows spread over enough tasks that
+      // no task holds more than ~1/parallelism of the data.
+      val hot = Sketches.heavyHitters(afterEmb, hotKeyCol, hotDenom)
+        .collect()
+        .map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+        .sortBy(-_._2).toSeq
+      val par = spark.sparkContext.defaultParallelism
+      val maxShare =
+        if (hot.isEmpty || nAfterEmbedding == 0) 0.0
+        else hot.head._2.toDouble / nAfterEmbedding
+      val salts = math.min(64, math.max(8, math.ceil(maxShare * par).toInt))
+
+      // 6. salted resumable write, bucketed by the hot-key column
+      val commits = TableIO.writeResumable(afterEmb, outDir, buckets,
+        Seq(hotKeyCol), lineage = Map("recipe" -> "curate"), salts = salts)
+      Report(nInput, nAfterExact, nAfterBoiler, nAfterMinhash,
+        nAfterEmbedding, hot, salts, commits.map(_.rows).sum)
+    } finally afterEmb.unpersist()
+  }
+}

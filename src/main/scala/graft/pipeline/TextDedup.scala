@@ -159,6 +159,40 @@ object TextDedup {
            count(lit(1)).as("n_occ"))
       .where(col("n_docs") > 1)
 
+  /** Per-document share of its `n`-token spans that also occur in OTHER
+    * documents — the document-level action for substring dedup: where
+    * [[duplicatedSpanHashes]] reports the duplicated spans themselves,
+    * a curation pipeline needs to know which DOCUMENTS are mostly
+    * boilerplate (templates, mirrored pages) and drop those above a
+    * share threshold. Output: (doc_id, n_spans, n_dup_spans, dup_share
+    * rounded to 6 digits); documents shorter than `n` tokens have no
+    * spans and no row (they cannot be span-level boilerplate).
+    *
+    * Scale shape: spans ride as 8-byte `xxhash64(gram)` keys end-to-end
+    * — the duplicated-span set is computed by hash groupBy (partial-agg
+    * countDistinct), the per-doc tallies shuffle (doc_id, count) pairs,
+    * and the membership check is a semi join on the 8-byte key. No
+    * shuffle carries span text. The gram generator is shared with both
+    * duplicated-span renditions (one tokenization, one short-doc
+    * guard).
+    */
+  def boilerplateShare(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 20): DataFrame = {
+    val grams = spanGrams(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1).select("gh")
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = grams.join(dup, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_share",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
   /** Per-document SimHash fingerprint over whitespace tokens:
     * (doc_id, simhash).
     */

@@ -749,6 +749,31 @@ object RelationalQueries {
       |WHERE user_id IS NOT NULL GROUP BY user_id
       |HAVING count(*) * 125 >= (SELECT count(*) FROM events)""".stripMargin
 
+  /** Document-level boilerplate share — the doc-granularity action of
+    * substring dedup (graft.pipeline.TextDedup.boilerplateShare, step 2
+    * of the `curate` recipe): per document, how many of its 20-token
+    * spans occur in other documents too. The oracle projection keeps the
+    * INTEGER tallies only; the derived `dup_share` ratio stays out of
+    * the cross-engine hash compare (two engines rounding a double
+    * quotient can disagree in the last ulp) and is pinned in-suite
+    * instead.
+    */
+  def q55_boilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextDedup.boilerplateShare(
+      t(s, dir, "documents"), "doc_id", "text", n = 20)
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"))
+
+  val q55_sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(ws[i:i+19], ' ') AS gram
+      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 19, 0) + 1)) AS i)
+      |),
+      |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1)
+      |SELECT doc_id, count(*) AS n_spans,
+      |       count(CASE WHEN gram IN (SELECT gram FROM dup) THEN 1 END) AS n_dup_spans
+      |FROM grams GROUP BY doc_id""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -781,5 +806,6 @@ object RelationalQueries {
     "q50_bucketed_join" -> ((q50_bucketed_join _, q50_sql)),
     "q51_substring_dups" -> ((q51_substring_dups _, q51_sql)),
     "q52_substring_dups_hashed" -> ((q52_substring_dups_hashed _, q52_sql)),
-    "q54_heavy_hitters" -> ((q54_heavy_hitters _, q54_sql)))
+    "q54_heavy_hitters" -> ((q54_heavy_hitters _, q54_sql)),
+    "q55_boilerplate" -> ((q55_boilerplate _, q55_sql)))
 }

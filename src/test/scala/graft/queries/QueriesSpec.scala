@@ -474,5 +474,18 @@ class AnnSpec extends AnyFunSuite {
     info(f"clustered recall@3: LSH=$lsh%.3f IVF=$ivf%.3f")
     assert(lsh >= 0.95, f"LSH recall on clustered data $lsh%.3f < 0.95")
     assert(ivf >= 0.95, f"IVF recall on clustered data $ivf%.3f < 0.95")
+
+    // AUTO geometry (the production default — VERDICT r4 #7): √1000 ≈
+    // 32 cells, nProbe max(4, 32/8) = 4, a 12.5% probe fraction. The
+    // rule must hold recall ≥ 0.9 on clustered data WITHOUT the caller
+    // picking magic numbers — this is the gate behind encoding it as
+    // the default instead of documentation.
+    assert(graft.pipeline.Ann.ivfAutoGeometry(1000L) == ((32, 4)),
+      s"auto rule drifted: ${graft.pipeline.Ann.ivfAutoGeometry(1000L)}")
+    val auto = recallOf(graft.pipeline.Ann.ivfNeighbors(df, "vec_id",
+      "embedding", probePred = col("vec_id") < 20, k = 3))
+    info(f"clustered recall@3 with auto IVF geometry (32 cells/4 probes) = $auto%.3f")
+    assert(auto >= 0.9,
+      f"auto-geometry IVF recall $auto%.3f < 0.9 at 12.5%% probe fraction")
   }
 }
