@@ -76,8 +76,12 @@ object Bench {
 
     // ---- query surface timings at local[cpus] ----
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
-    val results =
-      if (skipQueries) Seq.empty[(String, Double)]
+    // (best-of-per-query results, total per trial) — the per-trial
+    // totals are the measured variance band the committed baseline
+    // carries (this host swings memory-heavy runs up to 4x; a
+    // single-trial surface total is uninterpretable against it)
+    val (results, trialTotals) =
+      if (skipQueries) (Seq.empty[(String, Double)], Seq.empty[Double])
       else {
         val spark = newSession(cpus)
         // untimed warmup: session/JIT/codegen startup otherwise lands
@@ -99,19 +103,38 @@ object Bench {
         // it would make "media decode" measure ~2x the codec cost a
         // production decode pipeline pays
         graft.queries.PipelineQueries.ensureMediaPayloads(spark, sfDir)
-        val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          val ok = try { force(fn(spark, sfDir)); true }
-                   catch { case _: Throwable => false }
-          val secs = (System.nanoTime() - t0) / 1e9
-          name -> (if (ok) secs else -1.0)
+        // interleaved best-of-k over the whole surface (VERDICT r4 #4):
+        // per query keep the fastest trial; per trial keep the total as
+        // the variance evidence. The memoized q40-q43 pipeline is
+        // RELEASED between trials — without that, trial 2's q40 would
+        // time a cache read instead of the NER compute it is named for.
+        val qTrials = sys.env.getOrElse("SPARK_GRAFT_QUERY_TRIALS", "2").toInt
+        require(qTrials >= 1,
+          s"SPARK_GRAFT_QUERY_TRIALS=$qTrials: at least one trial is " +
+            "needed — zero would report every query as failed with a " +
+            "0.000 total instead of measuring anything")
+        val names = SparkEntry.queries.toSeq.sortBy(_._1)
+        val perTrial: Seq[Seq[(String, Double)]] = (1 to qTrials).map { t =>
+          if (t > 1) graft.queries.PipelineQueries.releaseAll(spark)
+          names.map { case (name, fn) =>
+            val t0 = System.nanoTime()
+            val ok = try { force(fn(spark, sfDir)); true }
+                     catch { case _: Throwable => false }
+            val secs = (System.nanoTime() - t0) / 1e9
+            name -> (if (ok) secs else -1.0)
+          }
         }
+        val best = names.map(_._1).zipWithIndex.map { case (name, i) =>
+          val ts = perTrial.map(_(i)._2).filter(_ >= 0)
+          name -> (if (ts.isEmpty) -1.0 else ts.min)
+        }
+        val totals = perTrial.map(_.map(_._2).filter(_ >= 0).sum)
         // teardown: drop the memoized q40–q43 pipeline pins before the
         // session goes away (stop() would reclaim the blocks anyway, but
         // the cache map entry keyed on this session must not outlive it)
         graft.queries.PipelineQueries.releaseAll(spark)
         spark.stop()
-        rs
+        (best, totals)
       }
 
     // ---- scaling protocol: N vs 4N threads, same input ----
@@ -154,8 +177,9 @@ object Bench {
     val nFailed = results.count(_._2 < 0)
     val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     val scalingMeasured = ratio > 1.0
+    val trialsJson = trialTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"queries_failed":$nFailed,"sf":"$sfEsc","kg_files":$kgFiles,"kg_triples":$nT2,"kg_sec_n":$sec1%.2f,"kg_sec_4n":$sec2%.2f,"triples_per_sec_n":$tput1%.1f,"triples_per_sec_4n":$tput2%.1f,"scaling_n":$small,"scaling_4n":$big,"scaling_ratio":$ratio%.1f,"scaling_measured":$scalingMeasured,"scaling_efficiency":$eff%.3f,"triples_per_sec_full":$tputF%.1f,"full_threads":$cpus,"scaling_evidence":"BENCH/SCALING.md"}"""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"query_trial_totals":$trialsJson,"queries_failed":$nFailed,"sf":"$sfEsc","kg_files":$kgFiles,"kg_triples":$nT2,"kg_sec_n":$sec1%.2f,"kg_sec_4n":$sec2%.2f,"triples_per_sec_n":$tput1%.1f,"triples_per_sec_4n":$tput2%.1f,"scaling_n":$small,"scaling_4n":$big,"scaling_ratio":$ratio%.1f,"scaling_measured":$scalingMeasured,"scaling_efficiency":$eff%.3f,"triples_per_sec_full":$tputF%.1f,"full_threads":$cpus,"scaling_evidence":"BENCH/SCALING.md"}"""
     println(json)
     if (nFailed > 0)
       System.err.println(s"[bench] WARNING: $nFailed quer${if (nFailed == 1) "y" else "ies"} FAILED — total_query_sec covers only the ${results.length - nFailed} that ran")
@@ -182,6 +206,16 @@ object Bench {
     md ++= "Why 8→full-width can regress on this host: see `BENCH/SCALING.md` "
     md ++= "(ListenerProfile per-stage task-time evidence at 8 vs 32 threads).\n\n"
     md ++= "## Per-query seconds (local[" + cpus + "], after untimed warmup)\n\n"
+    if (trialTotals.length > 1) {
+      val lo = trialTotals.min; val hi = trialTotals.max
+      val band = (hi - lo) / lo * 100
+      md ++= f"Best-of-${trialTotals.length} interleaved trials per query; "
+      md ++= "per-trial surface totals: "
+      md ++= trialTotals.map(t => f"$t%.1f s").mkString(", ")
+      md ++= f" — measured host variance band ±$band%.0f%% across trials. "
+      md ++= "Judge a later run against the BEST-OF total plus this band, "
+      md ++= "not against any single trial.\n\n"
+    }
     md ++= "Timed action is a noop-sink write (every output column evaluated); "
     md ++= "baselines measured before round 3 used `.count()`, which let the "
     md ++= "optimizer prune unevaluated projections, and are not comparable "

@@ -148,11 +148,19 @@ object Cli {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val embPath = Paths.get(s"$sfDir/embeddings.parquet")
+      // existence via the Hadoop FS API, NOT java.nio: sfDir may be any
+      // scheme Spark can read (hdfs://, s3a://) — a local-only check
+      // would silently skip the embedding stage on every remote table
+      val embPath = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
       val emb =
-        if (Files.exists(embPath))
+        if (embPath.getFileSystem(spark.sessionState.newHadoopConf())
+              .exists(embPath))
           Some(spark.read.parquet(embPath.toString))
-        else None
+        else {
+          System.err.println(s"[curate] no embeddings table under $sfDir " +
+            "— skipping the embedding near-dup stage")
+          None
+        }
       val minCos = rest.headOption.map(_.toDouble).getOrElse(0.95)
       val report = graft.pipeline.Curate.run(spark, docs, "doc_id", "text",
         emb, "vec_id", "embedding", outDir, hotKeyCol = "source",

@@ -340,9 +340,15 @@ object Ann {
     require(corpusRows > 0, "empty corpus: no IVF geometry exists")
     val nCells = math.max(4, math.min(1 << 16,
       math.round(math.sqrt(corpusRows.toDouble)).toInt))
-    val nProbe = math.min(nCells, math.max(4, nCells / 8))
-    (nCells, nProbe)
+    (nCells, probeFor(nCells))
   }
+
+  /** The nProbe half of the auto rule, shared with the explicit-cells /
+    * auto-probe path of [[ivfNeighbors]] so the gated rule cannot drift
+    * from what the operator actually uses.
+    */
+  private def probeFor(nCells: Int): Int =
+    math.min(nCells, math.max(4, nCells / 8))
 
   /** IVF search: assign every vector to its nearest centroid; probes
     * search their `nProbe` nearest cells (corpus-side cost unchanged,
@@ -358,9 +364,7 @@ object Ann {
     val useCells =
       if (nCells > 0) nCells
       else ivfAutoGeometry(vecs.where(col(embCol).isNotNull).count())._1
-    val useProbe =
-      if (nProbe > 0) nProbe
-      else math.min(useCells, math.max(4, useCells / 8))
+    val useProbe = if (nProbe > 0) nProbe else probeFor(useCells)
     // centroids first: their sample collect already pins the embedding
     // width, so the budget guard needs no extra dim-probe job — and it
     // still fires before any corpus-side work

@@ -168,27 +168,32 @@ object TextDedup {
     * rounded to 6 digits); documents shorter than `n` tokens have no
     * spans and no row (they cannot be span-level boilerplate).
     *
-    * Scale shape: spans ride as 8-byte `xxhash64(gram)` keys end-to-end
-    * — the duplicated-span set is computed by hash groupBy (partial-agg
-    * countDistinct), the per-doc tallies shuffle (doc_id, count) pairs,
-    * and the membership check is a semi join on the 8-byte key. No
-    * shuffle carries span text. The gram generator is shared with both
-    * duplicated-span renditions (one tokenization, one short-doc
-    * guard).
+    * Scale shape: ONE tokenize/explode pass (the dominant cost — the
+    * exploded span stream is corpus×spans sized), immediately collapsed
+    * to distinct (doc_id, gram-hash) pairs with an occurrence count by
+    * a partial-agg groupBy; everything after operates on that COMPACT
+    * frame — a count window over the 8-byte hash marks duplicated
+    * spans, a final doc-keyed groupBy tallies. No shuffle carries span
+    * text, and no branch re-runs the explode. The gram generator is
+    * shared with both duplicated-span renditions (one tokenization, one
+    * short-doc guard).
     */
   def boilerplateShare(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 20): DataFrame = {
-    val grams = spanGrams(docs, idCol, textCol, n)
+    // distinct (doc, span-hash) pairs + per-doc occurrence count, from
+    // a single explode
+    val gramCounts = spanGrams(docs, idCol, textCol, n)
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-    val dup = grams.groupBy("gh")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") > 1).select("gh")
-    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val dupPerDoc = grams.join(dup, Seq("gh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_spans"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+    // a span is duplicated when it appears in >1 documents = >1 rows of
+    // the compact frame share its hash
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    gramCounts
+      .withColumn("nd", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_spans"),
+        coalesce(sum(when(col("nd") > 1, col("c"))), lit(0L))
+          .as("n_dup_spans"))
       .withColumn("dup_share",
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }

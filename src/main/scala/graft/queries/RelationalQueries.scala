@@ -595,40 +595,11 @@ object RelationalQueries {
   // bucketed co-located join (shuffle elimination at the storage layer)
   // =================================================================
 
-  // registry of built table-name pairs: the counter-based tag is
-  // injective within the JVM (string-derived tags are not — sanitizing
-  // or hashing two dirs can collide and silently serve wrong data).
-  // WEAK session keys: a strong map would pin every stopped session's
-  // catalog forever in a long-lived JVM.
+  // session-scoped memoized builds — tag injectivity, weak session
+  // keys, per-JVM temp root, and dead-session sweeping all live in
+  // SessionScopedBuilds (shared with the q47/q48 media payloads)
   private val bucketedTables =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (String, String)]]()
-  private var bucketedTag = 0
-  // one temp root per JVM (no cross-process clobbering under a shared
-  // path). Growth bound: one copy per LIVE (session, dir) pair — every
-  // build first sweeps copies whose owning session has stopped, so a
-  // JVM that recreates sessions over the same dir (test suites,
-  // notebooks) reclaims the dead copies instead of accumulating them.
-  private lazy val bucketedBase =
-    java.nio.file.Files.createTempDirectory("graft_bucketed").toString
-  private val builtCopies = scala.collection.mutable.ListBuffer
-    .empty[(java.lang.ref.WeakReference[SparkSession], Seq[String])]
-
-  private def sweepDeadCopies(): Unit =
-    builtCopies.filterInPlace { case (ref, paths) =>
-      val owner = ref.get()
-      val dead = owner == null || owner.sparkContext.isStopped
-      if (dead) paths.foreach { p =>
-        try {
-          val root = java.nio.file.Paths.get(p)
-          if (java.nio.file.Files.exists(root))
-            java.nio.file.Files.walk(root)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case _: java.io.IOException => () } // best effort
-      }
-      !dead
-    }
+    new SessionScopedBuilds[(String, String)]("graft_bucketed")
 
   /** Materialize lineitem/orders as BUCKETED tables on the join key (8
     * buckets, sorted within) — the lakehouse pattern that makes the
@@ -636,42 +607,27 @@ object RelationalQueries {
     * production tables would be maintained bucketed at ingest.
     */
   def ensureBucketedTables(s: SparkSession, dir: String): (String, String) =
-    bucketedTables.synchronized {
-      val perSession = {
-        val existing = bucketedTables.get(s)
-        if (existing != null) existing
-        else {
-          val m = scala.collection.mutable.Map.empty[String, (String, String)]
-          bucketedTables.put(s, m)
-          m
-        }
+    bucketedTables.getOrBuild(s, dir) { tag =>
+      val lt = s"graft_lineitem_b$tag"
+      val ot = s"graft_orders_b$tag"
+      val base = bucketedTables.base
+      try {
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/$lt").saveAsTable(lt)
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/$ot").saveAsTable(ot)
+      } catch { case e: Throwable =>
+        // half-built pair: drop whatever registered so a retry (or the
+        // catalog) never sees an orphaned or partial table
+        try s.sql(s"DROP TABLE IF EXISTS $lt") catch { case _: Throwable => () }
+        try s.sql(s"DROP TABLE IF EXISTS $ot") catch { case _: Throwable => () }
+        throw e
       }
-      perSession.getOrElseUpdate(dir, {
-        sweepDeadCopies()
-        bucketedTag += 1
-        val tag = bucketedTag.toString
-        val lt = s"graft_lineitem_b$tag"
-        val ot = s"graft_orders_b$tag"
-        try {
-          t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
-            .write.mode("overwrite").format("parquet")
-            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-            .option("path", s"$bucketedBase/$lt").saveAsTable(lt)
-          t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-            .write.mode("overwrite").format("parquet")
-            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .option("path", s"$bucketedBase/$ot").saveAsTable(ot)
-        } catch { case e: Throwable =>
-          // half-built pair: drop whatever registered so a retry (or the
-          // catalog) never sees an orphaned or partial table
-          try s.sql(s"DROP TABLE IF EXISTS $lt") catch { case _: Throwable => () }
-          try s.sql(s"DROP TABLE IF EXISTS $ot") catch { case _: Throwable => () }
-          throw e
-        }
-        builtCopies += ((new java.lang.ref.WeakReference(s),
-          Seq(s"$bucketedBase/$lt", s"$bucketedBase/$ot")))
-        (lt, ot)
-      })
+      ((lt, ot), Seq(s"$base/$lt", s"$base/$ot"))
     }
 
   /** Fact-to-fact join WITHOUT a shuffle: both sides pre-bucketed on the
@@ -774,6 +730,36 @@ object RelationalQueries {
       |       count(CASE WHEN gram IN (SELECT gram FROM dup) THEN 1 END) AS n_dup_spans
       |FROM grams GROUP BY doc_id""".stripMargin
 
+  /** Small-N oracled rendition of the q53 LSH-pair path (VERDICT r4
+    * #8): with `nBits = 0` the sign-LSH degenerates to a single
+    * all-colliding bucket, so the SAME code path — bucket self-join,
+    * candidate dedup, exact `ner_cosine` verify — enumerates exactly
+    * the brute-force pair set, and the result gains a cross-engine SQL
+    * check (q53 itself cannot be oracled: its recall is < 1 by
+    * design). The id bound keeps the quadratic candidate set
+    * fixture-sized — this rendition exists for verification, q53 is
+    * the scale path. The raw-cosine prefilter is loosened half an ulp
+    * below the rounded threshold so the final ROUNDED filter (the q21
+    * convention both engines share) decides membership.
+    */
+  def q56_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Ann.lshCosinePairs(
+      t(s, dir, "embeddings").where(col("vec_id") < 300),
+      "vec_id", "embedding", minCos = 0.4 - 1e-6,
+      nBits = 0, nTables = 1, maxBucketSize = 1000000)
+      .where(col("cos") >= 0.4)
+
+  val q56_sql: String =
+    """SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE a.vec_id < 300 AND b.vec_id < 300
+      |  AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -807,5 +793,6 @@ object RelationalQueries {
     "q51_substring_dups" -> ((q51_substring_dups _, q51_sql)),
     "q52_substring_dups_hashed" -> ((q52_substring_dups_hashed _, q52_sql)),
     "q54_heavy_hitters" -> ((q54_heavy_hitters _, q54_sql)),
-    "q55_boilerplate" -> ((q55_boilerplate _, q55_sql)))
+    "q55_boilerplate" -> ((q55_boilerplate _, q55_sql)),
+    "q56_cosine_pairs_exact" -> ((q56_cosine_pairs_exact _, q56_sql)))
 }

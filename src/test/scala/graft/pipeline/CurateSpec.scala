@@ -13,7 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class CurateSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = "/root/testdata/sf0.001"
-  def available: Boolean = new java.io.File(s"$dir/documents.parquet").exists()
+  def available: Boolean =
+    new java.io.File(s"$dir/documents.parquet").exists() &&
+      new java.io.File(s"$dir/embeddings.parquet").exists()
 
   test("curate recipe: stage counts, exact-stage parity, committed output") {
     assume(available)
