@@ -120,4 +120,29 @@ class PlanHygieneSpec extends AnyFunSuite {
         s"shuffle key must be a fixed-width hash (VERDICT r2 #2):\n" +
         offenders.mkString("\n"))
   }
+
+  test("q55 boilerplate: no shuffle carries span text; one explode pass") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.StringType
+    val df = graft.queries.RelationalQueries.q55_boilerplate(spark, dir)
+    df.collect() // gate the FINAL adaptive plan
+    val nodes = PlanInspector.allNodes(df.queryExecution.executedPlan)
+    // span text must be hashed AT THE SCAN side: the exploded span
+    // stream is corpus×spans sized and a text-keyed exchange there is
+    // the r2 scale-killer class
+    val offenders = nodes.collect {
+      case s: ShuffleExchangeLike
+          if s.output.exists(_.dataType == StringType) => s
+    }
+    assert(offenders.isEmpty,
+      s"q55: ${offenders.size} shuffle(s) carry string columns:\n" +
+        offenders.mkString("\n"))
+    // the single-explode contract (review r5): the tokenize/explode is
+    // the dominant cost and must not re-run per aggregation branch
+    val explodes = nodes.count(_.getClass.getSimpleName == "GenerateExec")
+    assert(explodes == 1,
+      s"q55: expected exactly 1 explode pass, found $explodes:\n" +
+        s"${df.queryExecution.executedPlan}")
+  }
 }
