@@ -108,7 +108,10 @@ object Bench {
         // the variance evidence. The memoized q40-q43 pipeline is
         // RELEASED between trials — without that, trial 2's q40 would
         // time a cache read instead of the NER compute it is named for.
-        val qTrials = sys.env.getOrElse("SPARK_GRAFT_QUERY_TRIALS", "2").toInt
+        // default 3 = the protocol the committed baseline was measured
+        // under; a weaker default would make faithful reruns read as
+        // regressions on this 4x-swing host
+        val qTrials = sys.env.getOrElse("SPARK_GRAFT_QUERY_TRIALS", "3").toInt
         require(qTrials >= 1,
           s"SPARK_GRAFT_QUERY_TRIALS=$qTrials: at least one trial is " +
             "needed — zero would report every query as failed with a " +
@@ -128,7 +131,12 @@ object Bench {
           val ts = perTrial.map(_(i)._2).filter(_ >= 0)
           name -> (if (ts.isEmpty) -1.0 else ts.min)
         }
-        val totals = perTrial.map(_.map(_._2).filter(_ >= 0).sum)
+        // per-trial totals over queries that succeeded in EVERY trial —
+        // a query that failed in one trial only would otherwise make
+        // the totals compare unequal query sets and corrupt the
+        // published variance band
+        val okAll = names.indices.filter(i => perTrial.forall(_(i)._2 >= 0))
+        val totals = perTrial.map(tr => okAll.map(i => tr(i)._2).sum)
         // teardown: drop the memoized q40–q43 pipeline pins before the
         // session goes away (stop() would reclaim the blocks anyway, but
         // the cache map entry keyed on this session must not outlive it)
@@ -206,7 +214,7 @@ object Bench {
     md ++= "Why 8→full-width can regress on this host: see `BENCH/SCALING.md` "
     md ++= "(ListenerProfile per-stage task-time evidence at 8 vs 32 threads).\n\n"
     md ++= "## Per-query seconds (local[" + cpus + "], after untimed warmup)\n\n"
-    if (trialTotals.length > 1) {
+    if (trialTotals.length > 1 && trialTotals.min > 0) {
       val lo = trialTotals.min; val hi = trialTotals.max
       val band = (hi - lo) / lo * 100
       md ++= f"Best-of-${trialTotals.length} interleaved trials per query; "

@@ -41,7 +41,11 @@ private[queries] final class SessionScopedBuilds[V](label: String) {
             java.nio.file.Files.walk(root)
               .sorted(java.util.Comparator.reverseOrder())
               .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case _: java.io.IOException => () } // best effort
+        // best effort, NonFatal: Files.walk surfaces concurrent
+        // modification of the dead tree as UncheckedIOException (a
+        // RuntimeException) — cleanup of another session's garbage must
+        // never abort the CURRENT session's build
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
       !dead
     }
