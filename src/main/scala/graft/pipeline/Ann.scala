@@ -350,26 +350,86 @@ object Ann {
   private def probeFor(nCells: Int): Int =
     math.min(nCells, math.max(4, nCells / 8))
 
+  /** Persist a trained quantizer. A production pipeline trains the
+    * coarse quantizer ONCE (a driver-side k-means over a bounded
+    * sample) and reuses it across every indexing/search job — and MUST
+    * reuse it bit-exactly: re-deriving "the same" centroids on another
+    * JVM risks last-ulp drift, and a vector indexed under one quantizer
+    * but probed under another silently loses recall at cell borders.
+    * Floats are therefore serialized as IEEE-754 bit patterns (hex),
+    * not decimal strings; the write is atomic (temp + rename) through
+    * the Hadoop FS API, so any scheme Spark writes to works.
+    */
+  def saveCentroids(spark: SparkSession, cents: Array[Array[Float]],
+                    path: String): Unit = {
+    require(cents.nonEmpty && cents(0).nonEmpty, "empty quantizer")
+    require(cents.forall(_.length == cents(0).length),
+      "ragged centroid matrix")
+    val body = cents.map(_.map(f =>
+        Integer.toHexString(java.lang.Float.floatToIntBits(f)))
+        .mkString("[\"", "\",\"", "\"]"))
+      .mkString(",")
+    val json = s"""{"format":"graft-ivf-centroids","version":1,""" +
+      s""""n_cells":${cents.length},"dim":${cents(0).length},""" +
+      s""""cells_bits":[$body]}"""
+    graft.io.TableIO.atomicWrite(path, json,
+      spark.sessionState.newHadoopConf())
+  }
+
+  /** Load a quantizer written by [[saveCentroids]] — bit-exact, with
+    * loud failures on wrong format or a corrupt matrix (a silently
+    * truncated quantizer would mis-assign every vector, not error).
+    */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    val json = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    require(json.contains("\"format\":\"graft-ivf-centroids\""),
+      s"$path is not a graft IVF quantizer file")
+    val header = """"n_cells":(\d+),"dim":(\d+)""".r
+    val (nCells, dim) = header.findFirstMatchIn(json) match {
+      case Some(m) => (m.group(1).toInt, m.group(2).toInt)
+      case None => throw new IllegalArgumentException(
+        s"$path: quantizer header missing n_cells/dim")
+    }
+    val cells = """\["[0-9a-f",]+"\]""".r.findAllIn(json).map { cell =>
+      cell.stripPrefix("[\"").stripSuffix("\"]").split("\",\"")
+        .map(h => java.lang.Float.intBitsToFloat(
+          java.lang.Integer.parseUnsignedInt(h, 16)))
+    }.toArray
+    require(cells.length == nCells && cells.forall(_.length == dim),
+      s"$path: corrupt quantizer — header says ${nCells}x$dim, body has " +
+        s"${cells.length} cells of sizes ${cells.map(_.length).distinct.mkString(",")}")
+    cells
+  }
+
   /** IVF search: assign every vector to its nearest centroid; probes
     * search their `nProbe` nearest cells (corpus-side cost unchanged,
     * probe-side fans out nProbe-fold). Defaults (`nCells`/`nProbe`
     * ≤ 0) resolve via [[ivfAutoGeometry]] — one partial-agg count job,
-    * paid only in auto mode.
+    * paid only in auto mode. Pass `centroids` (e.g. from
+    * [[loadCentroids]]) to reuse a quantizer trained by an earlier
+    * job — then no sample, no k-means, and no count job run at all,
+    * and `nCells` is ignored in favor of the quantizer's own size.
     */
   def ivfNeighbors(vecs: DataFrame, idCol: String, embCol: String,
                    probePred: Column, k: Int = 3, nCells: Int = -1,
                    nProbe: Int = -1, sampleN: Int = DefaultSampleN,
                    seed: Long = 4321L,
+                   centroids: Option[Array[Array[Float]]] = None,
                    maxProbeBytes: Long = MaxProbeBroadcastBytes): DataFrame = {
-    val useCells =
-      if (nCells > 0) nCells
-      else ivfAutoGeometry(vecs.where(col(embCol).isNotNull).count())._1
-    val useProbe = if (nProbe > 0) nProbe else probeFor(useCells)
     // centroids first: their sample collect already pins the embedding
     // width, so the budget guard needs no extra dim-probe job — and it
     // still fires before any corpus-side work
-    val cents = ivfCentroids(vecs, idCol, embCol, useCells, sampleN,
-      seed = seed)
+    val cents = centroids.getOrElse {
+      val useCells =
+        if (nCells > 0) nCells
+        else ivfAutoGeometry(vecs.where(col(embCol).isNotNull).count())._1
+      ivfCentroids(vecs, idCol, embCol, useCells, sampleN, seed = seed)
+    }
+    val useProbe = if (nProbe > 0) nProbe else probeFor(cents.length)
     guardProbeSize(vecs, probePred, embCol, cents(0).length, useProbe,
       maxProbeBytes)
     // corpus-side cell assignment is the native codegen

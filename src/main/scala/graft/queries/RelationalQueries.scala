@@ -760,6 +760,35 @@ object RelationalQueries {
       |            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
       |             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4""".stripMargin
 
+  /** Grouped EXACT percentiles of the event value distribution — the
+    * latency/size-distribution report every pipeline dashboard needs.
+    * Spark's `percentile` aggregate buffers a count-map of DISTINCT
+    * values per group (not all rows), so memory is bounded by per-group
+    * value cardinality — fine for metric-like doubles at any row count,
+    * but a group with unbounded distinct values (raw timestamps) should
+    * use `approx_percentile` (t-digest, fixed memory) instead; the
+    * rows-only q-gate for that path lives in QueriesSpec (exact-vs-
+    * approx agreement within the configured accuracy). Both engines
+    * define the quantile as linear interpolation on the sorted values,
+    * so the oracle holds to 6 digits.
+    */
+  def q57_value_percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95D)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99D)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+
+  val q57_sql: String =
+    """SELECT event_type,
+      |       CAST(round(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+      |       CAST(round(quantile_cont(value, 0.95), 6) AS DOUBLE) AS p95,
+      |       CAST(round(quantile_cont(value, 0.99), 6) AS DOUBLE) AS p99,
+      |       count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -794,5 +823,6 @@ object RelationalQueries {
     "q52_substring_dups_hashed" -> ((q52_substring_dups_hashed _, q52_sql)),
     "q54_heavy_hitters" -> ((q54_heavy_hitters _, q54_sql)),
     "q55_boilerplate" -> ((q55_boilerplate _, q55_sql)),
-    "q56_cosine_pairs_exact" -> ((q56_cosine_pairs_exact _, q56_sql)))
+    "q56_cosine_pairs_exact" -> ((q56_cosine_pairs_exact _, q56_sql)),
+    "q57_value_percentiles" -> ((q57_value_percentiles _, q57_sql)))
 }
