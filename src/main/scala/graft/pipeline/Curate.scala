@@ -39,9 +39,13 @@ import org.apache.spark.sql.functions._
   *
   * Stage boundaries at real scale: each arrow above is where a
   * production run would [[TableIO.writeResumable]] a checkpoint and
-  * resume after failure; this composition keeps the whole chain in one
-  * lineage (fine at test scale) and persists only the survivor frame
-  * that three consumers share.
+  * resume after failure. Within one run, the composition holds a
+  * ROLLING persist: each stage's survivor frame is cached until the
+  * next stage's count has materialized, then released — so every
+  * source scan and dedup shuffle executes once, instead of stage N's
+  * count re-running stages 1..N-1 (quadratic full scans at 100 TB).
+  * At most two stage frames are pinned at a time (MEMORY_AND_DISK —
+  * spills rather than OOMs when executors are tight).
   */
 object Curate {
 
@@ -89,6 +93,21 @@ object Curate {
       s"maxDupSpanShare must be in (0, 1]: $maxDupSpanShare")
     val nInput = docs.count()
 
+    // rolling persist (see scaladoc): pin this stage's survivors, force
+    // them with the stage count, and only then release the PREVIOUS
+    // stage's pin — every downstream consumer (the next stage's filter
+    // derivation AND its anti-join left side) reads the cache instead
+    // of re-running the chain
+    def pinAndCount(df: DataFrame, prev: Option[DataFrame]): Long = {
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = df.count()
+      // `prev` can BE `df` (no embedding table -> stage 4 is stage 3):
+      // releasing it would drop the pin the final consumers rely on
+      prev.filter(_ ne df).foreach(_.unpersist())
+      n
+    }
+
     // 1. exact dedup: min-id exemplar per 128-bit content hash (md5 —
     // an 8-byte hash collides at billions of docs; q16's convention).
     // The groupBy ships (hash, id) pairs with map-side combine; the
@@ -97,20 +116,20 @@ object Curate {
       .groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as(idCol)).select(idCol)
     val afterExact = docs.join(keepExact, Seq(idCol), "left_semi")
-    val nAfterExact = afterExact.count()
+    val nAfterExact = pinAndCount(afterExact, None)
 
     // 2. boilerplate: doc-level substring-dedup action
     val boiler = TextDedup.boilerplateShare(afterExact, idCol, textCol, spanN)
       .where(col("dup_share") >= maxDupSpanShare)
       .select(col("doc_id").as(idCol))
     val afterBoiler = afterExact.join(boiler, Seq(idCol), "left_anti")
-    val nAfterBoiler = afterBoiler.count()
+    val nAfterBoiler = pinAndCount(afterBoiler, Some(afterExact))
 
     // 3. MinHash near-dup pairs -> greedy exemplar-keep
     val mhDrop = TextDedup.minhashPairs(afterBoiler, idCol, textCol)
       .select(col("d2").as(idCol)).distinct()
     val afterMinhash = afterBoiler.join(mhDrop, Seq(idCol), "left_anti")
-    val nAfterMinhash = afterMinhash.count()
+    val nAfterMinhash = pinAndCount(afterMinhash, Some(afterBoiler))
 
     // 4. embedding near-dup pairs (when an embedding table exists):
     // restrict vectors to the SURVIVORS first — pairs among already-
@@ -125,11 +144,10 @@ object Curate {
         afterMinhash.join(drop, Seq(idCol), "left_anti")
       case None => afterMinhash
     }
-    // three consumers share the survivor frame (count, hot keys, write)
-    // — persist it or the whole dedup chain runs three times
-    afterEmb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nAfterEmbedding = afterEmb.count()
+      // final pin serves three consumers: the count, the hot-key scan,
+      // and the salted write
+      val nAfterEmbedding = pinAndCount(afterEmb, Some(afterMinhash))
 
       // 5. hot keys over the WRITE key: the detection a salting
       // pipeline runs before choosing its fan-out. The salt count is

@@ -26,8 +26,18 @@ class CurateSpec extends AnyFunSuite {
     // minCos 0.4: the uniform-random testdata holds ~66 true pairs at
     // this threshold (the q53 setting); the production default 0.95
     // would leave stage 4 vacuous on this fixture
+    val pinsBefore = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
     val r = Curate.run(spark, docs, "doc_id", "text", emb, "vec_id",
       "embedding", out, hotKeyCol = "source", minCos = 0.4)
+    // the rolling persist must release every stage pin it took — a
+    // leaked pin per run would accumulate across a long-lived session.
+    // unpersist is async; poll briefly before declaring a leak.
+    def leakedNow = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet --
+      pinsBefore
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (leakedNow.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(200)
+    assert(leakedNow.isEmpty, s"curate leaked storage pins: $leakedNow")
 
     assert(r.nInput == docs.count())
     assert(r.nInput >= r.nAfterExact &&
