@@ -91,6 +91,58 @@ object StreamingNer {
     }.filter(_._1).map(r => (r._2, r._3, r._4))
   }
 
+  /** Streaming NEAR-duplicate suppression — the ingest-time rendition
+    * of the batch SimHash grouping (q45): every document is
+    * fingerprinted with [[graft.pipeline.TextDedup.simhash64]] (bit-
+    * parity with the batch pipeline, pinned in LibrarySurfaceSpec — a
+    * doc suppressed at ingest must also collapse in a batch pass and
+    * vice versa), state is keyed by the fingerprint, the FIRST document
+    * of each fingerprint is emitted as the canonical exemplar and later
+    * colliders are suppressed with a running collision count in state.
+    *
+    * Same required-TTL contract as [[dedupStream]]: `Some(ttl)` bounds
+    * state at one entry per fingerprint seen within the horizon (a
+    * re-occurrence after eviction re-emits — the windowed trade-off);
+    * `None` is exact and unbounded, sane only for bounded-cardinality
+    * inputs. Output: (doc_id, text, simhash, n_seen_so_far).
+    */
+  def nearDupStream(spark: SparkSession,
+                    docs: Dataset[(Long, String)], bits: Int = 32,
+                    stateTtl: Option[scala.concurrent.duration.FiniteDuration])
+      : Dataset[(Long, String, Long, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val keyed = docs.map { case (id, text) =>
+      (graft.pipeline.TextDedup.simhash64(text, bits), id, text)
+    }.groupByKey(_._1)
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    val ttlMs = stateTtl.map(_.toMillis)
+    keyed.mapGroupsWithState(timeoutConf) {
+      (fp: Long, rows: Iterator[(Long, Long, String)],
+       state: GroupState[Long]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          (false, 0L, "", 0L, 0L)
+        } else {
+          // single pass, never buffering texts (see dedupStream — a
+          // boilerplate fingerprint can repeat millions of times/batch)
+          var n = 0L
+          var minId = Long.MaxValue
+          var minText = ""
+          rows.foreach { case (_, id, text) =>
+            n += 1
+            if (id < minId) { minId = id; minText = text }
+          }
+          val seenBefore = state.getOption.getOrElse(0L)
+          state.update(seenBefore + n)
+          ttlMs.foreach(state.setTimeoutDuration)
+          if (seenBefore == 0L) (true, minId, minText, fp, n)
+          else (false, 0L, "", fp, seenBefore + n)
+        }
+    }.filter(_._1).map(r => (r._2, r._3, r._4, r._5))
+  }
+
   /** Event-time windowed mention counts with a watermark: tumbling
     * 10-second windows per NE type, late data bounded at 30 seconds.
     * Input: streaming (ts timestamp, line string).

@@ -471,4 +471,53 @@ class StreamingDedupSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
     }
   }
+
+  test("streaming near-dup suppresses SimHash colliders, first-wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    // SimHash is a bag-of-words fingerprint (bit votes are
+    // order-independent), so a token PERMUTATION — the classic
+    // scrambled-boilerplate near-dup — collides by construction
+    val near = base.split(" ").reverse.mkString(" ")
+    val far = "completely different content with no overlap whatsoever here"
+    val fp = (s: String) => TextDedup.simhash64(s, 32)
+    assert(fp(base) == fp(near), "permutation must collide (bag of words)")
+    assume(fp(base) != fp(far),
+      "fixture drifted: unrelated doc collides at 32 bits")
+    val input = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingNer
+      .nearDupStream(spark, input.toDS(), bits = 32, stateTtl = None)
+      .toDF("doc_id", "text", "simhash", "n_seen")
+    val q = out.writeStream.format("memory").queryName("neardup_t")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, base), (2L, far))
+      q.processAllAvailable()
+      input.addData((3L, near)) // collides with base -> suppressed
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, simhash FROM neardup_t ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, fp(base)), (2L, fp(far))),
+        s"expected exemplars 1 and 2 only, got $rows")
+    } finally q.stop()
+  }
+
+  test("simhash64 kernel is bit-parity with the batch SimHash pipeline") {
+    import spark.implicits._
+    // adversarial token shapes: empty doc, double spaces (empty tokens),
+    // trailing space, unicode, single token
+    val texts = Seq("", "a  b", "trailing space ", "żółć jaźń", "one",
+      "the quick brown fox jumps over the lazy dog")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val batch = TextDedup.simhash(df, "doc_id", "text", bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val kernel = TextDedup.simhash64(t, 32)
+      assert(batch(i.toLong) == kernel,
+        s"doc $i (${t.take(20)}...): batch ${batch(i.toLong)} != " +
+          s"kernel $kernel — streaming and batch fingerprints diverged")
+    }
+  }
 }
