@@ -88,7 +88,18 @@ object KgMain {
       val bad = TableIO.verifyCommits(spark, s"$outDir/triples", 16)
       require(bad.isEmpty,
         s"manifest audit FAILED: buckets $bad disagree with written data")
-      println(s"""{"verify":"ok","buckets_audited":16}""")
+      // compaction exercise, same opt-in: collapse the salted write's
+      // per-bucket file fan-out and prove (via the split-independent
+      // checksum) the table is byte-equivalent after — maintenance a
+      // long-lived production table runs on a schedule
+      val filesAfter = (0 until 16)
+        .map(k => TableIO.compactBucket(spark, s"$outDir/triples", 16, k))
+        .sum
+      val bad2 = TableIO.verifyCommits(spark, s"$outDir/triples", 16)
+      require(bad2.isEmpty,
+        s"post-compaction audit FAILED: buckets $bad2 disagree")
+      println(s"""{"verify":"ok","buckets_audited":16,""" +
+        s""""files_after_compaction":$filesAfter}""")
     }
 
     // lineage + stage counters persisted beside the commit manifests

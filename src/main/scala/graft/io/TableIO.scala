@@ -402,9 +402,16 @@ object TableIO {
     * cross-check, and the core of the `verifyCommits` audit.
     */
   private def recomputeBucket(spark: SparkSession, dir: String,
-                              k: Int): BucketCommit = {
+                              k: Int): BucketCommit =
+    recomputePath(spark, s"$dir/data/_bucket=$k", k)
+
+  /** (rows, checksum) of an arbitrary parquet directory under the
+    * manifest's hash convention — shared by the cross-check fallback,
+    * the audit, and compaction's pre-swap verification.
+    */
+  private def recomputePath(spark: SparkSession, path: String,
+                            k: Int): BucketCommit = {
     val conf = spark.sessionState.newHadoopConf()
-    val path = s"$dir/data/_bucket=$k"
     if (!hExists(path, conf)) BucketCommit(k, 0L, 0L)
     else {
       val written = spark.read.parquet(path)
@@ -415,6 +422,83 @@ object TableIO {
         .collect()(0)
       BucketCommit(k, agg.getLong(0), agg.getLong(1))
     }
+  }
+
+  /** Compact one COMMITTED bucket's parquet files down to
+    * `targetFiles` — the small-file maintenance a long-lived resumable
+    * table needs: the salted write deliberately fans each bucket out to
+    * `salts` tasks (skew defense), and a resume-heavy history multiplies
+    * that, so scan throughput decays with file count over time.
+    *
+    * Verified, not trusted: the manifest's XOR-fold checksum is
+    * file-split-INDEPENDENT by construction (that invariance was chosen
+    * for exactly this), so the rewritten bucket must reproduce the
+    * exact committed (rows, checksum) BEFORE any original byte is
+    * touched — a rewrite that drops or mutates a row cannot swap in.
+    * The manifest itself is untouched: compaction changes layout, never
+    * content.
+    *
+    * Crash ordering: write tmp → verify tmp → rename original to
+    * `.precompact-k` → rename tmp into place → delete backup. A crash
+    * between the renames leaves the bucket directory missing with the
+    * backup present: the next `compactBucket` call repairs it first,
+    * and `readCommitted` in the window fails LOUDLY (manifest rows > 0,
+    * directory missing) rather than serving a short table.
+    *
+    * Returns the number of data files after compaction.
+    */
+  def compactBucket(spark: SparkSession, dir: String, buckets: Int,
+                    k: Int, targetFiles: Int = 1): Int = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
+    val conf = spark.sessionState.newHadoopConf()
+    val bucketPath = new HPath(s"$dir/data/_bucket=$k")
+    // backup lives INSIDE data/ but dot-hidden: only ever touched by
+    // Hadoop-FS ops, and partition discovery skips hidden dirs so a raw
+    // reader never sees duplicate rows mid-swap. The rewrite tmp lives
+    // OUTSIDE data/ entirely — Spark must read it back for the pre-swap
+    // verification, and file sources filter dot-prefixed paths (the
+    // "All paths were ignored" warning class), so it needs a visible
+    // name in a namespace no table reader ever scans.
+    val backup = new HPath(s"$dir/data/.precompact-$k")
+    val tmp = new HPath(s"$dir/_compact_tmp/bucket-$k")
+    val fs = bucketPath.getFileSystem(conf)
+    // repair a crashed previous compaction before anything else
+    if (!fs.exists(bucketPath) && fs.exists(backup)) {
+      System.err.println(s"[TableIO] bucket $k: restoring interrupted " +
+        s"compaction backup $backup")
+      require(fs.rename(backup, bucketPath),
+        s"could not restore $backup to $bucketPath")
+    }
+    val committed = readCommits(dir, buckets, conf).find(_.bucket == k)
+      .getOrElse(throw new IllegalStateException(
+        s"bucket $k of $dir has no commit manifest — compaction only " +
+          "operates on committed buckets (resume owns uncommitted state)"))
+    require(readLayout(dir, k, conf) == LayoutVersion,
+      s"bucket $k committed under a different layout — refusing to compact")
+    if (committed.rows == 0L) return 0 // zero-row bucket: no directory
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(bucketPath.toString)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val rewritten = recomputePath(spark, tmp.toString, k)
+    if (rewritten.rows != committed.rows ||
+        rewritten.checksum != committed.checksum) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"bucket $k compaction produced (rows=${rewritten.rows}, " +
+          s"checksum=${rewritten.checksum}) but the manifest committed " +
+          s"(rows=${committed.rows}, checksum=${committed.checksum}) — " +
+          "refusing to swap a rewrite that is not content-identical; " +
+          "original files untouched")
+    }
+    require(fs.rename(bucketPath, backup),
+      s"could not move $bucketPath aside for swap")
+    require(fs.rename(tmp, bucketPath),
+      s"could not move compacted files into place — original preserved " +
+        s"at $backup; the next compactBucket call will restore it")
+    fs.delete(backup, true)
+    fs.listStatus(bucketPath)
+      .count(_.getPath.getName.endsWith(".parquet"))
   }
 
   /** Committed-snapshot read — the consumer-side half of the resumable

@@ -371,6 +371,84 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("missing"), ex.getMessage)
   }
 
+  test("bucket compaction: content-identical swap, refusal on mismatch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_compact").toString
+    val df = (1 to 400).map(i => (s"repo${i % 7}", s"path$i"))
+      .toDF("src_repo", "src_path")
+    TableIO.writeResumable(df, s"$dir/t", 4, Seq("src_repo"))
+    val before = TableIO.readCommitted(spark, s"$dir/t", 4)
+      .collect().map(_.toString).sorted.toSeq
+    // the salted write fans each bucket to `salts` files — compaction's
+    // reason to exist; pick a bucket that actually has several
+    val conf = spark.sessionState.newHadoopConf()
+    val k = (0 until 4).find { b =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/t/data/_bucket=$b")
+      val fs = p.getFileSystem(conf)
+      fs.exists(p) &&
+        fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) > 1
+    }.getOrElse(fail("fixture produced no multi-file bucket"))
+    val nAfter = TableIO.compactBucket(spark, s"$dir/t", 4, k)
+    assert(nAfter == 1, s"expected 1 file after compaction, got $nAfter")
+    // content identical through the committed-snapshot read; the audit
+    // agrees with the untouched manifest
+    val after = TableIO.readCommitted(spark, s"$dir/t", 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction changed table content")
+    assert(TableIO.verifyCommits(spark, s"$dir/t", 4).isEmpty,
+      "audit disagrees with manifest after compaction")
+    // a second compaction is a no-op-equivalent (already 1 file)
+    assert(TableIO.compactBucket(spark, s"$dir/t", 4, k) == 1)
+
+    // refusal: a manifest whose checksum cannot be reproduced must not
+    // swap — originals stay untouched
+    // rewrite through the same Hadoop-FS path the writer uses — a raw
+    // nio write would orphan LocalFileSystem's .crc sidecar
+    val commitFile = s"$dir/t/_commits/bucket-$k.json"
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(commitFile)), "UTF-8")
+    val tampered = json.replaceFirst("\"checksum\":-?\\d+",
+      "\"checksum\":123456789")
+    assert(tampered != json, "tamper fixture failed to change checksum")
+    TableIO.atomicWrite(commitFile, tampered, conf)
+    val ex = intercept[IllegalStateException] {
+      TableIO.compactBucket(spark, s"$dir/t", 4, k)
+    }
+    assert(ex.getMessage.contains("content-identical"), ex.getMessage)
+    // originals untouched by the refused compaction
+    val stillThere = TableIO.readCommitted(spark, s"$dir/t", 4).count()
+    assert(stillThere == before.length.toLong)
+  }
+
+  test("bucket compaction repairs a crash between the swap renames") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_crash").toString
+    val df = (1 to 200).map(i => (s"repo${i % 5}", s"path$i"))
+      .toDF("src_repo", "src_path")
+    TableIO.writeResumable(df, s"$dir/t", 4, Seq("src_repo"))
+    val conf = spark.sessionState.newHadoopConf()
+    val k = (0 until 4).find { b =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/t/data/_bucket=$b")
+      p.getFileSystem(conf).exists(p)
+    }.get
+    val before = TableIO.readCommitted(spark, s"$dir/t", 4).count()
+    // simulate the crash window: original moved aside, replacement not
+    // yet in place — the bucket directory is GONE with a backup present
+    val bucketPath = new org.apache.hadoop.fs.Path(s"$dir/t/data/_bucket=$k")
+    val backup = new org.apache.hadoop.fs.Path(s"$dir/t/data/.precompact-$k")
+    val fs = bucketPath.getFileSystem(conf)
+    require(fs.rename(bucketPath, backup))
+    // in the window, the committed read fails LOUDLY (no short table)
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.readCommitted(spark, s"$dir/t", 4).count()
+    }
+    assert(ex.getMessage.contains("missing"), ex.getMessage)
+    // the next compaction restores the backup, then compacts normally
+    assert(TableIO.compactBucket(spark, s"$dir/t", 4, k) == 1)
+    assert(TableIO.readCommitted(spark, s"$dir/t", 4).count() == before)
+    assert(!fs.exists(backup), "backup must be reclaimed after the swap")
+  }
+
   test("pipeline cache release unpersists every pinned frame") {
     import graft.queries.PipelineQueries
     val dir = "/root/testdata/sf0.001"
