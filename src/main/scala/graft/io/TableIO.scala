@@ -462,12 +462,23 @@ object TableIO {
     val backup = new HPath(s"$dir/data/.precompact-$k")
     val tmp = new HPath(s"$dir/_compact_tmp/bucket-$k")
     val fs = bucketPath.getFileSystem(conf)
-    // repair a crashed previous compaction before anything else
+    // repair a crashed previous compaction before anything else — BOTH
+    // crash windows:
+    //  - bucket dir missing, backup present: crash BETWEEN the swap
+    //    renames — the backup is the live data; restore it.
+    //  - bucket dir present AND backup present: crash AFTER the swap
+    //    but before the backup delete — the bucket dir is already the
+    //    compacted copy; reclaim the stale backup (leaving it would
+    //    make the rename below move the live dir INTO it).
     if (!fs.exists(bucketPath) && fs.exists(backup)) {
       System.err.println(s"[TableIO] bucket $k: restoring interrupted " +
         s"compaction backup $backup")
       require(fs.rename(backup, bucketPath),
         s"could not restore $backup to $bucketPath")
+    } else if (fs.exists(bucketPath) && fs.exists(backup)) {
+      System.err.println(s"[TableIO] bucket $k: reclaiming stale " +
+        s"compaction backup $backup (swap had completed)")
+      fs.delete(backup, true)
     }
     val committed = readCommits(dir, buckets, conf).find(_.bucket == k)
       .getOrElse(throw new IllegalStateException(
@@ -476,6 +487,13 @@ object TableIO {
     require(readLayout(dir, k, conf) == LayoutVersion,
       s"bucket $k committed under a different layout — refusing to compact")
     if (committed.rows == 0L) return 0 // zero-row bucket: no directory
+    // early exit: an already-compact bucket must cost a metadata listing,
+    // not a full rewrite — scheduled maintenance over a mostly-compact
+    // table would otherwise re-read and re-write the whole table per
+    // cycle for zero layout change
+    val existing = fs.listStatus(bucketPath)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    if (existing <= targetFiles) return existing
     if (fs.exists(tmp)) fs.delete(tmp, true)
     spark.read.parquet(bucketPath.toString)
       .repartition(targetFiles)

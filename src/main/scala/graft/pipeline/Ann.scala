@@ -429,6 +429,18 @@ object Ann {
         else ivfAutoGeometry(vecs.where(col(embCol).isNotNull).count())._1
       ivfCentroids(vecs, idCol, embCol, useCells, sampleN, seed = seed)
     }
+    // a PRELOADED quantizer must match the data's embedding width: the
+    // distance kernels loop over min(len, len), so a wrong-model
+    // quantizer would silently score truncated prefixes and bleed
+    // recall instead of erroring — the exact failure save/load exists
+    // to prevent
+    centroids.foreach { cs =>
+      require(cs.nonEmpty && cs(0).nonEmpty, "empty preloaded quantizer")
+      val dataDim = resolveDim(vecs, embCol, -1)
+      require(cs(0).length == dataDim,
+        s"preloaded quantizer dimension ${cs(0).length} != data " +
+          s"embedding dimension $dataDim — wrong quantizer for this table")
+    }
     val useProbe = if (nProbe > 0) nProbe else probeFor(cents.length)
     guardProbeSize(vecs, probePred, embCol, cents(0).length, useProbe,
       maxProbeBytes)

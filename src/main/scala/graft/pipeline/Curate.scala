@@ -98,16 +98,27 @@ object Curate {
     // stage's pin — every downstream consumer (the next stage's filter
     // derivation AND its anti-join left side) reads the cache instead
     // of re-running the chain
+    // every frame currently pinned — the outer finally releases
+    // whatever is left, so a stage that THROWS (wrong embedding column,
+    // a failed count) cannot strand its predecessors' pins for the
+    // session's lifetime
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def pinAndCount(df: DataFrame, prev: Option[DataFrame]): Long = {
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += df
+      }
       val n = df.count()
       // `prev` can BE `df` (no embedding table -> stage 4 is stage 3):
       // releasing it would drop the pin the final consumers rely on
-      prev.filter(_ ne df).foreach(_.unpersist())
+      prev.filter(_ ne df).foreach { p =>
+        p.unpersist()
+        pinned.filterInPlace(_ ne p)
+      }
       n
     }
 
+    try {
     // 1. exact dedup: min-id exemplar per 128-bit content hash (md5 —
     // an 8-byte hash collides at billions of docs; q16's convention).
     // The groupBy ships (hash, id) pairs with map-side combine; the
@@ -144,7 +155,6 @@ object Curate {
         afterMinhash.join(drop, Seq(idCol), "left_anti")
       case None => afterMinhash
     }
-    try {
       // final pin serves three consumers: the count, the hot-key scan,
       // and the salted write
       val nAfterEmbedding = pinAndCount(afterEmb, Some(afterMinhash))
@@ -168,6 +178,6 @@ object Curate {
         Seq(hotKeyCol), lineage = Map("recipe" -> "curate"), salts = salts)
       Report(nInput, nAfterExact, nAfterBoiler, nAfterMinhash,
         nAfterEmbedding, hot, salts, commits.map(_.rows).sum)
-    } finally afterEmb.unpersist()
+    } finally pinned.foreach(_.unpersist())
   }
 }

@@ -220,7 +220,7 @@ object TextDedup {
   }
 
   /** Pure-JVM SimHash of one document — BIT-PARITY with the batch
-    * [[simhash]] pipeline (pinned in LibrarySurfaceSpec): same
+    * [[simhash]] pipeline (pinned in StreamingDedupSpec (CoverageSpec.scala)): same
     * tokenization (`split(text, " ")` keeping empty tokens, as Spark's
     * `split` does), same per-token hash (Catalyst's XXH64 with Spark's
     * seed 42 over UTF8 bytes), same majority-vote bit assembly. This is

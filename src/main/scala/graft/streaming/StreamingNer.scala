@@ -57,22 +57,51 @@ object StreamingNer {
                   stateTtl: Option[scala.concurrent.duration.FiniteDuration])
       : Dataset[(Long, String, Long)] = {
     import spark.implicits._
+    firstWinsStream[String](spark, docs, graft.core.Digests.md5Hex, stateTtl)
+      .map(r => (r._1, r._2, r._4))
+  }
+
+  /** The ONE first-wins keyed-state machine behind both dedup variants
+    * (exact by content hash, near by SimHash) — shared so the state
+    * semantics (TTL eviction, never-buffer-texts, min-id exemplar,
+    * explicit emission flag) cannot diverge between them. Output:
+    * (doc_id, text, fingerprint, n_seen) for each fingerprint's FIRST
+    * emission only.
+    *
+    * Invariants the body maintains:
+    *  - single pass over the micro-batch, never buffering texts (a
+    *    viral fingerprint may repeat millions of times per batch);
+    *  - emission via an explicit flag, not an in-band id sentinel
+    *    (which would silently swallow documents with negative ids);
+    *  - `stateTtl` is the caller's REQUIRED choice between bounded
+    *    state (eviction + re-emit) and exact unbounded semantics.
+    */
+  private def firstWinsStream[K](spark: SparkSession,
+      docs: Dataset[(Long, String)], fp: String => K,
+      stateTtl: Option[scala.concurrent.duration.FiniteDuration])(
+      implicit ek: org.apache.spark.sql.Encoder[K],
+      ekey: org.apache.spark.sql.Encoder[(K, Long, String)],
+      eraw: org.apache.spark.sql.Encoder[(Boolean, Long, String, K, Long)],
+      eout: org.apache.spark.sql.Encoder[(Long, String, K, Long)])
+      : Dataset[(Long, String, K, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    val keyed = docs.map { case (id, text) =>
-      (graft.core.Digests.md5Hex(text), id, text)
-    }.groupByKey(_._1)
+    // the Long STATE encoder; the K-containing row encoders come from
+    // the caller (spark.implicits cannot synthesize them for a type
+    // parameter, so they ride in as implicit params)
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    val keyed = docs.map { case (id, text) => (fp(text), id, text) }
+      .groupByKey(_._1)
     val timeoutConf = if (stateTtl.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     val ttlMs = stateTtl.map(_.toMillis)
+    val default = null.asInstanceOf[K]
     keyed.mapGroupsWithState(timeoutConf) {
-      (fp: String, rows: Iterator[(String, Long, String)],
-       state: GroupState[Long]) =>
+      (key: K, rows: Iterator[(K, Long, String)], state: GroupState[Long]) =>
         if (state.hasTimedOut) {
           state.remove() // evict idle fingerprint; no output row
-          (false, 0L, "", 0L)
+          (false, 0L, "", default, 0L)
         } else {
-          // single pass over the micro-batch: a viral fingerprint may
-          // repeat millions of times per batch — never buffer the texts
           var n = 0L
           var minId = Long.MaxValue
           var minText = ""
@@ -83,18 +112,16 @@ object StreamingNer {
           val seenBefore = state.getOption.getOrElse(0L)
           state.update(seenBefore + n)
           ttlMs.foreach(state.setTimeoutDuration)
-          // emission via an explicit flag — an in-band id sentinel would
-          // silently swallow documents with negative ids
-          if (seenBefore == 0L) (true, minId, minText, n)
-          else (false, 0L, "", seenBefore + n) // already emitted
+          if (seenBefore == 0L) (true, minId, minText, key, n)
+          else (false, 0L, "", default, seenBefore + n) // already emitted
         }
-    }.filter(_._1).map(r => (r._2, r._3, r._4))
+    }.filter(_._1).map(r => (r._2, r._3, r._4, r._5))
   }
 
   /** Streaming NEAR-duplicate suppression — the ingest-time rendition
     * of the batch SimHash grouping (q45): every document is
     * fingerprinted with [[graft.pipeline.TextDedup.simhash64]] (bit-
-    * parity with the batch pipeline, pinned in LibrarySurfaceSpec — a
+    * parity with the batch pipeline, pinned in StreamingDedupSpec (CoverageSpec.scala) — a
     * doc suppressed at ingest must also collapse in a batch pass and
     * vice versa), state is keyed by the fingerprint, the FIRST document
     * of each fingerprint is emitted as the canonical exemplar and later
@@ -111,36 +138,8 @@ object StreamingNer {
                     stateTtl: Option[scala.concurrent.duration.FiniteDuration])
       : Dataset[(Long, String, Long, Long)] = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    val keyed = docs.map { case (id, text) =>
-      (graft.pipeline.TextDedup.simhash64(text, bits), id, text)
-    }.groupByKey(_._1)
-    val timeoutConf = if (stateTtl.isDefined)
-      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
-    val ttlMs = stateTtl.map(_.toMillis)
-    keyed.mapGroupsWithState(timeoutConf) {
-      (fp: Long, rows: Iterator[(Long, Long, String)],
-       state: GroupState[Long]) =>
-        if (state.hasTimedOut) {
-          state.remove()
-          (false, 0L, "", 0L, 0L)
-        } else {
-          // single pass, never buffering texts (see dedupStream — a
-          // boilerplate fingerprint can repeat millions of times/batch)
-          var n = 0L
-          var minId = Long.MaxValue
-          var minText = ""
-          rows.foreach { case (_, id, text) =>
-            n += 1
-            if (id < minId) { minId = id; minText = text }
-          }
-          val seenBefore = state.getOption.getOrElse(0L)
-          state.update(seenBefore + n)
-          ttlMs.foreach(state.setTimeoutDuration)
-          if (seenBefore == 0L) (true, minId, minText, fp, n)
-          else (false, 0L, "", fp, seenBefore + n)
-        }
-    }.filter(_._1).map(r => (r._2, r._3, r._4, r._5))
+    firstWinsStream[Long](spark, docs,
+      graft.pipeline.TextDedup.simhash64(_, bits), stateTtl)
   }
 
   /** Event-time windowed mention counts with a watermark: tumbling

@@ -388,22 +388,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       fs.exists(p) &&
         fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) > 1
     }.getOrElse(fail("fixture produced no multi-file bucket"))
-    val nAfter = TableIO.compactBucket(spark, s"$dir/t", 4, k)
-    assert(nAfter == 1, s"expected 1 file after compaction, got $nAfter")
-    // content identical through the committed-snapshot read; the audit
-    // agrees with the untouched manifest
-    val after = TableIO.readCommitted(spark, s"$dir/t", 4)
-      .collect().map(_.toString).sorted.toSeq
-    assert(after == before, "compaction changed table content")
-    assert(TableIO.verifyCommits(spark, s"$dir/t", 4).isEmpty,
-      "audit disagrees with manifest after compaction")
-    // a second compaction is a no-op-equivalent (already 1 file)
-    assert(TableIO.compactBucket(spark, s"$dir/t", 4, k) == 1)
-
-    // refusal: a manifest whose checksum cannot be reproduced must not
-    // swap — originals stay untouched
-    // rewrite through the same Hadoop-FS path the writer uses — a raw
-    // nio write would orphan LocalFileSystem's .crc sidecar
+    // refusal FIRST, while the bucket still has multiple files (the
+    // early exit would otherwise skip verification entirely): a
+    // manifest whose checksum cannot be reproduced must not swap —
+    // originals stay untouched. Rewrite through the same Hadoop-FS
+    // path the writer uses — a raw nio write would orphan
+    // LocalFileSystem's .crc sidecar.
     val commitFile = s"$dir/t/_commits/bucket-$k.json"
     val json = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(commitFile)), "UTF-8")
@@ -416,8 +406,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage.contains("content-identical"), ex.getMessage)
     // originals untouched by the refused compaction
-    val stillThere = TableIO.readCommitted(spark, s"$dir/t", 4).count()
-    assert(stillThere == before.length.toLong)
+    assert(TableIO.readCommitted(spark, s"$dir/t", 4).count() ==
+      before.length.toLong)
+    TableIO.atomicWrite(commitFile, json, conf) // restore the manifest
+
+    val nAfter = TableIO.compactBucket(spark, s"$dir/t", 4, k)
+    assert(nAfter == 1, s"expected 1 file after compaction, got $nAfter")
+    // content identical through the committed-snapshot read; the audit
+    // agrees with the untouched manifest
+    val after = TableIO.readCommitted(spark, s"$dir/t", 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction changed table content")
+    assert(TableIO.verifyCommits(spark, s"$dir/t", 4).isEmpty,
+      "audit disagrees with manifest after compaction")
+    // a second compaction early-exits (already 1 file) — cheap
+    // scheduled maintenance, not a fresh rewrite
+    assert(TableIO.compactBucket(spark, s"$dir/t", 4, k) == 1)
   }
 
   test("bucket compaction repairs a crash between the swap renames") {

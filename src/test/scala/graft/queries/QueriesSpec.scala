@@ -530,27 +530,35 @@ class AnnSpec extends AnyFunSuite {
     // q57's exact `percentile` buffers distinct values per group — the
     // right call for metric-like doubles; for unbounded-cardinality
     // groups the scale path is approx_percentile (t-digest, fixed
-    // memory). Gate: at accuracy 10000 the approx answer must land
-    // within the value range spanned by the exact answer's rank ±
-    // n/accuracy positions — the documented error contract, checked on
-    // real data rather than assumed.
+    // memory). Gate: the documented contract is a RANK error — the
+    // returned value's rank must sit within n/accuracy positions of
+    // the target rank (+1 position of slack: the sketch returns an
+    // actual observed sample where exact interpolates, so on a sparse
+    // tail a sub-position value band would fail spuriously even for a
+    // rank-perfect answer). Checked in rank space against the real
+    // per-group value multiset, not assumed.
     val events = spark.read.parquet(s"$dir/events.parquet")
-    val rows = events.groupBy(col("event_type")).agg(
-      org.apache.spark.sql.functions.expr("percentile(value, 0.95D)").as("exact"),
+    val approxByType = events.groupBy(col("event_type")).agg(
       org.apache.spark.sql.functions
-        .expr("approx_percentile(value, 0.95D, 10000)").as("approx"),
-      org.apache.spark.sql.functions
-        .expr("percentile(value, greatest(0.0D, 0.95D - 1.0D/100))").as("lo"),
-      org.apache.spark.sql.functions
-        .expr("percentile(value, least(1.0D, 0.95D + 1.0D/100))").as("hi"))
-      .collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (et, approx, lo, hi) = (r.getString(0), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4))
-      assert(approx >= lo && approx <= hi,
-        s"$et: approx p95 $approx outside exact [$lo, $hi] band — the " +
-          "t-digest path cannot be recommended as the scale fallback")
+        .expr("approx_percentile(value, 0.95D, 10000)").as("approx"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approxByType.nonEmpty)
+    val valsByType = events.select(col("event_type"), col("value"))
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getDouble(1)).sorted }
+    approxByType.foreach { case (et, approx) =>
+      val vals = valsByType(et)
+      val n = vals.length
+      val target = 0.95 * (n - 1) // 0-indexed target rank
+      // the approx value's feasible rank interval under ties
+      val rLo = vals.count(_ < approx)
+      val rHi = vals.count(_ <= approx) - 1
+      val tol = n.toDouble / 10000 + 1
+      val ok = rHi >= target - tol && rLo <= target + tol
+      assert(ok,
+        s"$et: approx p95 $approx has rank in [$rLo, $rHi], target " +
+          s"$target ± $tol over $n values — outside the documented " +
+          "n/accuracy rank-error contract")
     }
   }
 }
