@@ -487,12 +487,22 @@ object TableIO {
     require(readLayout(dir, k, conf) == LayoutVersion,
       s"bucket $k committed under a different layout — refusing to compact")
     if (committed.rows == 0L) return 0 // zero-row bucket: no directory
+    // a rows>0 manifest whose directory or files are GONE is data loss
+    // — fail loudly (the module contract), never report maintenance
+    // success over a short table
+    require(fs.exists(bucketPath),
+      s"bucket $k commits ${committed.rows} rows but its directory " +
+        s"$bucketPath is missing — data loss, not a compaction target")
     // early exit: an already-compact bucket must cost a metadata listing,
     // not a full rewrite — scheduled maintenance over a mostly-compact
     // table would otherwise re-read and re-write the whole table per
     // cycle for zero layout change
     val existing = fs.listStatus(bucketPath)
       .count(_.getPath.getName.endsWith(".parquet"))
+    require(existing > 0,
+      s"bucket $k commits ${committed.rows} rows but its directory " +
+        s"holds no parquet files — data loss, not an already-compact " +
+        "bucket")
     if (existing <= targetFiles) return existing
     if (fs.exists(tmp)) fs.delete(tmp, true)
     spark.read.parquet(bucketPath.toString)

@@ -411,8 +411,10 @@ object Ann {
     * ≤ 0) resolve via [[ivfAutoGeometry]] — one partial-agg count job,
     * paid only in auto mode. Pass `centroids` (e.g. from
     * [[loadCentroids]]) to reuse a quantizer trained by an earlier
-    * job — then no sample, no k-means, and no count job run at all,
-    * and `nCells` is ignored in favor of the quantizer's own size.
+    * job — then no sample, no k-means, and no corpus count run; the
+    * only extra job is a one-row width probe validating the quantizer
+    * against the data, and `nCells` is ignored in favor of the
+    * quantizer's own size.
     */
   def ivfNeighbors(vecs: DataFrame, idCol: String, embCol: String,
                    probePred: Column, k: Int = 3, nCells: Int = -1,
@@ -433,13 +435,19 @@ object Ann {
     // distance kernels loop over min(len, len), so a wrong-model
     // quantizer would silently score truncated prefixes and bleed
     // recall instead of erroring — the exact failure save/load exists
-    // to prevent
+    // to prevent. One-row width probe; an empty / all-NULL corpus has
+    // no width to mismatch and legitimately yields an empty result
+    // (scheduled jobs search empty partitions routinely).
     centroids.foreach { cs =>
       require(cs.nonEmpty && cs(0).nonEmpty, "empty preloaded quantizer")
-      val dataDim = resolveDim(vecs, embCol, -1)
-      require(cs(0).length == dataDim,
-        s"preloaded quantizer dimension ${cs(0).length} != data " +
-          s"embedding dimension $dataDim — wrong quantizer for this table")
+      vecs.where(col(embCol).isNotNull)
+        .select(size(col(embCol))).limit(1).collect().headOption
+        .foreach { row =>
+          require(cs(0).length == row.getInt(0),
+            s"preloaded quantizer dimension ${cs(0).length} != data " +
+              s"embedding dimension ${row.getInt(0)} — wrong quantizer " +
+              "for this table")
+        }
     }
     val useProbe = if (nProbe > 0) nProbe else probeFor(cents.length)
     guardProbeSize(vecs, probePred, embCol, cents(0).length, useProbe,

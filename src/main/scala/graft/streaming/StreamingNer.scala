@@ -57,7 +57,7 @@ object StreamingNer {
                   stateTtl: Option[scala.concurrent.duration.FiniteDuration])
       : Dataset[(Long, String, Long)] = {
     import spark.implicits._
-    firstWinsStream[String](spark, docs, graft.core.Digests.md5Hex, stateTtl)
+    firstWinsStream[String](docs, graft.core.Digests.md5Hex, stateTtl)
       .map(r => (r._1, r._2, r._4))
   }
 
@@ -76,7 +76,7 @@ object StreamingNer {
     *  - `stateTtl` is the caller's REQUIRED choice between bounded
     *    state (eviction + re-emit) and exact unbounded semantics.
     */
-  private def firstWinsStream[K](spark: SparkSession,
+  private def firstWinsStream[K](
       docs: Dataset[(Long, String)], fp: String => K,
       stateTtl: Option[scala.concurrent.duration.FiniteDuration])(
       implicit ek: org.apache.spark.sql.Encoder[K],
@@ -138,7 +138,7 @@ object StreamingNer {
                     stateTtl: Option[scala.concurrent.duration.FiniteDuration])
       : Dataset[(Long, String, Long, Long)] = {
     import spark.implicits._
-    firstWinsStream[Long](spark, docs,
+    firstWinsStream[Long](docs,
       graft.pipeline.TextDedup.simhash64(_, bits), stateTtl)
   }
 
