@@ -121,6 +121,52 @@ class PlanHygieneSpec extends AnyFunSuite {
         offenders.mkString("\n"))
   }
 
+  test("AQE splits a Zipf-skewed join partition at runtime (skew=true)") {
+    // The engine's skew story has two layers: PRE-planned salting where
+    // the hot keys are known (q28, the salted write, heavyHitters), and
+    // AQE's runtime skew-join split as the safety net for skew nobody
+    // predicted. This gates the second layer END-TO-END: a join whose
+    // build input is extreme-Zipf must come out of AQE with the
+    // SortMergeJoin marked isSkewJoin — proof the session config keeps
+    // the net active, not just enabled-by-default on paper.
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      // shrink the thresholds so the fixture's ~10 MB hot partition
+      // counts as skewed at test scale; disable broadcast so the join
+      // actually shuffles (the skew path under test)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // 150k rows on ONE key + a spread tail — the hot-repo shape
+      val fact = spark.range(0, 151000).select(
+        when(col("id") < 150000, 0L).otherwise(col("id") % 1000).as("k"),
+        concat(lit("payload-"), col("id")).as("payload"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"),
+        col("id").as("v"))
+      val agg = fact.join(dim, "k")
+        .agg(sum(length(col("payload"))).as("bytes"))
+      agg.collect()
+      val skewed = PlanInspector.allNodes(agg.queryExecution.executedPlan)
+        .collect { case s: SortMergeJoinExec if s.isSkewJoin => s }
+      assert(skewed.nonEmpty,
+        "AQE did not mark the skewed join — the runtime skew net is " +
+          s"inactive:\n${agg.queryExecution.executedPlan}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q55 boilerplate: no shuffle carries span text; one explode pass") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
