@@ -789,6 +789,47 @@ object RelationalQueries {
       |       count(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Full sessionization — q14 counts session STARTS; this materializes
+    * the sessions themselves: per user, events more than 30 min apart
+    * start a new session (cumulative sum over the gap markers), output
+    * one row per (user, session) with its event count and start.
+    * Deterministic tie-break on event_id for equal timestamps (a
+    * nondeterministic window order would flake the cross-engine hash).
+    *
+    * Scale shape: ONE shuffle on user_id serves both windows (lag and
+    * the running sum share the same partitioning and ordering); the
+    * final per-session aggregate is partial-agg friendly and its
+    * exchange carries (user, session, count, min) scalars.
+    */
+  def q58_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      .withColumn("new_sess",
+        when(lag(col("ms"), 1).over(w).isNull ||
+          col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ms")).as("sess_start_ms"))
+  }
+
+  val q58_sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |m AS (SELECT user_id, event_id, ms,
+      |        CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |s AS (SELECT user_id, ms,
+      |        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |      FROM m)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(ms) AS sess_start_ms
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -824,5 +865,6 @@ object RelationalQueries {
     "q54_heavy_hitters" -> ((q54_heavy_hitters _, q54_sql)),
     "q55_boilerplate" -> ((q55_boilerplate _, q55_sql)),
     "q56_cosine_pairs_exact" -> ((q56_cosine_pairs_exact _, q56_sql)),
-    "q57_value_percentiles" -> ((q57_value_percentiles _, q57_sql)))
+    "q57_value_percentiles" -> ((q57_value_percentiles _, q57_sql)),
+    "q58_sessionize" -> ((q58_sessionize _, q58_sql)))
 }

@@ -121,6 +121,21 @@ class PlanHygieneSpec extends AnyFunSuite {
         offenders.mkString("\n"))
   }
 
+  test("q58 sessionize: both windows share one exchange (≤ 2 shuffles)") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = graft.queries.RelationalQueries.q58_sessionize(spark, dir)
+    df.collect()
+    val shuffles = PlanInspector.allNodes(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    // one user_id exchange feeding BOTH windows (lag + running sum share
+    // partitioning and ordering) + the final per-session aggregate; a
+    // drifted window spec would add an exchange-and-sort per window
+    assert(shuffles.size <= 2,
+      s"q58: ${shuffles.size} shuffles — the windows no longer share " +
+        s"one exchange:\n${df.queryExecution.executedPlan}")
+  }
+
   test("AQE splits a Zipf-skewed join partition at runtime (skew=true)") {
     // The engine's skew story has two layers: PRE-planned salting where
     // the hot keys are known (q28, the salted write, heavyHitters), and
