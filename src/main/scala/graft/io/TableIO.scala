@@ -445,6 +445,17 @@ object TableIO {
     * and `readCommitted` in the window fails LOUDLY (manifest rows > 0,
     * directory missing) rather than serving a short table.
     *
+    * SINGLE-MAINTENANCE-PROCESS contract (ADVICE r5): the crash repair
+    * and the two-rename swap assume one compactor per bucket at a time —
+    * two concurrent calls could each treat the other's live backup as
+    * stale and destroy it. A best-effort lock file under `_compact_tmp`
+    * enforces this: a second concurrent call fails fast instead of
+    * interleaving. The lock is advisory (created with overwrite=false,
+    * deleted in a finally); a crash between create and finally leaves a
+    * stale lock that blocks maintenance until it is deleted by hand —
+    * the failure message names the path. Readers are never blocked:
+    * the lock only serializes maintenance, not reads or writes.
+    *
     * Returns the number of data files after compaction.
     */
   def compactBucket(spark: SparkSession, dir: String, buckets: Int,
@@ -462,6 +473,33 @@ object TableIO {
     val backup = new HPath(s"$dir/data/.precompact-$k")
     val tmp = new HPath(s"$dir/_compact_tmp/bucket-$k")
     val fs = bucketPath.getFileSystem(conf)
+    // maintenance lock (see scaladoc): taken BEFORE the crash repair so
+    // two concurrent compactors cannot each "repair" the other's
+    // in-flight swap. create(overwrite=false) is the atomic
+    // test-and-set on HDFS/local FS.
+    val lock = new HPath(s"$dir/_compact_tmp/bucket-$k.lock")
+    fs.mkdirs(lock.getParent)
+    val lockOut =
+      try fs.create(lock, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"bucket $k of $dir is already being compacted (lock file " +
+              s"$lock exists) — compaction is single-process per bucket; " +
+              "if no compactor is running, a crashed one left the lock: " +
+              "delete it by hand and re-run (the crash repair will " +
+              "restore any interrupted swap)")
+      }
+    lockOut.close()
+    try compactLocked(spark, dir, buckets, k, targetFiles, conf,
+      bucketPath, backup, tmp, fs)
+    finally fs.delete(lock, false)
+  }
+
+  private def compactLocked(spark: SparkSession, dir: String, buckets: Int,
+                            k: Int, targetFiles: Int, conf: Configuration,
+                            bucketPath: HPath, backup: HPath, tmp: HPath,
+                            fs: org.apache.hadoop.fs.FileSystem): Int = {
     // repair a crashed previous compaction before anything else — BOTH
     // crash windows:
     //  - bucket dir missing, backup present: crash BETWEEN the swap

@@ -154,7 +154,15 @@ object Media extends Serializable {
     // metadata alone, not after allocating its buffer
     val frameLen = ais.getFrameLength
     val maxFrames = fmt.getSampleRate.toLong * MaxClipSeconds
-    require(frameLen >= 0 && frameLen <= maxFrames,
+    // AudioInputStream reports NOT_SPECIFIED (-1) for containers whose
+    // header carries no length; that is "length unknown", not "too
+    // long", and deserves its own message — without metadata the bound
+    // below cannot be enforced pre-allocation, so refuse the clip
+    require(frameLen >= 0,
+      s"audio header does not specify a frame length ($frameLen): the " +
+        s"$MaxClipSeconds s windowing bound cannot be enforced from " +
+        "metadata — re-encode with a length-bearing header")
+    require(frameLen <= maxFrames,
       s"clip of $frameLen frames (~${frameLen / fmt.getSampleRate.toLong} s) " +
         s"exceeds the $MaxClipSeconds s in-memory windowing bound — " +
         "wavWindows materializes the whole decoded stream per task; " +

@@ -64,6 +64,14 @@ object Sketches {
     // at 2*denom keys w.h.p. — e.g. 250 rows for the defaults — far
     // under any broadcast budget. This is the fail-fast analogue of
     // Ann.MaxProbeBroadcastBytes, but free: it needs no counting job.
+    // CAVEAT (union bound): `confidence` is PER-KEY, not corpus-wide —
+    // with K distinct keys, ~(1-confidence)*K spurious keys can slip
+    // past pass 2 in expectation, so the 2*denom cap holds w.h.p. only
+    // while (1-confidence)*K << denom. At very high key cardinality
+    // raise `confidence` toward 1 - denom/K (sketch depth grows only as
+    // ln(1/(1-confidence)), so this is cheap); keys stay scalar either
+    // way, so even the degraded case inflates pass-3 work rather than
+    // breaking the broadcast outright.
     require(eps * minShareDenom <= 0.5,
       s"eps ($eps) * minShareDenom ($minShareDenom) = ${eps * minShareDenom}" +
         " > 0.5: the sketch is too coarse for this share threshold — the" +

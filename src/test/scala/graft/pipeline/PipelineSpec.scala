@@ -453,6 +453,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(backup), "backup must be reclaimed after the swap")
   }
 
+  test("bucket compaction is single-process per bucket (lock file)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_lock").toString
+    val df = (1 to 100).map(i => (s"repo${i % 3}", s"path$i"))
+      .toDF("src_repo", "src_path")
+    TableIO.writeResumable(df, s"$dir/t", 4, Seq("src_repo"))
+    val conf = spark.sessionState.newHadoopConf()
+    val k = (0 until 4).find { b =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/t/data/_bucket=$b")
+      p.getFileSystem(conf).exists(p)
+    }.get
+    // a concurrent compactor's lock blocks a second call FAST, before
+    // any repair/rename could interleave with the in-flight swap
+    val lock = new org.apache.hadoop.fs.Path(
+      s"$dir/t/_compact_tmp/bucket-$k.lock")
+    val fs = lock.getFileSystem(conf)
+    fs.mkdirs(lock.getParent)
+    fs.create(lock, false).close()
+    val ex = intercept[IllegalStateException] {
+      TableIO.compactBucket(spark, s"$dir/t", 4, k)
+    }
+    assert(ex.getMessage.contains("lock"), ex.getMessage)
+    // the lock released (here: the stale-lock manual remedy the message
+    // names), compaction proceeds and releases its own lock after
+    fs.delete(lock, false)
+    assert(TableIO.compactBucket(spark, s"$dir/t", 4, k) == 1)
+    assert(!fs.exists(lock), "compaction must release its lock")
+  }
+
   test("pipeline cache release unpersists every pinned frame") {
     import graft.queries.PipelineQueries
     val dir = "/root/testdata/sf0.001"
