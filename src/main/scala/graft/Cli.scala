@@ -11,6 +11,9 @@ import scala.jdk.CollectionConverters._
   * Usage:
   *   train <out-model.json> [nSents] [seed]   train on the synthetic corpus
   *   train-file <in.nes> <out-model.json>     train on an ENAMEX file
+  *   train-dist <in.nes> <out-model.json> [epochs]  corpus-scale training:
+  *                                            distributed batch gradient
+  *                                            (no driver-collect budget)
   *   ner <model.json> < raw.txt               one sentence per line -> ENAMEX
   *   ox < raw.txt                             dump extracted observations
   *   compare <ref.nes> <cmp.nes>              per-type TP/FP/FN + P/R/F
@@ -67,6 +70,23 @@ object Cli {
         log = s => System.err.println(s), eval = evalSents)
       NerfModel.save(model, Paths.get(out))
       System.err.println(s"[cli] model written to $out")
+    case "train-dist" :: in :: out :: rest if rest.length <= 1 =>
+      // corpus-scale path: the ENAMEX corpus never reaches the driver —
+      // flatten/codec/gradient all run distributed (Train.trainDistributed)
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .appName("graft-train-dist")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val cfg = rest.headOption.map(e => Sgd.Config(iterNum = e.toInt))
+        .getOrElse(Sgd.Config())
+      val model = graft.pipeline.Train.trainDistributed(
+        spark, spark.read.textFile(in), cfg = cfg,
+        log = s => System.err.println(s))
+      NerfModel.save(model, Paths.get(out))
+      System.err.println(s"[cli] model written to $out")
+      spark.stop()
     case "ner" :: modelPath :: Nil =>
       val model = NerfModel.load(Paths.get(modelPath))
       stdinLines.foreach { line =>
@@ -175,7 +195,7 @@ object Cli {
       System.err.println(s"[cli] $n sentences written to $out")
     case _ =>
       System.err.println(
-        "usage: train|train-file|ner|ner-xces|ox|compare|synth|cv|serve|client|curate ... (see scaladoc)")
+        "usage: train|train-file|train-dist|ner|ner-xces|ox|compare|synth|cv|serve|client|curate ... (see scaladoc)")
       sys.exit(2)
   }
 }

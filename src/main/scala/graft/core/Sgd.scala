@@ -30,6 +30,176 @@ object Sgd {
   /** A training sentence: per-position observations + gold labels. */
   final case class TrainSent(obs: Array[Features.PosObs], labels: Array[String])
 
+  /** The per-sentence gradient kernel — the ONE implementation of
+    * "observed minus expected feature counts" shared by the driver-local
+    * SGD loop below and the distributed batch-gradient trainer
+    * ([[graft.pipeline.Train.trainDistributed]]). Serializable so it
+    * broadcasts once per training run; all state is the frozen feature
+    * codec — weights are passed per call, so one broadcast kernel serves
+    * every epoch.
+    *
+    * Extraction note: [[accumulate]], [[obsScores]] and [[fb]] are the
+    * former inline batch body / `obsScoresEnc` / `fbLocal` of
+    * [[train]], moved VERBATIM — the committed golden decodings pin the
+    * local trainer's floating-point evaluation order, so this class
+    * must never reorder an operation the loop used to do inline.
+    *
+    * Feature id layout: `[0, L)` initial-label (sing) weights,
+    * `[L, L + L*L)` transitions at `prev*L + cur`, then the present
+    * (observation, label) features.
+    */
+  final class Kernel(
+      val L: Int,
+      val singPresent: Array[Boolean],
+      val transPresent: Array[Boolean],
+      val obsFeatIds: scala.collection.Map[Long, Int],
+      val obsLabelArr: Array[Array[Int]],
+      val obsFeatArr: Array[Array[Int]],
+      val F: Int) extends Serializable {
+
+    val singBase = 0
+    val transBase: Int = L
+
+    /** Per-position label scores for one encoded sentence under `w`. */
+    def obsScores(obs: Array[Array[Int]], w: Array[Double]): Array[Array[Double]] =
+      obs.map { oids =>
+        val s = new Array[Double](L)
+        oids.foreach { oid =>
+          val ls = obsLabelArr(oid); val fs = obsFeatArr(oid)
+          var i = 0
+          while (i < ls.length) { s(ls(i)) += w(fs(i)); i += 1 }
+        }
+        s
+      }
+
+    /** Log-domain forward–backward over per-position scores `os` using
+      * the trainer's sparse (w, transPresent) weight layout. Same
+      * recursions as Crf.forwardBackward; logSumExp is shared, so the
+      * two stay numerically aligned.
+      */
+    def fb(os: Array[Array[Double]], w: Array[Double])
+        : (Array[Array[Double]], Array[Array[Double]], Double) = {
+      val m = os.length
+      val alpha = Array.ofDim[Double](m, L)
+      val beta = Array.ofDim[Double](m, L)
+      val tmp = new Array[Double](L)
+      var y = 0
+      while (y < L) {
+        alpha(0)(y) = (if (singPresent(y)) w(singBase + y) else 0.0) + os(0)(y); y += 1
+      }
+      var k = 1
+      while (k < m) {
+        var cur = 0
+        while (cur < L) {
+          var prev = 0
+          while (prev < L) {
+            val idx = prev * L + cur
+            tmp(prev) = alpha(k - 1)(prev) + (if (transPresent(idx)) w(transBase + idx) else 0.0)
+            prev += 1
+          }
+          alpha(k)(cur) = logSumExp(tmp) + os(k)(cur)
+          cur += 1
+        }
+        k += 1
+      }
+      y = 0
+      while (y < L) { beta(m - 1)(y) = 0.0; y += 1 }
+      k = m - 2
+      while (k >= 0) {
+        var cur = 0
+        while (cur < L) {
+          var nxt = 0
+          while (nxt < L) {
+            val idx = cur * L + nxt
+            tmp(nxt) = (if (transPresent(idx)) w(transBase + idx) else 0.0) + os(k + 1)(nxt) + beta(k + 1)(nxt)
+            nxt += 1
+          }
+          beta(k)(cur) = logSumExp(tmp)
+          cur += 1
+        }
+        k -= 1
+      }
+      (alpha, beta, logSumExp(alpha(m - 1)))
+    }
+
+    /** Add one sentence's gradient (observed − expected counts) into
+      * `gAdd`. Only valid feature ids reach the sink — an observation
+      * whose (oid, label) pair has no present feature is skipped here,
+      * not by the caller.
+      */
+    def accumulate(obs: Array[Array[Int]], lbs: Array[Int],
+                   w: Array[Double], gAdd: (Int, Double) => Unit): Unit = {
+      val m = lbs.length
+      if (m > 0) {
+        // observed counts
+        gAdd(singBase + lbs(0), 1.0)
+        var k = 1
+        while (k < m) {
+          val idx = lbs(k - 1) * L + lbs(k)
+          if (transPresent(idx)) gAdd(transBase + idx, 1.0)
+          k += 1
+        }
+        k = 0
+        while (k < m) {
+          obs(k).foreach { oid =>
+            val fid = obsFeatIds.getOrElse(oid.toLong * L + lbs(k), -1)
+            if (fid >= 0) gAdd(fid, 1.0)
+          }
+          k += 1
+        }
+        // expected counts via forward-backward
+        val os = obsScores(obs, w)
+        val (alpha, beta, logZ) = fb(os, w)
+        k = 0
+        while (k < m) {
+          val marg = new Array[Double](L)
+          var y = 0
+          while (y < L) { marg(y) = math.exp(alpha(k)(y) + beta(k)(y) - logZ); y += 1 }
+          if (k == 0) {
+            y = 0
+            while (y < L) { if (singPresent(y)) gAdd(singBase + y, -marg(y)); y += 1 }
+          }
+          obs(k).foreach { oid =>
+            val ls = obsLabelArr(oid); val fs = obsFeatArr(oid)
+            var i = 0
+            while (i < ls.length) { gAdd(fs(i), -marg(ls(i))); i += 1 }
+          }
+          if (k > 0) {
+            // pairwise marginals for present transitions
+            var prev = 0
+            while (prev < L) {
+              var cur = 0
+              while (cur < L) {
+                val idx = prev * L + cur
+                if (transPresent(idx)) {
+                  val lp = alpha(k - 1)(prev) + w(transBase + idx) + os(k)(cur) + beta(k)(cur) - logZ
+                  gAdd(transBase + idx, -math.exp(lp))
+                }
+                cur += 1
+              }
+              prev += 1
+            }
+          }
+          k += 1
+        }
+      }
+    }
+  }
+
+  /** Assemble a decodable model from a frozen codec + trained weights —
+    * the same construction for both trainers.
+    */
+  def modelFrom(labels: Array[String], obsIds: Array[Map[String, Int]],
+                kernel: Kernel, w: Array[Double]): Crf.Model = {
+    val L = kernel.L
+    val sing = DenseVector.tabulate(L)(y =>
+      if (kernel.singPresent(y)) w(kernel.singBase + y) else 0.0)
+    val trans = DenseMatrix.tabulate(L, L)((p, c) =>
+      if (kernel.transPresent(p * L + c)) w(kernel.transBase + p * L + c) else 0.0)
+    val ow = kernel.obsFeatArr.map(_.map(w))
+    Crf.Model(labels, obsIds, sing, trans, kernel.obsLabelArr, ow)
+  }
+
   def train(data: Seq[TrainSent], cfg: Config = Config(),
             log: String => Unit = _ => (),
             eval: Option[Seq[TrainSent]] = None): Crf.Model = {
@@ -113,27 +283,11 @@ object Sgd {
     val obsFeatArr: Array[Array[Int]] = obsSorted.map(_.map(_._2).toArray)
 
     val w = new Array[Double](F)
+    val kernel = new Kernel(L, singPresent, transPresent, obsFeatIds,
+      obsLabelArr, obsFeatArr, F)
 
-    def mkModel(): Crf.Model = {
-      val sing = DenseVector.tabulate(L)(y => if (singPresent(y)) w(singBase + y) else 0.0)
-      val trans = DenseMatrix.tabulate(L, L)((p, c) =>
-        if (transPresent(p * L + c)) w(transBase + p * L + c) else 0.0)
-      val ow = obsFeatArr.map(_.map(w))
-      Crf.Model(labelIds.keys.toArray, obsIds.map(_.toMap), sing, trans,
-        obsLabelArr, ow)
-    }
-
-    // obs scores for one encoded sentence under current weights
-    def obsScoresEnc(obs: Array[Array[Int]]): Array[Array[Double]] =
-      obs.map { oids =>
-        val s = new Array[Double](L)
-        oids.foreach { oid =>
-          val ls = obsLabelArr(oid); val fs = obsFeatArr(oid)
-          var i = 0
-          while (i < ls.length) { s(ls(i)) += w(fs(i)); i += 1 }
-        }
-        s
-      }
+    def mkModel(): Crf.Model =
+      modelFrom(labelIds.keys.toArray, obsIds.map(_.toMap), kernel, w)
 
     val n = enc.length
     val cfgBatch = math.max(1, math.min(cfg.batchSize, n))
@@ -153,60 +307,7 @@ object Sgd {
         grad.clear()
         batch.foreach { bi =>
           val (obs, lbs) = enc(bi)
-          val m = lbs.length
-          if (m > 0) {
-            // observed counts
-            gAdd(singBase + lbs(0), 1.0)
-            var k = 1
-            while (k < m) {
-              val idx = lbs(k - 1) * L + lbs(k)
-              if (transPresent(idx)) gAdd(transBase + idx, 1.0)
-              k += 1
-            }
-            k = 0
-            while (k < m) {
-              obs(k).foreach { oid =>
-                val fid = obsFeatIds.getOrElse(oid.toLong * L + lbs(k), -1)
-                gAdd(fid, 1.0)
-              }
-              k += 1
-            }
-            // expected counts via forward-backward
-            val os = obsScoresEnc(obs)
-            val (alpha, beta, logZ) = fbLocal(os)
-            k = 0
-            while (k < m) {
-              val marg = new Array[Double](L)
-              var y = 0
-              while (y < L) { marg(y) = math.exp(alpha(k)(y) + beta(k)(y) - logZ); y += 1 }
-              if (k == 0) {
-                y = 0
-                while (y < L) { if (singPresent(y)) gAdd(singBase + y, -marg(y)); y += 1 }
-              }
-              obs(k).foreach { oid =>
-                val ls = obsLabelArr(oid); val fs = obsFeatArr(oid)
-                var i = 0
-                while (i < ls.length) { gAdd(fs(i), -marg(ls(i))); i += 1 }
-              }
-              if (k > 0) {
-                // pairwise marginals for present transitions
-                var prev = 0
-                while (prev < L) {
-                  var cur = 0
-                  while (cur < L) {
-                    val idx = prev * L + cur
-                    if (transPresent(idx)) {
-                      val lp = alpha(k - 1)(prev) + w(transBase + idx) + os(k)(cur) + beta(k)(cur) - logZ
-                      gAdd(transBase + idx, -math.exp(lp))
-                    }
-                    cur += 1
-                  }
-                  prev += 1
-                }
-              }
-              k += 1
-            }
-          }
+          kernel.accumulate(obs, lbs, w, gAdd)
         }
         // gain schedule: gain0 * tau / (tau + done-epochs)
         val gain = cfg.gain0 * cfg.tau / (cfg.tau + done)
@@ -242,60 +343,9 @@ object Sgd {
       log(f"[sgd] epoch $epoch%2d done; gain=${cfg.gain0 * cfg.tau / (cfg.tau + done)}%.4f$evalMsg")
     }
 
-    // local forward-backward over os using current w (transition weights)
-    // NOTE: this hand-rolls the same log-domain alpha/beta recursions as
-    // Crf.forwardBackward over the trainer's sparse (w, transPresent)
-    // weight layout; only logSumExp is shared. Any numerics change in
-    // either copy MUST be mirrored in the other (the golden decodings
-    // pin training numerics, so a one-sided edit is invisible until
-    // accuracy drifts).
-    def fbLocal(os: Array[Array[Double]]) = {
-      val m = os.length
-      val alpha = Array.ofDim[Double](m, L)
-      val beta = Array.ofDim[Double](m, L)
-      val tmp = new Array[Double](L)
-      var y = 0
-      while (y < L) {
-        alpha(0)(y) = (if (singPresent(y)) w(singBase + y) else 0.0) + os(0)(y); y += 1
-      }
-      var k = 1
-      while (k < m) {
-        var cur = 0
-        while (cur < L) {
-          var prev = 0
-          while (prev < L) {
-            val idx = prev * L + cur
-            tmp(prev) = alpha(k - 1)(prev) + (if (transPresent(idx)) w(transBase + idx) else 0.0)
-            prev += 1
-          }
-          alpha(k)(cur) = logSumExp(tmp) + os(k)(cur)
-          cur += 1
-        }
-        k += 1
-      }
-      y = 0
-      while (y < L) { beta(m - 1)(y) = 0.0; y += 1 }
-      k = m - 2
-      while (k >= 0) {
-        var cur = 0
-        while (cur < L) {
-          var nxt = 0
-          while (nxt < L) {
-            val idx = cur * L + nxt
-            tmp(nxt) = (if (transPresent(idx)) w(transBase + idx) else 0.0) + os(k + 1)(nxt) + beta(k + 1)(nxt)
-            nxt += 1
-          }
-          beta(k)(cur) = logSumExp(tmp)
-          cur += 1
-        }
-        k -= 1
-      }
-      (alpha, beta, logSumExp(alpha(m - 1)))
-    }
-
     mkModel()
   }
 
   // one implementation shared with inference (identical numerics)
-  @inline private def logSumExp(xs: Array[Double]): Double = Crf.logSumExp(xs)
+  @inline private[core] def logSumExp(xs: Array[Double]): Double = Crf.logSumExp(xs)
 }

@@ -235,6 +235,75 @@ class TrainSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed batch gradient equals the sequential kernel fold") {
+    import spark.implicits._
+    val ds = spark.createDataset(Synth.corpusLines(60, seed = 11))
+    val flat = Train.flatten(spark, ds, graft.NerfModel.defaultSchema)
+    val codec = Train.buildCodec(spark, flat)
+    val k = codec.kernel
+    // many partitions -> many partial arrays, so the combOp tree (the
+    // part the sequential fold does NOT exercise) actually runs
+    val enc = Train.encode(spark, flat, codec).repartition(8)
+    // nonzero weights so the expected-counts (forward-backward) side of
+    // the kernel contributes, not just integer observed counts
+    val rnd = new scala.util.Random(7)
+    val w = Array.fill(k.F)(rnd.nextGaussian() * 0.1)
+    val dist = Train.distributedGradient(spark, enc, k, w)
+    val local = new Array[Double](k.F)
+    enc.collect().foreach(s =>
+      k.accumulate(s.obs, s.labels, w, (fid, v) => local(fid) += v))
+    assert(local.exists(math.abs(_) > 1e-6), "gate is vacuous: zero gradient")
+    var i = 0
+    while (i < k.F) {
+      val tol = 1e-9 * math.max(1.0, math.abs(local(i)))
+      assert(math.abs(dist(i) - local(i)) <= tol,
+        s"feature $i: dist=${dist(i)} local=${local(i)}")
+      i += 1
+    }
+  }
+
+  test("distributed training converges to usable decodings") {
+    import spark.implicits._
+    val lines = Synth.corpusLines(150, seed = 21)
+    val ds = spark.createDataset(lines)
+    // batch GD moves ~one minibatch step per epoch (see trainDistributed
+    // scaladoc), so it gets more epochs than the local trainer would need
+    val model = Train.trainDistributed(spark, ds,
+      cfg = Sgd.Config(iterNum = 40))
+    var tp = 0L; var fp = 0L; var fn = 0L
+    lines.foreach { l =>
+      val gold = Forest.reTokenize(Forest.parseEnamex(l))
+      val pred = model.ner(gold.flatMap(_.leaves).mkString(" "))
+      val g = Forest.charSpans(gold); val p = Forest.charSpans(pred)
+      tp += g.intersect(p).size; fp += p.diff(g).size; fn += g.diff(p).size
+    }
+    val prec = tp.toDouble / math.max(1, tp + fp)
+    val rec = tp.toDouble / math.max(1, tp + fn)
+    assert(prec > 0.85 && rec > 0.85,
+      f"distributed-trained model too weak: P=$prec%.3f R=$rec%.3f")
+  }
+
+  test("corpus-scale training: train fails fast, trainDistributed completes") {
+    import spark.implicits._
+    // one seeded sentence per index — synthesized ON the executors, so
+    // the corpus never exists in one place (the point of the test)
+    val n = Train.MaxTrainSentences + 1
+    val lines = spark.range(n).map(i => Synth.corpusLines(1, seed = i).head)
+    val ex = intercept[IllegalArgumentException] {
+      Train.train(spark, lines, cfg = Sgd.Config(iterNum = 1))
+    }
+    assert(ex.getMessage.contains("driver-collect budget"), ex.getMessage)
+    // the same corpus trains distributed: >500k sentences through codec
+    // build, encode, and one full gradient epoch, driver holding only
+    // model-sized state
+    val model = Train.trainDistributed(spark, lines,
+      cfg = Sgd.Config(iterNum = 1))
+    assert(model.crf.numLabels > 1)
+    // one epoch of batch GD is not a converged model, but it must DECODE
+    val out = model.ner("Kira Novak")
+    assert(Forest.renderEnamex(out).contains("Kira"))
+  }
+
   test("train refuses an over-budget corpus before collecting it") {
     import spark.implicits._
     val ds = spark.createDataset(Synth.corpusLines(25, seed = 5))
@@ -243,7 +312,7 @@ class TrainSpec extends AnyFunSuite {
         maxSentences = 10)
     }
     assert(ex.getMessage.contains("driver-collect budget"), ex.getMessage)
-    assert(ex.getMessage.contains("mapPartitions"), ex.getMessage)
+    assert(ex.getMessage.contains("trainDistributed"), ex.getMessage)
   }
 
   test("cross-validation yields high P/R on every fold") {
