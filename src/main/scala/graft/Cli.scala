@@ -182,9 +182,11 @@ object Cli {
           None
         }
       val minCos = rest.headOption.map(_.toDouble).getOrElse(0.95)
+      // stage checkpoints under the output dir: a crashed CLI run
+      // resumes at the failed stage, not from scratch
       val report = graft.pipeline.Curate.run(spark, docs, "doc_id", "text",
         emb, "vec_id", "embedding", outDir, hotKeyCol = "source",
-        minCos = minCos)
+        minCos = minCos, stageDir = Some(s"$outDir/_stages"))
       utf8Out.println(report.json)
       spark.stop()
     case "synth" :: out :: rest =>

@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   *   6. salted resumable write — [[TableIO.writeResumable]] (q28's
   *                             salting + the manifest/resume contract)
   *
+  * NULL-text rows are set aside BEFORE stage 1 and counted in the
+  * report: `md5(NULL)` is NULL, so the exact-dedup groupBy would
+  * otherwise collapse every NULL-text doc into one group and silently
+  * drop all but one as "identical" even though NULL texts are not equal
+  * to each other (ADVICE r5). They are junk to a text-curation pipeline
+  * either way — excluded from the output, visible in `nNullText`.
+  *
   * Greedy exemplar-keep (steps 3–4) drops every document that is the
   * LARGER id of any near-dup pair. On a chain a–b, b–c this also drops
   * c even though (a, c) may not be near-dups — deliberately the
@@ -37,43 +44,69 @@ import org.apache.spark.sql.functions._
   * collapse in step 1 and degenerate LSH buckets are capped inside the
   * pair operators themselves.
   *
-  * Stage boundaries at real scale: each arrow above is where a
-  * production run would [[TableIO.writeResumable]] a checkpoint and
-  * resume after failure. Within one run, the composition holds a
-  * ROLLING persist: each stage's survivor frame is cached until the
-  * next stage's count has materialized, then released — so every
-  * source scan and dedup shuffle executes once, instead of stage N's
-  * count re-running stages 1..N-1 (quadratic full scans at 100 TB).
-  * At most two stage frames are pinned at a time (MEMORY_AND_DISK —
-  * spills rather than OOMs when executors are tight).
+  * Stage boundaries at real scale: with `stageDir` set, each stage's
+  * surviving id-set is committed via [[TableIO.writeResumable]] as it
+  * completes, and a re-run SKIPS every stage whose checkpoint is fully
+  * committed — restoring its survivor frame as `input ⋉ ids` (one scan
+  * of the input + a small id table) instead of re-executing the dedup
+  * chain. A failure in stage 4 of a 100-TB run therefore re-runs stage
+  * 4, not stages 1–3. The checkpoint lineage carries the input row
+  * count, so resuming against a DIFFERENT-sized input fails fast
+  * (same-size different content is the caller's contract to keep, the
+  * same trust writeResumable itself places in its caller). Without
+  * `stageDir` the recipe is single-shot: only the final write resumes.
+  *
+  * Within one run, the composition holds a ROLLING persist: each
+  * stage's survivor frame is cached until the next stage's count has
+  * materialized, then released — so every source scan and dedup shuffle
+  * executes once, instead of stage N's count re-running stages 1..N-1
+  * (quadratic full scans at 100 TB). At most two stage frames are
+  * pinned at a time (MEMORY_AND_DISK — spills rather than OOMs when
+  * executors are tight).
   */
 object Curate {
 
-  /** One curation run's accounting: row counts after each stage (the
-    * numbers a data-quality report is built from), the detected hot
-    * keys (key rendered as string, exact count), the salt fan-out the
-    * write used, and the rows the write committed this run.
+  /** Buckets for the per-stage id-set checkpoints: the id tables are
+    * narrow (one column), so they need write parallelism, not many
+    * buckets.
     */
-  final case class Report(nInput: Long, nAfterExact: Long,
+  val StageBuckets = 8
+
+  /** One curation run's accounting: row counts after each stage (the
+    * numbers a data-quality report is built from), the NULL-text rows
+    * set aside before stage 1, the detected hot keys (key rendered as
+    * string, exact count), the salt fan-out the write used, the rows
+    * the write committed this run, and which stages were restored from
+    * a `stageDir` checkpoint instead of computed.
+    */
+  final case class Report(nInput: Long, nNullText: Long, nAfterExact: Long,
                           nAfterBoilerplate: Long, nAfterMinhash: Long,
                           nAfterEmbedding: Long,
                           hotKeys: Seq[(String, Long)], salts: Int,
-                          nWritten: Long) {
+                          nWritten: Long, resumedStages: Seq[Int]) {
     def json: String = {
       val hk = hotKeys.map { case (k, n) =>
         s"""{"key":${TableIO.jstr(k)},"n":$n}""" }.mkString("[", ",", "]")
-      s"""{"n_input":$nInput,"n_after_exact":$nAfterExact,""" +
+      s"""{"n_input":$nInput,"n_null_text":$nNullText,""" +
+        s""""n_after_exact":$nAfterExact,""" +
         s""""n_after_boilerplate":$nAfterBoilerplate,""" +
         s""""n_after_minhash":$nAfterMinhash,""" +
         s""""n_after_embedding":$nAfterEmbedding,""" +
-        s""""hot_keys":$hk,"salts":$salts,"n_written":$nWritten}"""
+        s""""hot_keys":$hk,"salts":$salts,"n_written":$nWritten,""" +
+        s""""resumed_stages":${resumedStages.mkString("[", ",", "]")}}"""
     }
   }
+
+  /** Where [[run]] persists its report beside the table manifests. */
+  def reportPath(outDir: String): String = s"$outDir/_curate_report.json"
 
   /** Run the full recipe over `docs` (and optionally `embeddings`,
     * joined on `docs(idCol) == embeddings(embIdCol)`), writing the
     * surviving rows — every original doc column — as a salted resumable
-    * table under `outDir`, bucketed by `hotKeyCol`.
+    * table under `outDir`, bucketed by `hotKeyCol`. The run's [[Report]]
+    * is returned AND persisted at [[reportPath]] (atomic rename) — the
+    * data-quality record a production run must keep outlives the
+    * driver; on a resume re-run the file records that run (nWritten=0).
     *
     * @param maxDupSpanShare drop docs whose duplicated-span share is ≥
     *                        this (step 2); 1.0 keeps only docs that are
@@ -82,16 +115,24 @@ object Curate {
     * @param hotDenom        heavy-hitter share denominator (step 5): a
     *                        key is hot when it holds ≥ 1/hotDenom of
     *                        surviving rows
+    * @param stageDir        when set, per-stage survivor id-sets are
+    *                        committed here and completed stages are
+    *                        skipped on re-run (see scaladoc)
     */
   def run(spark: SparkSession, docs: DataFrame, idCol: String,
           textCol: String, embeddings: Option[DataFrame],
           embIdCol: String, embCol: String, outDir: String,
           hotKeyCol: String, maxDupSpanShare: Double = 0.8,
           minCos: Double = 0.95, spanN: Int = 20, hotDenom: Long = 16,
-          buckets: Int = 16): Report = {
+          buckets: Int = 16, stageDir: Option[String] = None): Report = {
     require(maxDupSpanShare > 0.0 && maxDupSpanShare <= 1.0,
       s"maxDupSpanShare must be in (0, 1]: $maxDupSpanShare")
-    val nInput = docs.count()
+    // one job: total rows + non-null texts (count(col) skips NULLs)
+    val firstRow = docs.agg(count(lit(1)), count(col(textCol))).head()
+    val nInput = firstRow.getLong(0)
+    val nNullText = nInput - firstRow.getLong(1)
+    val input =
+      if (nNullText == 0L) docs else docs.where(col(textCol).isNotNull)
 
     // rolling persist (see scaladoc): pin this stage's survivors, force
     // them with the stage count, and only then release the PREVIOUS
@@ -118,46 +159,96 @@ object Curate {
       n
     }
 
-    try {
-    // 1. exact dedup: min-id exemplar per 128-bit content hash (md5 —
-    // an 8-byte hash collides at billions of docs; q16's convention).
-    // The groupBy ships (hash, id) pairs with map-side combine; the
-    // semi join restores the full doc row for exemplars only.
-    val keepExact = docs
-      .groupBy(md5(col(textCol)).as("h"))
-      .agg(min(col(idCol)).as(idCol)).select(idCol)
-    val afterExact = docs.join(keepExact, Seq(idCol), "left_semi")
-    val nAfterExact = pinAndCount(afterExact, None)
-
-    // 2. boilerplate: doc-level substring-dedup action
-    val boiler = TextDedup.boilerplateShare(afterExact, idCol, textCol, spanN)
-      .where(col("dup_share") >= maxDupSpanShare)
-      .select(col("doc_id").as(idCol))
-    val afterBoiler = afterExact.join(boiler, Seq(idCol), "left_anti")
-    val nAfterBoiler = pinAndCount(afterBoiler, Some(afterExact))
-
-    // 3. MinHash near-dup pairs -> greedy exemplar-keep
-    val mhDrop = TextDedup.minhashPairs(afterBoiler, idCol, textCol)
-      .select(col("d2").as(idCol)).distinct()
-    val afterMinhash = afterBoiler.join(mhDrop, Seq(idCol), "left_anti")
-    val nAfterMinhash = pinAndCount(afterMinhash, Some(afterBoiler))
-
-    // 4. embedding near-dup pairs (when an embedding table exists):
-    // restrict vectors to the SURVIVORS first — pairs among already-
-    // dropped docs are wasted candidate work
-    val afterEmb = embeddings match {
-      case Some(emb) =>
-        val vecs = emb
-          .select(col(embIdCol).as(idCol), col(embCol).as("embedding"))
-          .join(afterMinhash.select(idCol), Seq(idCol), "left_semi")
-        val drop = Ann.lshCosinePairs(vecs, idCol, "embedding", minCos)
-          .select(col("d2").as(idCol)).distinct()
-        afterMinhash.join(drop, Seq(idCol), "left_anti")
-      case None => afterMinhash
+    // stage checkpointing (see scaladoc): restore-or-compute one
+    // stage's survivor frame. A fully-committed checkpoint restores as
+    // input ⋉ ids; anything less (absent, or half-written by a crash)
+    // recomputes — writeResumable then commits only the missing buckets.
+    val resumed = scala.collection.mutable.ListBuffer.empty[Int]
+    val stageLineage = Map("recipe" -> "curate-stage",
+      "n_input" -> nInput.toString)
+    def stage(i: Int, compute: => DataFrame,
+              prev: Option[DataFrame]): (DataFrame, Long) = {
+      val ckpt = stageDir.map(d => s"$d/stage$i")
+      ckpt match {
+        case Some(d)
+            if TableIO.committedBuckets(d, StageBuckets).size == StageBuckets =>
+          // the restore side needs the same lineage guard the write side
+          // has: a checkpoint recorded for a different input must fail
+          // fast, not silently restore foreign survivor ids
+          (0 until StageBuckets).foreach { k =>
+            val existing = TableIO.readLineage(d, k)
+            require(existing == stageLineage,
+              s"stage $i checkpoint lineage mismatch on bucket $k: " +
+                s"committed=$existing, this run=$stageLineage — the " +
+                s"checkpoint under $d was written for a different input; " +
+                "point stageDir elsewhere or delete the stale checkpoint")
+          }
+          resumed += i
+          val total = TableIO.readCommits(d, StageBuckets).map(_.rows).sum
+          // readCommitted refuses an all-empty table (no schema to
+          // invent) — an empty survivor set restores as an empty filter
+          val restored =
+            if (total == 0L) input.where(lit(false))
+            else input.join(
+              TableIO.readCommitted(spark, d, StageBuckets).select(idCol),
+              Seq(idCol), "left_semi")
+          (restored, pinAndCount(restored, prev))
+        case _ =>
+          val df = compute
+          val n = pinAndCount(df, prev)
+          ckpt.foreach { d =>
+            TableIO.writeResumable(df.select(idCol), d, StageBuckets,
+              Seq(idCol), lineage = stageLineage)
+          }
+          (df, n)
+      }
     }
+
+    try {
+      // 1. exact dedup: min-id exemplar per 128-bit content hash (md5 —
+      // an 8-byte hash collides at billions of docs; q16's convention).
+      // The groupBy ships (hash, id) pairs with map-side combine; the
+      // semi join restores the full doc row for exemplars only.
+      val (afterExact, nAfterExact) = stage(1, {
+        val keepExact = input
+          .groupBy(md5(col(textCol)).as("h"))
+          .agg(min(col(idCol)).as(idCol)).select(idCol)
+        input.join(keepExact, Seq(idCol), "left_semi")
+      }, None)
+
+      // 2. boilerplate: doc-level substring-dedup action
+      val (afterBoiler, nAfterBoiler) = stage(2, {
+        val boiler =
+          TextDedup.boilerplateShare(afterExact, idCol, textCol, spanN)
+            .where(col("dup_share") >= maxDupSpanShare)
+            .select(col("doc_id").as(idCol))
+        afterExact.join(boiler, Seq(idCol), "left_anti")
+      }, Some(afterExact))
+
+      // 3. MinHash near-dup pairs -> greedy exemplar-keep
+      val (afterMinhash, nAfterMinhash) = stage(3, {
+        val mhDrop = TextDedup.minhashPairs(afterBoiler, idCol, textCol)
+          .select(col("d2").as(idCol)).distinct()
+        afterBoiler.join(mhDrop, Seq(idCol), "left_anti")
+      }, Some(afterBoiler))
+
+      // 4. embedding near-dup pairs (when an embedding table exists):
+      // restrict vectors to the SURVIVORS first — pairs among already-
+      // dropped docs are wasted candidate work
       // final pin serves three consumers: the count, the hot-key scan,
       // and the salted write
-      val nAfterEmbedding = pinAndCount(afterEmb, Some(afterMinhash))
+      val (afterEmb, nAfterEmbedding) = stage(4, {
+        embeddings match {
+          case Some(emb) =>
+            val vecs = emb
+              .select(col(embIdCol).as(idCol), col(embCol).as("embedding"))
+              .join(afterMinhash.select(idCol), Seq(idCol), "left_semi")
+            val drop = Ann.lshCosinePairs(vecs, idCol, "embedding", minCos)
+              .select(col("d2").as(idCol)).distinct()
+            afterMinhash.join(drop, Seq(idCol), "left_anti")
+          case None => afterMinhash
+        }
+      }, Some(afterMinhash))
 
       // 5. hot keys over the WRITE key: the detection a salting
       // pipeline runs before choosing its fan-out. The salt count is
@@ -176,8 +267,13 @@ object Curate {
       // 6. salted resumable write, bucketed by the hot-key column
       val commits = TableIO.writeResumable(afterEmb, outDir, buckets,
         Seq(hotKeyCol), lineage = Map("recipe" -> "curate"), salts = salts)
-      Report(nInput, nAfterExact, nAfterBoiler, nAfterMinhash,
-        nAfterEmbedding, hot, salts, commits.map(_.rows).sum)
+      val report = Report(nInput, nNullText, nAfterExact, nAfterBoiler,
+        nAfterMinhash, nAfterEmbedding, hot, salts,
+        commits.map(_.rows).sum, resumed.toSeq)
+      // the report outlives the driver, beside the manifests it explains
+      TableIO.atomicWrite(reportPath(outDir), report.json,
+        spark.sessionState.newHadoopConf())
+      report
     } finally pinned.foreach(_.unpersist())
   }
 }

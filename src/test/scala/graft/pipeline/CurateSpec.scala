@@ -76,6 +76,13 @@ class CurateSpec extends AnyFunSuite {
     // the report serializes to one well-formed JSON line for the CLI
     assert(r.json.startsWith("{") && r.json.endsWith("}") &&
       r.json.contains("\"n_written\":"), r.json)
+    // the testdata has no NULL texts and no stageDir was passed
+    assert(r.nNullText == 0 && r.resumedStages.isEmpty, r.json)
+    // the report is persisted beside the manifests, byte-equal to the
+    // returned one (the durable data-quality record)
+    def reportOnDisk = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Curate.reportPath(out))), "UTF-8")
+    assert(reportOnDisk == r.json, "persisted report differs from returned")
 
     // a SECOND run over the same outDir is a resume no-op: every bucket
     // is committed, nothing rewrites (the writeResumable contract holds
@@ -84,6 +91,78 @@ class CurateSpec extends AnyFunSuite {
       "embedding", out, hotKeyCol = "source", minCos = 0.4)
     assert(r2.nWritten == 0, s"resume rewrote ${r2.nWritten} rows")
     assert(r2.nAfterEmbedding == r.nAfterEmbedding, "recipe is not deterministic")
+    // the persisted report records THIS run (nWritten=0), not the first
+    assert(reportOnDisk == r2.json, "resume run must refresh the report")
+  }
+
+  test("curate stage checkpoints: completed stages skip on re-run") {
+    assume(available)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = Some(spark.read.parquet(s"$dir/embeddings.parquet"))
+    val base = java.nio.file.Files.createTempDirectory("graft_curate_ck")
+      .toString
+    val sd = s"$base/stages"
+    def runTo(out: String) = Curate.run(spark, docs, "doc_id", "text",
+      emb, "vec_id", "embedding", out, hotKeyCol = "source", minCos = 0.4,
+      stageDir = Some(sd))
+    val r1 = runTo(s"$base/out1")
+    assert(r1.resumedStages.isEmpty, s"first run resumed: ${r1.resumedStages}")
+    val rows1 = TableIO.readCommitted(spark, s"$base/out1", 16)
+      .collect().map(_.toString).sorted.toSeq
+
+    // all four checkpoints committed -> a re-run to a FRESH output
+    // skips every dedup stage and writes byte-identical rows
+    val r2 = runTo(s"$base/out2")
+    assert(r2.resumedStages == Seq(1, 2, 3, 4), s"${r2.resumedStages}")
+    assert((r2.nAfterExact, r2.nAfterBoilerplate, r2.nAfterMinhash,
+      r2.nAfterEmbedding) == ((r1.nAfterExact, r1.nAfterBoilerplate,
+      r1.nAfterMinhash, r1.nAfterEmbedding)), s"$r2 vs $r1")
+    val rows2 = TableIO.readCommitted(spark, s"$base/out2", 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows2 == rows1, "resumed-stage run wrote different rows")
+
+    // kill-after-stage-3 simulation: stage 4's checkpoint gone, 1-3
+    // intact -> re-run restores 1-3 from disk and recomputes only 4
+    val s4 = java.nio.file.Paths.get(sd, "stage4")
+    org.apache.commons.io.FileUtils.deleteDirectory(s4.toFile)
+    val r3 = runTo(s"$base/out3")
+    assert(r3.resumedStages == Seq(1, 2, 3), s"${r3.resumedStages}")
+    assert(r3.nAfterEmbedding == r1.nAfterEmbedding, s"$r3 vs $r1")
+    val rows3 = TableIO.readCommitted(spark, s"$base/out3", 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows3 == rows1, "stage-4 recompute wrote different rows")
+
+    // a DIFFERENT-sized input against the same stageDir fails fast on
+    // the checkpoint lineage instead of silently restoring foreign ids
+    val ex = intercept[IllegalArgumentException] {
+      Curate.run(spark, docs.limit(100), "doc_id", "text", emb, "vec_id",
+        "embedding", s"$base/out4", hotKeyCol = "source", minCos = 0.4,
+        stageDir = Some(sd))
+    }
+    assert(ex.getMessage.contains("lineage"), ex.getMessage)
+  }
+
+  test("curate sets NULL-text docs aside instead of deduping them") {
+    import spark.implicits._
+    val toks = (i: Int) => (i until i + 25).map(j => s"w$j").mkString(" ")
+    val df = Seq(
+      (1L, toks(0), "a"), (2L, toks(0), "a"), // exact dups
+      (3L, toks(100), "b"),
+      (4L, null.asInstanceOf[String], "a"),   // NULL texts: md5(NULL) is
+      (5L, null.asInstanceOf[String], "b")    // NULL — must not collapse
+    ).toDF("doc_id", "text", "source")
+    val out = java.nio.file.Files.createTempDirectory("graft_curate_null")
+      .toString + "/t"
+    val r = Curate.run(spark, df, "doc_id", "text", None, "vec_id",
+      "embedding", out, hotKeyCol = "source")
+    assert(r.nInput == 5 && r.nNullText == 2, r.json)
+    // 2 distinct non-null texts survive; the NULL rows are excluded,
+    // not silently collapsed into one "duplicate" group
+    assert(r.nAfterExact == 2 && r.nWritten == 2, r.json)
+    val back = TableIO.readCommitted(spark, out, 16)
+    assert(back.where(col("text").isNull).count() == 0)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
   }
 
   test("boilerplate share: template docs flagged, unique docs at zero") {
