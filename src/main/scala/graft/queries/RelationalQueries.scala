@@ -760,26 +760,62 @@ object RelationalQueries {
       |            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
       |             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4""".stripMargin
 
-  /** Grouped EXACT percentiles of the event value distribution — the
-    * latency/size-distribution report every pipeline dashboard needs.
-    * Spark's `percentile` aggregate buffers a count-map of DISTINCT
-    * values per group (not all rows), so memory is bounded by per-group
-    * value cardinality — fine for metric-like doubles at any row count,
-    * but a group with unbounded distinct values (raw timestamps) should
-    * use `approx_percentile` (t-digest, fixed memory) instead; the
-    * rows-only q-gate for that path lives in QueriesSpec (exact-vs-
-    * approx agreement within the configured accuracy). Both engines
-    * define the quantile as linear interpolation on the sorted values,
-    * so the oracle holds to 6 digits.
+  /** Grouped percentiles with a CARDINALITY GUARD — the latency/size-
+    * distribution report every pipeline dashboard needs, safe by
+    * default at any scale.
+    *
+    * Spark's exact `percentile` aggregate buffers a count-map of
+    * DISTINCT values per group (not all rows), so its memory is bounded
+    * by per-group value cardinality — fine for metric-like doubles, an
+    * executor-OOM on unbounded-cardinality columns (raw timestamps,
+    * request ids). Rather than trusting the caller to know which case
+    * they have, this probes `approx_count_distinct` per group first
+    * (HyperLogLog — FIXED memory per group, one extra cheap aggregate
+    * over the same scan) and routes:
+    *   - max per-group distinct ≤ `maxDistinctPerGroup` → exact
+    *     `percentile` (linear interpolation on sorted values)
+    *   - above → `approx_percentile` (t-digest, fixed memory), whose
+    *     documented contract is rank error ≤ n/`accuracy` — gated in
+    *     rank space in QueriesSpec.
+    * The default threshold (2M distinct doubles ≈ 32 MB of aggregation
+    * buffer per group) keeps the worst single-group buffer far inside
+    * executor memory at any row count; the HLL probe's ±5% standard
+    * error is absorbed by that threshold's safety margin.
+    *
+    * Column names are `p<percentile·100>` with '.' → '_' (p50, p99_9),
+    * plus the group count `n`.
+    */
+  def groupedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                         percentiles: Seq[Double] = Seq(0.5, 0.95, 0.99),
+                         maxDistinctPerGroup: Long = 2000000L,
+                         accuracy: Int = 10000): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0, 1]: $percentiles")
+    val maxDistinct = df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(valueCol)).as("nd"))
+      .agg(max(col("nd"))).head().getLong(0)
+    val exact = maxDistinct <= maxDistinctPerGroup
+    val aggs = percentiles.map { p =>
+      val label = "p" + BigDecimal(p * 100).underlying
+        .stripTrailingZeros.toPlainString.replace(".", "_")
+      val agg =
+        if (exact) s"percentile(`$valueCol`, ${p}D)"
+        else s"approx_percentile(`$valueCol`, ${p}D, $accuracy)"
+      round(expr(agg), 6).as(label)
+    } :+ count(lit(1)).as("n")
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Grouped percentiles of the event value distribution through the
+    * guarded operator above. The events value column is metric-like
+    * (small distinct set per group), so the guard routes to EXACT
+    * percentile — which both engines define as linear interpolation on
+    * the sorted values, so the oracle holds to 6 digits. The t-digest
+    * route is exercised by a high-cardinality fixture in QueriesSpec.
     */
   def q57_value_percentiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(col("event_type"))
-      .agg(
-        round(expr("percentile(value, 0.5D)"), 6).as("p50"),
-        round(expr("percentile(value, 0.95D)"), 6).as("p95"),
-        round(expr("percentile(value, 0.99D)"), 6).as("p99"),
-        count(lit(1)).as("n"))
+    groupedPercentiles(t(s, dir, "events"), "event_type", "value")
 
   val q57_sql: String =
     """SELECT event_type,
@@ -791,30 +827,20 @@ object RelationalQueries {
 
   /** Full sessionization — q14 counts session STARTS; this materializes
     * the sessions themselves: per user, events more than 30 min apart
-    * start a new session (cumulative sum over the gap markers), output
-    * one row per (user, session) with its event count and start.
+    * start a new session. Delegates to [[graft.pipeline.Sessionize]]'s
+    * single-pass form (one user_id exchange shared by both windows,
+    * plan-gated); its scaladoc states the intrinsic hot-user window-
+    * partition skew bound and [[graft.pipeline.Sessionize.sessionsTwoPass]]
+    * is the mitigation (parity-gated on a Zipf-hot fixture).
     * Deterministic tie-break on event_id for equal timestamps (a
     * nondeterministic window order would flake the cross-engine hash).
-    *
-    * Scale shape: ONE shuffle on user_id serves both windows (lag and
-    * the running sum share the same partitioning and ordering); the
-    * final per-session aggregate is partial-agg friendly and its
-    * exchange carries (user, session, count, min) scalars.
     */
-  def q58_sessionize(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
-    t(s, dir, "events")
-      .select(col("user_id"), col("event_id"),
-        unix_millis(col("ts").cast("timestamp")).as("ms"))
-      .withColumn("new_sess",
-        when(lag(col("ms"), 1).over(w).isNull ||
-          col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum(col("new_sess")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"), min(col("ms")).as("sess_start_ms"))
-  }
+  def q58_sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sessionize.sessions(
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("ms")),
+      "user_id", "ms", "event_id", gapMs = 1800000L)
 
   val q58_sql: String =
     """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

@@ -525,6 +525,89 @@ class AnnSpec extends AnyFunSuite {
       f"auto-geometry IVF recall $auto%.3f < 0.9 at 12.5%% probe fraction")
   }
 
+  test("groupedPercentiles guard: high-cardinality groups route to t-digest") {
+    import spark.implicits._
+    // a value column where EVERY row is distinct — the exact
+    // percentile's per-group buffer would grow with the row count; the
+    // guard must route this to approx_percentile without being told
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 20000).map(i =>
+      (s"g${i % 3}", rnd.nextDouble() * 1e9)).toDF("grp", "value")
+    val guarded = RelationalQueries.groupedPercentiles(
+      df, "grp", "value", Seq(0.5, 0.95), maxDistinctPerGroup = 1000)
+    assert(guarded.queryExecution.analyzed.toString
+      .contains("approx_percentile"),
+      "guard did not engage: plan still uses the exact percentile\n" +
+        guarded.queryExecution.analyzed)
+    // the routed result must stay inside approx_percentile's documented
+    // rank contract (n/accuracy positions, +1 for sample-vs-interpolate)
+    val got = guarded.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val byGrp = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).sorted }
+    got.foreach { case (g, (p50, p95)) =>
+      val vals = byGrp(g); val n = vals.length
+      Seq((0.5, p50), (0.95, p95)).foreach { case (q, v) =>
+        val target = q * (n - 1)
+        val rLo = vals.count(_ < v)
+        // the operator ROUNDS the returned sample to 6 digits, which on
+        // 1e9-scale all-distinct values lands it BETWEEN data points:
+        // count(<= v) - 1 < rLo then, and the value's effective rank is
+        // rLo itself
+        val rHi = math.max(vals.count(_ <= v) - 1, rLo)
+        val tol = n.toDouble / 10000 + 1
+        assert(rHi >= target - tol && rLo <= target + tol,
+          s"$g p$q: $v rank [$rLo,$rHi] vs target $target ± $tol")
+      }
+    }
+    // and a metric-like column keeps the EXACT path (q57's oracle
+    // depends on it)
+    val small = (1 to 5000).map(i => (s"g${i % 3}", (i % 40).toDouble))
+      .toDF("grp", "value")
+    val exact = RelationalQueries.groupedPercentiles(
+      small, "grp", "value", Seq(0.5), maxDistinctPerGroup = 1000)
+    assert(!exact.queryExecution.analyzed.toString
+      .contains("approx_percentile"),
+      "guard misfired: a 40-distinct-value column routed to t-digest")
+  }
+
+  test("two-pass sessionization matches single-pass on a Zipf-hot fixture") {
+    import spark.implicits._
+    import graft.pipeline.Sessionize
+    // hot user 1: a long event stream whose sessions both span many
+    // 1-hour slices (90% 10-min gaps chain across slice boundaries) and
+    // split inside them (10% 2-hour gaps); 50 cold users with random
+    // times, including equal-timestamp ties broken by event id
+    val rnd = new scala.util.Random(3)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var eid = 0L; var ms = 0L
+    for (_ <- 1 to 2000) {
+      ms += (if (rnd.nextDouble() < 0.9) 600000L else 7200000L)
+      rows += ((1L, eid, ms)); eid += 1
+    }
+    for (u <- 2 to 51; _ <- 1 to 20) {
+      rows += ((u.toLong, eid, math.abs(rnd.nextLong()) % (86400000L * 5)))
+      eid += 1
+    }
+    // ties: same user, same ms, distinct event ids
+    rows += ((2L, eid, 1234L)); eid += 1
+    rows += ((2L, eid, 1234L)); eid += 1
+    val df = rows.toSeq.toDF("user_id", "event_id", "ms")
+    val one = Sessionize.sessions(df, "user_id", "ms", "event_id", 1800000L)
+      .collect().map(_.toString).sorted.toSeq
+    val two = Sessionize.sessionsTwoPass(df, "user_id", "ms", "event_id",
+      1800000L, sliceMs = 3600000L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(two == one,
+      s"two-pass diverged: ${two.size} vs ${one.size} rows; " +
+        s"first diff: ${two.zip(one).find(p => p._1 != p._2)}")
+    // the mitigation must have had something to mitigate: the hot user's
+    // chains really cross slice boundaries (pass-2 merging is exercised)
+    val hotSessions = one.count(_.startsWith("[1,"))
+    assert(hotSessions > 10 && hotSessions < 2000,
+      s"fixture degenerate: $hotSessions hot-user sessions")
+  }
+
   test("approx_percentile (the 100-TB path) tracks exact percentile") {
     assume(available)
     // q57's exact `percentile` buffers distinct values per group — the
