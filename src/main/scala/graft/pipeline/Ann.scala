@@ -405,6 +405,47 @@ object Ann {
     cells
   }
 
+  /** Materialize an IVF INDEX: train (or auto-size) the coarse
+    * quantizer, persist it bit-exactly at `indexDir/centroids.json`,
+    * and write every vector's cell assignment as a parquet table
+    * hive-PARTITIONED BY CELL under `indexDir/data`.
+    *
+    * Why partitioned by cell: the search's probe side is broadcast by
+    * contract, so the corpus side never shuffles — the per-query cost
+    * of the inline path is the full corpus scan that recomputes
+    * assignments. With a cell-partitioned index, a query enumerates its
+    * probes' nProbe cells (driver-side, the probe set is broadcast-
+    * small) and the scan PRUNES to exactly those partitions: repeated
+    * ANN queries read `nProbe/nCells` of the corpus instead of all of
+    * it, and run no assignment compute at all. Plan-gated in AnnSpec
+    * (no `ner_nearest_cell` on the indexed path, partition filters on
+    * the scan).
+    *
+    * Returns the cell count. Rebuild (mode overwrite) after corpus
+    * changes; assignments are deterministic given the persisted
+    * quantizer, so rebuilds are reproducible.
+    */
+  def buildIvfIndex(vecs: DataFrame, idCol: String, embCol: String,
+                    indexDir: String, nCells: Int = -1,
+                    sampleN: Int = DefaultSampleN,
+                    seed: Long = 4321L): Int = {
+    val spark = vecs.sparkSession
+    val cents = {
+      val useCells =
+        if (nCells > 0) nCells
+        else ivfAutoGeometry(vecs.where(col(embCol).isNotNull).count())._1
+      ivfCentroids(vecs, idCol, embCol, useCells, sampleN, seed = seed)
+    }
+    saveCentroids(spark, cents, s"$indexDir/centroids.json")
+    vecs.where(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        AnnFunctions.ner_nearest_cell(col(embCol), cents).as("cell"),
+        col(embCol).as("embedding"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/data")
+    cents.length
+  }
+
   /** IVF search: assign every vector to its nearest centroid; probes
     * search their `nProbe` nearest cells (corpus-side cost unchanged,
     * probe-side fans out nProbe-fold). Defaults (`nCells`/`nProbe`
@@ -415,13 +456,41 @@ object Ann {
     * only extra job is a one-row width probe validating the quantizer
     * against the data, and `nCells` is ignored in favor of the
     * quantizer's own size.
+    *
+    * Pass `indexDir` (from [[buildIvfIndex]]) to skip the corpus scan
+    * entirely: the quantizer loads from the index, `vecs` serves ONLY
+    * as the probe source, and the corpus side reads the cell-
+    * partitioned assignment table pruned to the probed cells — no
+    * per-row assignment compute, `nProbe/nCells` of the corpus read.
+    * Row-parity with the inline path is suite-gated (assignments are
+    * deterministic under the bit-exact persisted quantizer).
     */
   def ivfNeighbors(vecs: DataFrame, idCol: String, embCol: String,
                    probePred: Column, k: Int = 3, nCells: Int = -1,
                    nProbe: Int = -1, sampleN: Int = DefaultSampleN,
                    seed: Long = 4321L,
                    centroids: Option[Array[Array[Float]]] = None,
+                   indexDir: Option[String] = None,
                    maxProbeBytes: Long = MaxProbeBroadcastBytes): DataFrame = {
+    indexDir match {
+      case Some(d) =>
+        require(centroids.isEmpty,
+          "pass either indexDir or centroids, not both — the index " +
+            "carries its own quantizer")
+        ivfNeighborsIndexed(vecs, idCol, embCol, probePred, d, k,
+          nProbe, maxProbeBytes)
+      case None =>
+        ivfNeighborsInline(vecs, idCol, embCol, probePred, k, nCells,
+          nProbe, sampleN, seed, centroids, maxProbeBytes)
+    }
+  }
+
+  private def ivfNeighborsInline(vecs: DataFrame, idCol: String,
+                                 embCol: String, probePred: Column, k: Int,
+                                 nCells: Int, nProbe: Int, sampleN: Int,
+                                 seed: Long,
+                                 centroids: Option[Array[Array[Float]]],
+                                 maxProbeBytes: Long): DataFrame = {
     // centroids first: their sample collect already pins the embedding
     // width, so the budget guard needs no extra dim-probe job — and it
     // still fires before any corpus-side work
@@ -472,5 +541,48 @@ object Ann {
           .as("cell"),
         col(embCol).as("q_emb"))
     topK(bucketed, probes, Seq("cell"), k, dedupe = false)
+  }
+
+  /** The [[ivfNeighbors]] `indexDir` branch: probes from `vecs`, corpus
+    * from the persisted assignment table, scan pruned to the probed
+    * cells (see [[buildIvfIndex]]).
+    */
+  private def ivfNeighborsIndexed(vecs: DataFrame, idCol: String,
+                                  embCol: String, probePred: Column,
+                                  indexDir: String, k: Int, nProbe: Int,
+                                  maxProbeBytes: Long): DataFrame = {
+    val spark = vecs.sparkSession
+    val cents = loadCentroids(spark, s"$indexDir/centroids.json")
+    // same wrong-quantizer width check as the preloaded-centroids path
+    vecs.where(col(embCol).isNotNull)
+      .select(size(col(embCol))).limit(1).collect().headOption
+      .foreach { row =>
+        require(cents(0).length == row.getInt(0),
+          s"index quantizer dimension ${cents(0).length} != probe " +
+            s"embedding dimension ${row.getInt(0)} — wrong index for " +
+            "this table")
+      }
+    val useProbe = if (nProbe > 0) nProbe else probeFor(cents.length)
+    guardProbeSize(vecs, probePred, embCol, cents(0).length, useProbe,
+      maxProbeBytes)
+    val probes = vecs.where(probePred && col(embCol).isNotNull)
+      .select(col(idCol).as("q_id"),
+        explode(AnnFunctions.ner_top_cells(col(embCol), cents, useProbe))
+          .as("cell"),
+        col(embCol).as("q_emb"))
+    // the probed cells, enumerated driver-side: the probe set is
+    // broadcast-small by contract (guard above), so this collect is the
+    // same size class as the broadcast itself — and it is what turns
+    // the corpus read into STATIC partition pruning below, the whole
+    // point of the index
+    val probeCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    if (probeCells.isEmpty) return probes.select(col("q_id"),
+      lit(0).as("rank"), col("q_id").as("vec_id"), lit(0.0).as("cos"))
+      .limit(0)
+    val index = spark.read.parquet(s"$indexDir/data")
+      .where(col("cell").isin(probeCells.map(Int.box): _*))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    topK(index, probes, Seq("cell"), k, dedupe = false)
   }
 }

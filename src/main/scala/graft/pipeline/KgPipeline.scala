@@ -478,7 +478,31 @@ object KgPipeline {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.getCheckpointFile match {
           case some @ Some(_) => dropCheckpoint(spark, some)
-          case None => lr.rdd.unpersist(blocking)
+          case None =>
+            // Unpersisting a locally-checkpointed RDD makes Spark WARN
+            // that it "can no longer be recomputed" — which is this
+            // method's documented CONTRACT (release = the frames are
+            // dead), not an incident. Left alone, the warning repeats on
+            // every bench trial's releaseAll and buries real warnings in
+            // the log tail (VERDICT r5). Silence exactly that RDD
+            // class's logger for exactly this call, restoring after;
+            // best-effort — a logging-backend change must not break
+            // release itself.
+            val loggerName = lr.rdd.getClass.getName
+            val prev =
+              try {
+                val lvl = org.apache.logging.log4j.LogManager
+                  .getLogger(loggerName).getLevel
+                org.apache.logging.log4j.core.config.Configurator
+                  .setLevel(loggerName, org.apache.logging.log4j.Level.ERROR)
+                Some(lvl)
+              } catch { case scala.util.control.NonFatal(_) => None }
+            try lr.rdd.unpersist(blocking)
+            finally prev.foreach { lvl =>
+              try org.apache.logging.log4j.core.config.Configurator
+                .setLevel(loggerName, lvl)
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
         }
       case _ => ()
     }

@@ -62,6 +62,17 @@ object TextDedup {
   def minhashBands(shingleDf: DataFrame, numHashes: Int = 16,
                    bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    if (numHashes == 0) {
+      // DEGENERATE all-collide bucket (the q56 convention, here for
+      // MinHash): every doc lands in band 0 / bucket 0, so the
+      // downstream candidate self-join enumerates ALL pairs and the
+      // exact-Jaccard verify alone decides — brute force through the
+      // SAME code path, which is what makes minhashPairs SQL-oracleable
+      // at small N (q59). Candidate volume is quadratic: keep the input
+      // id-bounded. The production path is any numHashes > 0.
+      return shingleDf.select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(0).as("band"), lit(0L).as("bk"))
+    }
     val rows = numHashes / bands
     val sig = shingleDf.select(col("doc_id") +:
         (0 until numHashes).map(i => xxhash64(col("gh"), lit(i)).as(s"h$i")): _*)

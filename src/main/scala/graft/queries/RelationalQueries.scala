@@ -760,6 +760,38 @@ object RelationalQueries {
       |            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
       |             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4""".stripMargin
 
+  /** Small-N oracled rendition of the q44 MinHash path (VERDICT r5 #8,
+    * the q56 convention): with `numHashes = 0` the banding degenerates
+    * to a single all-colliding bucket, so the SAME code path — banded
+    * candidate self-join, hashed-shingle exact-Jaccard verify —
+    * enumerates exactly the brute-force pair set and gains a
+    * cross-engine SQL check (q44 itself cannot be oracled: banded-LSH
+    * recall is < 1 by design). The id bound keeps the quadratic
+    * candidate set fixture-sized; q44 is the scale path. Shared counts
+    * match the text-shingle oracle up to 64-bit xxhash collisions
+    * (~2^-64 per gram pair).
+    */
+  def q59_minhash_pairs_exact(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextDedup.minhashPairs(
+      t(s, dir, "documents").where(col("doc_id") < 300),
+      "doc_id", "text", numHashes = 0, bands = 1)
+
+  val q59_sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+      |            FROM documents WHERE doc_id < 300),
+      |toks AS (SELECT DISTINCT doc_id,
+      |           array_to_string(list_slice(w, i + 1, i + 3), ' ') AS tok
+      |         FROM ws, UNNEST(range(0, greatest(len(w) - 3, 0) + 1)) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+      |           FROM toks a JOIN toks b
+      |             ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT d1, d2, shared FROM shared
+      |JOIN sizes s1 ON s1.doc_id = d1
+      |JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE shared * 2 >= (s1.sz + s2.sz - shared)""".stripMargin
+
   /** Grouped percentiles with a CARDINALITY GUARD — the latency/size-
     * distribution report every pipeline dashboard needs, safe by
     * default at any scale.
@@ -892,5 +924,6 @@ object RelationalQueries {
     "q55_boilerplate" -> ((q55_boilerplate _, q55_sql)),
     "q56_cosine_pairs_exact" -> ((q56_cosine_pairs_exact _, q56_sql)),
     "q57_value_percentiles" -> ((q57_value_percentiles _, q57_sql)),
-    "q58_sessionize" -> ((q58_sessionize _, q58_sql)))
+    "q58_sessionize" -> ((q58_sessionize _, q58_sql)),
+    "q59_minhash_pairs_exact" -> ((q59_minhash_pairs_exact _, q59_sql)))
 }

@@ -127,6 +127,36 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"LSH banding missed too many true pairs: $recall%.3f")
   }
 
+  test("q59 degenerate banding (numHashes=0) EQUALS brute-force Jaccard pairs") {
+    // q44's recall gate tolerates banding misses; the q59 rendition must
+    // not miss ANYTHING — the all-collide bucket makes the candidate set
+    // exhaustive, so set equality (not subset) is the contract that makes
+    // it SQL-oracleable
+    val qDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$qDir/documents.parquet").exists())
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$qDir/documents.parquet")
+      .where(col("doc_id") < 300)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ")
+      (0 to math.max(ws.length - 3, 0)).map(i =>
+        ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }
+    val truePairs = (for {
+      i <- sh.indices.iterator
+      j <- (i + 1) until sh.length
+      (id1, s1) = sh(i); (id2, s2) = sh(j)
+      inter = (s1 & s2).size
+      if inter * 2 >= s1.size + s2.size - inter // J >= 0.5
+    } yield (math.min(id1, id2), math.max(id1, id2))).toSet
+    val got = RelationalQueries.q59_minhash_pairs_exact(spark, qDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truePairs,
+      s"degenerate path diverged: missing=${truePairs -- got} extra=${got -- truePairs}")
+  }
+
   test("q45 simhash groups match a driver-side brute-force recompute") {
     val qDir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$qDir/documents.parquet").exists())
@@ -271,6 +301,54 @@ class AnnSpec extends AnyFunSuite {
   test("q49 IVF probe join is a guaranteed broadcast; shuffles are vector-free") {
     assume(available)
     assertVectorShuffleFree(PipelineQueries.q49_ann_ivf(spark, dir), "q49")
+  }
+
+  test("persisted IVF index: row parity, no assignment stage, pruned scan") {
+    assume(available)
+    import graft.pipeline.Ann
+    val df = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+      .toString + "/ivf"
+    val nc = Ann.buildIvfIndex(df, "vec_id", "embedding", idx, nCells = 32)
+    assert(nc == 32)
+    val probePred = col("vec_id") < 20
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    // parity: the index persists assignments under the SAME quantizer
+    // (bit-exact save/load, same seed/sample), so results are identical
+    val inline = Ann.ivfNeighbors(df, "vec_id", "embedding", probePred,
+      k = 3, nCells = 32, nProbe = 4)
+    val indexed = Ann.ivfNeighbors(df, "vec_id", "embedding", probePred,
+      k = 3, nProbe = 4, indexDir = Some(idx))
+    assert(rowsOf(indexed) == rowsOf(inline),
+      "indexed path diverged from inline")
+    // no assignment stage: the corpus side reads persisted cells — the
+    // nearest-cell expression must appear NOWHERE in the indexed plan
+    // (probes use ner_top_cells, a different function)
+    indexed.collect()
+    val planStr = indexed.queryExecution.executedPlan.toString
+    assert(!planStr.contains("ner_nearest_cell"),
+      s"indexed path still computes assignments:\n$planStr")
+    // pruned scan: the index read must carry partition filters on cell
+    // (the static pruning that makes repeated queries read nProbe/nCells
+    // of the corpus, not all of it)
+    val scans = graft.plans.PlanInspector
+      .allNodes(indexed.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.output.exists(_.name == "cell") => f
+      }
+    assert(scans.nonEmpty, s"no file scan over the index:\n$planStr")
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"index scan is not partition-pruned on cell:\n$f")
+    }
+    // and the indexed path keeps the broadcast/vector-free contract
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val nodes = graft.plans.PlanInspector
+      .allNodes(indexed.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]) &&
+      !nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      s"indexed probe join is not a guaranteed broadcast:\n$planStr")
   }
 
   test("IVF recall@3 holds across quantizer seeds (min-over-seeds gate)") {
