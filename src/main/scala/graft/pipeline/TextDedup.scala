@@ -209,6 +209,50 @@ object TextDedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }
 
+  /** Near-duplicate CLUSTERS with a canonical pick — the transitive
+    * closure of [[minhashPairs]] plus the keep-decision a curation
+    * pipeline acts on. Where Curate's greedy pass drops `d2` of each
+    * pair independently (order-dependent at the margins), this operator
+    * groups mutually-near documents into one cluster and keeps exactly
+    * one canonical representative per cluster: the member with the MOST
+    * whitespace tokens (the best exemplar of a template family), ties
+    * broken by min doc_id. Output: (doc_id, cluster_id, is_canonical
+    * 0/1) for EVERY input document; singletons are their own cluster
+    * and trivially canonical. cluster_id = min doc_id in the cluster
+    * (the same min-label convention as the KG canonicalizer).
+    *
+    * Scale shape: pair generation is the banded-LSH pipeline (no
+    * all-pairs product); the CC fixpoint runs over ONLY the documents
+    * that appear in some pair — dup-involved docs, not the corpus — and
+    * alias-cluster diameters are tiny, so it converges in a few rounds
+    * (each round checkpoint-truncated, see
+    * [[graft.pipeline.KgPipeline.connectedComponents]]). The canonical
+    * pick is a partial-agg `max(struct(n_toks, -doc_id))` per cluster —
+    * deliberately NOT a row_number window: a 10M-doc boilerplate
+    * cluster would land one window partition on one task, while the
+    * struct-max combines map-side. NULL texts tokenize to n_toks = 0,
+    * shingle to nothing, and come out as singleton clusters.
+    */
+  def dupClusters(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, numHashes: Int = 16,
+                  bands: Int = 4): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, k, numHashes, bands)
+    val labels = graft.pipeline.KgPipeline.connectedComponents(
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      .withColumnRenamed("node", "doc_id")
+    val assigned = docs.select(col(idCol).as("doc_id"),
+        coalesce(size(split(col(textCol), " ")), lit(0)).as("n_toks"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+    val canon = assigned.groupBy("cluster_id")
+      .agg(max(struct(col("n_toks"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("cluster_id"), (-col("m.neg_id")).as("canonical_id"))
+    assigned.join(canon, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") === col("canonical_id"), 1).otherwise(0)
+          .as("is_canonical"))
+  }
+
   /** Per-document SimHash fingerprint over whitespace tokens:
     * (doc_id, simhash).
     */

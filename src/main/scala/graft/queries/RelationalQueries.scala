@@ -792,6 +792,58 @@ object RelationalQueries {
       |JOIN sizes s2 ON s2.doc_id = d2
       |WHERE shared * 2 >= (s1.sz + s2.sz - shared)""".stripMargin
 
+  /** Near-dup clustering with canonical pick, oracled through the
+    * degenerate exact path (q59's convention): `numHashes = 0` makes
+    * the candidate set exhaustive, so the clusters are the exact
+    * transitive closure of Jaccard-≥½ pairs, and DuckDB reproduces
+    * them with the q59 pair CTE + the q25 recursive-CTE connected
+    * components + a window canonical pick. The production entry is
+    * [[graft.pipeline.TextDedup.dupClusters]] with real banding
+    * (recall-gated in QueriesSpec); is_canonical is 0/1 int so the
+    * cross-engine hash never depends on boolean formatting.
+    */
+  def q60_dup_clusters(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextDedup.dupClusters(
+      t(s, dir, "documents").where(col("doc_id") < 300),
+      "doc_id", "text", numHashes = 0, bands = 1)
+
+  val q60_sql: String =
+    """WITH RECURSIVE
+      |ws AS (SELECT doc_id, string_split(text, ' ') AS w
+      |       FROM documents WHERE doc_id < 300),
+      |toks AS (SELECT DISTINCT doc_id,
+      |           array_to_string(list_slice(w, i + 1, i + 3), ' ') AS tok
+      |         FROM ws, UNNEST(range(0, greatest(len(w) - 3, 0) + 1)) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+      |           FROM toks a JOIN toks b
+      |             ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |pairs AS (SELECT d1, d2 FROM shared
+      |          JOIN sizes s1 ON s1.doc_id = d1
+      |          JOIN sizes s2 ON s2.doc_id = d2
+      |          WHERE shared * 2 >= (s1.sz + s2.sz - shared)),
+      |und AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |        UNION SELECT d2, d1 FROM pairs),
+      |reach(node, comp) AS (
+      |  SELECT src, src FROM und
+      |  UNION
+      |  SELECT u.src, r.comp FROM und u JOIN reach r ON u.dst = r.node),
+      |labels AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+      |assigned AS (SELECT d.doc_id,
+      |               CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS cluster_id,
+      |               len(d.w) AS n_toks
+      |             FROM ws d LEFT JOIN labels l ON l.node = d.doc_id),
+      |canon AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+      |            SELECT cluster_id, doc_id,
+      |              row_number() OVER (PARTITION BY cluster_id
+      |                ORDER BY n_toks DESC, doc_id) AS rn
+      |            FROM assigned) WHERE rn = 1)
+      |SELECT a.doc_id, a.cluster_id,
+      |       CAST(CASE WHEN a.doc_id = c.canonical_id THEN 1 ELSE 0 END AS INT)
+      |         AS is_canonical
+      |FROM assigned a JOIN canon c USING (cluster_id)""".stripMargin
+
   /** Grouped percentiles with a CARDINALITY GUARD — the latency/size-
     * distribution report every pipeline dashboard needs, safe by
     * default at any scale.
@@ -925,5 +977,6 @@ object RelationalQueries {
     "q56_cosine_pairs_exact" -> ((q56_cosine_pairs_exact _, q56_sql)),
     "q57_value_percentiles" -> ((q57_value_percentiles _, q57_sql)),
     "q58_sessionize" -> ((q58_sessionize _, q58_sql)),
-    "q59_minhash_pairs_exact" -> ((q59_minhash_pairs_exact _, q59_sql)))
+    "q59_minhash_pairs_exact" -> ((q59_minhash_pairs_exact _, q59_sql)),
+    "q60_dup_clusters" -> ((q60_dup_clusters _, q60_sql)))
 }

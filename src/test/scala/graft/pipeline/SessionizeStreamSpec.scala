@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import scala.concurrent.duration._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity gates for the two non-lag sessionization renditions: the
+  * native `session_window` aggregate (batch mode here; the operator is
+  * streaming-capable unchanged) and the `flatMapGroupsWithState`
+  * streaming sessionizer — both must reproduce the lag-based batch
+  * operator ([[Sessionize.sessions]], the q58 oracle semantics) row for
+  * row, including the exactly-on-gap boundary where the half-open
+  * native window would otherwise split.
+  */
+class SessionizeStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val Gap = 1000L
+
+  /** Deterministic multi-user event set with hostile boundaries: gaps of
+    * exactly `Gap` (must NOT split), `Gap + 1` (must split), plus a
+    * pseudo-random mix. (user_id, ms, event_id); ms unique per user so
+    * the tie column never decides.
+    */
+  private def fixture: Seq[(Long, Long, Long)] = {
+    val rnd = new scala.util.Random(4242)
+    val rows = Seq.newBuilder[(Long, Long, Long)]
+    var eid = 0L
+    (1L to 8L).foreach { u =>
+      var ms = u * 17
+      // forced boundaries first: same-session at exactly Gap, split at Gap+1
+      val forced = Seq(0L, Gap, Gap + 1, 3, Gap)
+      val steps = forced ++ Seq.fill(25)(
+        if (rnd.nextInt(4) == 0) Gap + 1 + rnd.nextInt(5000)
+        else 1L + rnd.nextInt(Gap.toInt))
+      steps.foreach { d =>
+        ms += d; eid += 1; rows += ((u, ms, eid))
+      }
+    }
+    rows.result()
+  }
+
+  private def batchSessions(rows: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    Sessionize.sessions(rows.toDF("user_id", "ms", "event_id"),
+        "user_id", "ms", "event_id", Gap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("native session_window aggregate matches the lag-based sessionizer") {
+    import spark.implicits._
+    val rows = fixture
+    val expected = batchSessions(rows)
+      .map { case (u, _, n, start) => (u, start, n) }
+    val got = Sessionize.sessionWindowAgg(
+        rows.toDF("user_id", "ms", "event_id"), "user_id", "ms", Gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"native window diverged: missing=${expected -- got} extra=${got -- expected}")
+    // the exactly-on-gap pair really is in the fixture (gate not vacuous):
+    // without the +1 boundary fix these sessions would split
+    assert(rows.sliding(2).exists { case Seq((u1, m1, _), (u2, m2, _)) =>
+      u1 == u2 && m2 - m1 == Gap },
+      "fixture lost its exact-gap boundary pair")
+  }
+
+  test("streaming sessionizer emits the batch session set as the watermark closes sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = fixture
+    val expected = batchSessions(rows)
+    // three event-time-ordered micro-batches over ALL users
+    val sorted = rows.sortBy(_._2).map(r => (r._1, r._2))
+    val batches = sorted.grouped((sorted.size + 2) / 3).toSeq
+    val input = MemoryStream[(Long, Long)]
+    val out = graft.streaming.StreamingSessionize
+      .sessionStream(spark, input.toDS(), Gap, watermarkDelayMs = Gap,
+        ordinalTtl = Some(1.hour))
+      .toDF("user_id", "session_id", "n_events", "sess_start_ms")
+    val q = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      // flush: two far-future sentinel events advance the watermark past
+      // every open session's last+gap (first batch moves the watermark,
+      // the next fires the event-time timeouts)
+      val far = sorted.last._2 + 100 * Gap
+      input.addData((9999L, far)); q.processAllAvailable()
+      input.addData((9999L, far + 1)); q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT user_id, session_id, n_events, sess_start_ms FROM sess_stream")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 != 9999L).toSet
+      assert(got == expected,
+        s"stream diverged from batch: missing=${expected -- got} extra=${got -- expected}")
+    } finally q.stop()
+  }
+
+  test("out-of-order arrival within the watermark does not change the stream's sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = fixture
+    val expected = batchSessions(rows)
+    // shuffle WITHIN each event-time-ordered batch: arrival order inside
+    // a micro-batch is arbitrary in production (tasks race)
+    val rnd = new scala.util.Random(99)
+    val sorted = rows.sortBy(_._2).map(r => (r._1, r._2))
+    val batches = sorted.grouped((sorted.size + 2) / 3).toSeq
+      .map(b => rnd.shuffle(b))
+    val input = MemoryStream[(Long, Long)]
+    val out = graft.streaming.StreamingSessionize
+      .sessionStream(spark, input.toDS(), Gap, watermarkDelayMs = Gap,
+        ordinalTtl = Some(1.hour))
+      .toDF("user_id", "session_id", "n_events", "sess_start_ms")
+    val q = out.writeStream.format("memory").queryName("sess_stream_ooo")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val far = sorted.last._2 + 100 * Gap
+      input.addData((9999L, far)); q.processAllAvailable()
+      input.addData((9999L, far + 1)); q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT user_id, session_id, n_events, sess_start_ms FROM sess_stream_ooo")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 != 9999L).toSet
+      assert(got == expected,
+        s"shuffled arrival diverged: missing=${expected -- got} extra=${got -- expected}")
+    } finally q.stop()
+  }
+}

@@ -157,6 +157,77 @@ class AnnSpec extends AnyFunSuite {
       s"degenerate path diverged: missing=${truePairs -- got} extra=${got -- truePairs}")
   }
 
+  test("q60 dup clusters: degenerate path equals the brute-force closure; production banding refines it") {
+    val qDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$qDir/documents.parquet").exists())
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$qDir/documents.parquet")
+      .where(col("doc_id") < 300)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ")
+      (0 to math.max(ws.length - 3, 0)).map(i =>
+        ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }
+    val truePairs = (for {
+      i <- sh.indices.iterator
+      j <- (i + 1) until sh.length
+      (id1, s1) = sh(i); (id2, s2) = sh(j)
+      inter = (s1 & s2).size
+      if inter * 2 >= s1.size + s2.size - inter
+    } yield (math.min(id1, id2), math.max(id1, id2))).toSet
+    // independent transitive closure: driver union-find, min-id label
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    truePairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val members = parent.keys.toSeq.groupBy(find)
+      .flatMap { case (_, ms) => val m = ms.min; ms.map(_ -> m) }
+    val trueCluster = docs.map { case (id, _) =>
+      id -> members.getOrElse(id, id) }.toMap
+    val nToks = docs.map { case (id, t) => id -> t.split(" ", -1).length }.toMap
+    val trueCanon = trueCluster.groupBy(_._2).map { case (c, ms) =>
+      c -> ms.keys.maxBy(id => (nToks(id), -id)) }
+    val got = RelationalQueries.q60_dup_clusters(spark, qDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == docs.length, "one row per input doc")
+    got.foreach { case (id, cl, canon) =>
+      assert(cl == trueCluster(id), s"doc $id: cluster $cl != ${trueCluster(id)}")
+      val expCanon = if (trueCanon(trueCluster(id)) == id) 1 else 0
+      assert(canon == expCanon, s"doc $id: is_canonical $canon != $expCanon")
+    }
+    assert(trueCluster.values.toSet.size < docs.length,
+      "gate is vacuous: no multi-doc cluster at this SF")
+    // production banding: found pairs are exact-verified (precision 1),
+    // so every production cluster must sit INSIDE one true cluster —
+    // banding can only split clusters (missed pairs), never merge
+    // unrelated docs
+    val prod = graft.pipeline.TextDedup.dupClusters(
+        spark.read.parquet(s"$qDir/documents.parquet").where(col("doc_id") < 300),
+        "doc_id", "text", numHashes = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    prod.groupBy(_._2).values.foreach { ms =>
+      val tc = ms.map { case (id, _) => trueCluster(id) }.toSet
+      assert(tc.size == 1,
+        s"banded cluster mixes true clusters $tc: ${ms.map(_._1).toSeq}")
+    }
+    val trueDup = trueCluster.filter { case (id, c) => c != id ||
+      trueCluster.values.count(_ == c) > 1 }.keySet
+    val prodCluster = prod.toMap
+    val prodDup = prodCluster.filter { case (id, c) => c != id ||
+      prodCluster.values.count(_ == c) > 1 }.keySet
+    val recall = if (trueDup.isEmpty) 1.0
+                 else (trueDup & prodDup).size.toDouble / trueDup.size
+    info(f"banded cluster-membership recall = $recall%.3f")
+    assert(recall >= 0.9, f"banding lost too much cluster membership: $recall%.3f")
+  }
+
   test("q45 simhash groups match a driver-side brute-force recompute") {
     val qDir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$qDir/documents.parquet").exists())
