@@ -88,9 +88,25 @@ object Sessionize {
   def sessionWindowAgg(df: DataFrame, userCol: String, msCol: String,
                        gapMs: Long): DataFrame = {
     require(gapMs >= 1, s"bad gapMs: $gapMs")
-    df.select(col(userCol), timestamp_millis(col(msCol)).as("_ts"))
-      .groupBy(col(userCol),
-        session_window(col("_ts"), s"$gapMs milliseconds").as("_sw"))
+    sessionWindowAggTs(
+      df.select(col(userCol), timestamp_millis(col(msCol)).as("_ts")),
+      userCol, "_ts", gapMs)
+  }
+
+  /** [[sessionWindowAgg]] over an EXISTING timestamp column — the form a
+    * STREAMING caller needs: a watermark binds to a concrete column, so
+    * the caller applies `withWatermark(tsCol, …)` on its frame and
+    * passes that column through untouched (deriving a fresh timestamp
+    * inside the operator would detach the watermark and append-mode
+    * session aggregation would be rejected). Batch parity and the
+    * streaming emission contract are both pinned in
+    * SessionizeStreamSpec.
+    */
+  def sessionWindowAggTs(df: DataFrame, userCol: String, tsCol: String,
+                         gapMs: Long): DataFrame = {
+    require(gapMs >= 1, s"bad gapMs: $gapMs")
+    df.groupBy(col(userCol),
+        session_window(col(tsCol), s"$gapMs milliseconds").as("_sw"))
       .agg(count(lit(1)).as("n_events"))
       .select(col(userCol),
         unix_millis(col("_sw.start")).as("sess_start_ms"), col("n_events"))

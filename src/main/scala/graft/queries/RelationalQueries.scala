@@ -844,6 +844,57 @@ object RelationalQueries {
       |         AS is_canonical
       |FROM assigned a JOIN canon c USING (cluster_id)""".stripMargin
 
+  /** Pivoted per-user event-type counts — the wide-table report shape
+    * (`RelationalGroupedDataset.pivot`). The pivot VALUES are passed
+    * explicitly: without them Spark runs an eager distinct job over the
+    * full input just to learn the column set — a silent extra scan at
+    * 100 TB — and the output schema becomes data-dependent, which no
+    * downstream contract (or cross-engine oracle) can pin. Pivoted
+    * cells a user never hit are nulls in Spark but 0 under SQL
+    * conditional counts, so they're filled to 0 — the value a count
+    * report means.
+    */
+  def q61_event_pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events")
+      .where(col("user_id").isNotNull && col("user_id") < 100)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
+  val q61_sql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click')    AS click,
+      |  count(*) FILTER (event_type = 'error')    AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup')   AS signup,
+      |  count(*) FILTER (event_type = 'view')     AS view
+      |FROM events WHERE user_id IS NOT NULL AND user_id < 100
+      |GROUP BY user_id""".stripMargin
+
+  /** CUBE over (lang, source) on documents — all four grouping-set
+    * combinations in ONE pass (Spark expands the cube in the aggregate,
+    * partial-agg friendly: each input row contributes to 4 buffer
+    * entries map-side, and only the compact buffers shuffle — vs 4
+    * separate scans for 4 GROUP BYs). `grouping_id` disambiguates a
+    * real NULL group value from a cube subtotal row; both engines emit
+    * the same bitmask (first cube column = most significant bit).
+    */
+  def q62_doc_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      // grouping_id() must be computed IN the aggregate, while the
+      // grouping-set metadata still exists; a post-agg select rejects it
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  val q62_sql: String =
+    """SELECT lang, source, CAST(GROUPING(lang, source) AS INT) AS gid,
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY CUBE (lang, source)""".stripMargin
+
   /** Grouped percentiles with a CARDINALITY GUARD — the latency/size-
     * distribution report every pipeline dashboard needs, safe by
     * default at any scale.
@@ -978,5 +1029,7 @@ object RelationalQueries {
     "q57_value_percentiles" -> ((q57_value_percentiles _, q57_sql)),
     "q58_sessionize" -> ((q58_sessionize _, q58_sql)),
     "q59_minhash_pairs_exact" -> ((q59_minhash_pairs_exact _, q59_sql)),
-    "q60_dup_clusters" -> ((q60_dup_clusters _, q60_sql)))
+    "q60_dup_clusters" -> ((q60_dup_clusters _, q60_sql)),
+    "q61_event_pivot" -> ((q61_event_pivot _, q61_sql)),
+    "q62_doc_cube" -> ((q62_doc_cube _, q62_sql)))
 }

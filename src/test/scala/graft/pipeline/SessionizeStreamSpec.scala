@@ -67,6 +67,37 @@ class SessionizeStreamSpec extends AnyFunSuite {
       "fixture lost its exact-gap boundary pair")
   }
 
+  test("native session_window works UNCHANGED in streaming append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = fixture
+    val expected = batchSessions(rows)
+      .map { case (u, _, n, start) => (u, start, n) }
+    val sorted = rows.sortBy(_._2).map(r => (r._1, r._2))
+    val batches = sorted.grouped((sorted.size + 2) / 3).toSeq
+    val input = MemoryStream[(Long, Long)]
+    // the caller-side watermark contract of sessionWindowAggTs: derive
+    // the ts column, watermark it, pass it through untouched
+    val streamDf = input.toDS().toDF("user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", "1 second")
+    val out = Sessionize.sessionWindowAggTs(streamDf, "user_id", "ts", Gap)
+    val q = out.writeStream.format("memory").queryName("sess_native_stream")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val far = sorted.last._2 + 100 * Gap
+      input.addData((9999L, far)); q.processAllAvailable()
+      input.addData((9999L, far + 1)); q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT user_id, sess_start_ms, n_events FROM sess_native_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 != 9999L).toSet
+      assert(got == expected,
+        s"streaming native window diverged: missing=${expected -- got} extra=${got -- expected}")
+    } finally q.stop()
+  }
+
   test("streaming sessionizer emits the batch session set as the watermark closes sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
