@@ -21,7 +21,7 @@ import scala.jdk.CollectionConverters._
   *   serve <model.json> <port>                TCP NER server (T1, model resident)
   *   client <host> <port> < raw.txt           one request per line (T2)
   *   cv <in.nes> <k> [modelDir]               k-fold cross-validation (X1)
-  *   curate <sfDir> <outDir> [minCos]         curation recipe: dedup chain ->
+  *   curate <sfDir> <outDir> [minCos] [greedy|cluster]  curation recipe: dedup chain ->
   *                                            hot keys -> salted write (JSON report)
   */
 object Cli {
@@ -154,7 +154,7 @@ object Cli {
       stdinLines.foreach { line =>
         utf8Out.println(graft.server.NerfServer.request(host, portStr.toInt, line))
       }
-    case "curate" :: sfDir :: outDir :: rest if rest.length <= 1 =>
+    case "curate" :: sfDir :: outDir :: rest if rest.length <= 2 =>
       // End-to-end curation recipe over a documents(+embeddings) table:
       // exact dedup -> boilerplate drop -> MinHash near-dup -> embedding
       // near-dup -> hot-key detection -> salted resumable write. One
@@ -182,11 +182,17 @@ object Cli {
           None
         }
       val minCos = rest.headOption.map(_.toDouble).getOrElse(0.95)
+      // optional policy: "cluster" switches stage 3 from greedy drop-d2
+      // to CC dup-clusters with canonical-exemplar keep
+      val policy = rest.drop(1).headOption.getOrElse("greedy")
+      require(policy == "greedy" || policy == "cluster",
+        s"unknown near-dup policy '$policy' (greedy|cluster)")
       // stage checkpoints under the output dir: a crashed CLI run
       // resumes at the failed stage, not from scratch
       val report = graft.pipeline.Curate.run(spark, docs, "doc_id", "text",
         emb, "vec_id", "embedding", outDir, hotKeyCol = "source",
-        minCos = minCos, stageDir = Some(s"$outDir/_stages"))
+        minCos = minCos, stageDir = Some(s"$outDir/_stages"),
+        clusterKeep = policy == "cluster")
       utf8Out.println(report.json)
       spark.stop()
     case "synth" :: out :: rest =>

@@ -44,6 +44,17 @@ import org.apache.spark.sql.functions._
   * collapse in step 1 and degenerate LSH buckets are capped inside the
   * pair operators themselves.
   *
+  * `clusterKeep = true` switches step 3 to the principled alternative,
+  * [[TextDedup.dupClusters]]: near-dup pairs are closed into clusters
+  * (connected components) and the BEST exemplar of each cluster — most
+  * tokens, min-id tie-break — is kept, instead of whichever chain
+  * member happened never to be a pair's larger id. Costs the CC
+  * fixpoint over dup-involved docs; keeps at most as many docs as
+  * greedy (gated in CurateSpec) and picks them by content, not id
+  * order. The stage-checkpoint lineage records the policy, so a
+  * checkpoint written under one policy refuses to restore into a run
+  * using the other.
+  *
   * Stage boundaries at real scale: with `stageDir` set, each stage's
   * surviving id-set is committed via [[TableIO.writeResumable]] as it
   * completes, and a re-run SKIPS every stage whose checkpoint is fully
@@ -124,7 +135,8 @@ object Curate {
           embIdCol: String, embCol: String, outDir: String,
           hotKeyCol: String, maxDupSpanShare: Double = 0.8,
           minCos: Double = 0.95, spanN: Int = 20, hotDenom: Long = 16,
-          buckets: Int = 16, stageDir: Option[String] = None): Report = {
+          buckets: Int = 16, stageDir: Option[String] = None,
+          clusterKeep: Boolean = false): Report = {
     require(maxDupSpanShare > 0.0 && maxDupSpanShare <= 1.0,
       s"maxDupSpanShare must be in (0, 1]: $maxDupSpanShare")
     // one job: total rows + non-null texts (count(col) skips NULLs)
@@ -165,7 +177,8 @@ object Curate {
     // recomputes — writeResumable then commits only the missing buckets.
     val resumed = scala.collection.mutable.ListBuffer.empty[Int]
     val stageLineage = Map("recipe" -> "curate-stage",
-      "n_input" -> nInput.toString)
+      "n_input" -> nInput.toString,
+      "minhash_policy" -> (if (clusterKeep) "cluster" else "greedy"))
     def stage(i: Int, compute: => DataFrame,
               prev: Option[DataFrame]): (DataFrame, Long) = {
       val ckpt = stageDir.map(d => s"$d/stage$i")
@@ -225,11 +238,19 @@ object Curate {
         afterExact.join(boiler, Seq(idCol), "left_anti")
       }, Some(afterExact))
 
-      // 3. MinHash near-dup pairs -> greedy exemplar-keep
+      // 3. MinHash near-dup pairs -> greedy exemplar-keep, or (with
+      // clusterKeep) CC dup clusters -> canonical-exemplar keep
       val (afterMinhash, nAfterMinhash) = stage(3, {
-        val mhDrop = TextDedup.minhashPairs(afterBoiler, idCol, textCol)
-          .select(col("d2").as(idCol)).distinct()
-        afterBoiler.join(mhDrop, Seq(idCol), "left_anti")
+        if (clusterKeep) {
+          val keep = TextDedup.dupClusters(afterBoiler, idCol, textCol)
+            .where(col("is_canonical") === 1)
+            .select(col("doc_id").as(idCol))
+          afterBoiler.join(keep, Seq(idCol), "left_semi")
+        } else {
+          val mhDrop = TextDedup.minhashPairs(afterBoiler, idCol, textCol)
+            .select(col("d2").as(idCol)).distinct()
+          afterBoiler.join(mhDrop, Seq(idCol), "left_anti")
+        }
       }, Some(afterBoiler))
 
       // 4. embedding near-dup pairs (when an embedding table exists):

@@ -844,24 +844,31 @@ object RelationalQueries {
       |         AS is_canonical
       |FROM assigned a JOIN canon c USING (cluster_id)""".stripMargin
 
-  /** Pivoted per-user event-type counts — the wide-table report shape
-    * (`RelationalGroupedDataset.pivot`). The pivot VALUES are passed
-    * explicitly: without them Spark runs an eager distinct job over the
-    * full input just to learn the column set — a silent extra scan at
-    * 100 TB — and the output schema becomes data-dependent, which no
-    * downstream contract (or cross-engine oracle) can pin. Pivoted
-    * cells a user never hit are nulls in Spark but 0 under SQL
-    * conditional counts, so they're filled to 0 — the value a count
-    * report means.
+  /** Pivoted per-user event-type counts — the wide-table report shape,
+    * as ONE conditional aggregation (`count(when(type = x))` per known
+    * value): a single partial-agg pass whose one exchange carries
+    * (user_id, 5 longs) — no string ever shuffles.
+    *
+    * Deliberately NOT `RelationalGroupedDataset.pivot`: for a FIXED
+    * value set Spark plans pivot as two chained aggregates — a
+    * (group, pivotValue) pre-aggregate whose exchange carries the pivot
+    * STRING, then a pivotfirst re-aggregate with a second exchange
+    * (plan-gated equivalence in PlanHygieneSpec pins both renditions
+    * row-equal and the conditional form at half the exchanges). The
+    * `.pivot` API earns its extra shuffle only when the value set is
+    * large or unknown — and then values should STILL be passed
+    * explicitly, because a values-less pivot first runs an eager
+    * distinct job over the full input and makes the output schema
+    * data-dependent, which no downstream contract can pin.
     */
   def q61_event_pivot(s: SparkSession, dir: String): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")
+    val cells = types.map(tp =>
+      count(when(col("event_type") === tp, 1)).as(tp))
     t(s, dir, "events")
       .where(col("user_id").isNotNull && col("user_id") < 100)
       .groupBy("user_id")
-      .pivot("event_type", types)
-      .agg(count(lit(1)))
-      .na.fill(0L, types)
+      .agg(cells.head, cells.tail: _*)
   }
 
   val q61_sql: String =

@@ -142,6 +142,42 @@ class CurateSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("lineage"), ex.getMessage)
   }
 
+  test("curate clusterKeep: stage 3 keeps exactly each cluster's canonical doc") {
+    assume(available)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft_curate_cl")
+      .toString
+    // no embeddings: stage 4 is stage 3, so the written table IS the
+    // cluster-keep survivor set
+    val rCluster = Curate.run(spark, docs, "doc_id", "text", None,
+      "vec_id", "embedding", s"$base/cl", hotKeyCol = "source",
+      clusterKeep = true)
+    val rGreedy = Curate.run(spark, docs, "doc_id", "text", None,
+      "vec_id", "embedding", s"$base/gr", hotKeyCol = "source")
+    // cluster-keep retains ONE doc per connected cluster; greedy keeps
+    // every doc that is never a pair's larger id — at least one per
+    // cluster, possibly more (a star a–c, b–c keeps both a and b)
+    assert(rCluster.nAfterMinhash <= rGreedy.nAfterMinhash,
+      s"cluster ${rCluster.nAfterMinhash} > greedy ${rGreedy.nAfterMinhash}")
+    // wiring parity: the written survivors equal an independent
+    // stage-1/2 recompute followed by dupClusters' canonical picks
+    val keepExact = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val afterExact = docs.join(keepExact, Seq("doc_id"), "left_semi")
+    val boiler = TextDedup.boilerplateShare(afterExact, "doc_id", "text", 20)
+      .where(col("dup_share") >= 0.8).select("doc_id")
+    val afterBoiler = afterExact.join(boiler, Seq("doc_id"), "left_anti")
+    val wantKeep = TextDedup.dupClusters(afterBoiler, "doc_id", "text")
+      .where(col("is_canonical") === 1)
+      .collect().map(_.getLong(0)).toSet
+    val got = TableIO.readCommitted(spark, s"$base/cl", 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == wantKeep,
+      s"missing=${wantKeep -- got} extra=${got -- wantKeep}")
+    assert(wantKeep.size < afterBoiler.count(),
+      "gate is vacuous: no near-dup cluster collapsed at this SF")
+  }
+
   test("curate sets NULL-text docs aside instead of deduping them") {
     import spark.implicits._
     val toks = (i: Int) => (i until i + 25).map(j => s"w$j").mkString(" ")

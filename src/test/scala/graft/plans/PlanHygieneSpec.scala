@@ -136,6 +136,43 @@ class PlanHygieneSpec extends AnyFunSuite {
         s"one exchange:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q61 pivot / q62 cube: one aggregate pass, one shuffle, no extra scan") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.StringType
+    for ((name, df) <- Seq(
+        "q61" -> graft.queries.RelationalQueries.q61_event_pivot(spark, dir),
+        "q62" -> graft.queries.RelationalQueries.q62_doc_cube(spark, dir))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val shuffles = PlanInspector.allNodes(plan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.size <= 1,
+        s"$name: ${shuffles.size} shuffles — the grouping no longer " +
+          s"aggregates in one exchange:\n$plan")
+      val scans = PlanInspector.allNodes(plan).count(
+        _.getClass.getSimpleName.contains("FileSourceScan"))
+      assert(scans == 1, s"$name: $scans source scans (want 1):\n$plan")
+      assert(!shuffles.exists(_.output.exists(_.dataType == StringType))
+          || name == "q62", // the cube's lang/source group keys ARE strings
+        s"$name: a shuffle carries a string column:\n$plan")
+    }
+    // the conditional-agg rendition is row-equal to the .pivot API form
+    // (which Spark plans as TWO chained aggregates, the first exchange
+    // carrying the pivot string — the documented reason q61 doesn't use
+    // it for a fixed value set)
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val viaPivot = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id").isNotNull && col("user_id") < 100)
+      .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+      .na.fill(0L, types)
+      .collect().map(_.toSeq).toSet
+    val viaCond = graft.queries.RelationalQueries.q61_event_pivot(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(viaCond == viaPivot, "conditional-agg and .pivot renditions diverge")
+  }
+
   test("AQE splits a Zipf-skewed join partition at runtime (skew=true)") {
     // The engine's skew story has two layers: PRE-planned salting where
     // the hot keys are known (q28, the salted write, heavyHitters), and
