@@ -543,6 +543,48 @@ object Ann {
     topK(bucketed, probes, Seq("cell"), k, dedupe = false)
   }
 
+  /** Symmetric per-vector INT8 quantization of an embedding column —
+    * the storage/bandwidth operator a 100-TB embedding corpus runs
+    * before anything else: float32 → int8 is a 4× cut in scan bytes,
+    * shuffle bytes, and cache footprint for every downstream ANN pass.
+    * Output: (idCol, scale float, q array<tinyint>) with
+    * `x_i ≈ q_i * scale`, `scale = max|x_i| / 127` per vector.
+    *
+    * Per-VECTOR scaling (not a global scale) keeps the error relative
+    * to each vector's own magnitude, and the symmetric form means the
+    * scale CANCELS in cosine: cosine over the raw int8 arrays equals
+    * cosine over the dequantized floats, so similarity search needs no
+    * dequantize pass at all (AnnSpec pins recall@3 on quantized search
+    * vs the float baseline). Everything is built-in `transform`/
+    * `aggregate` higher-order functions — codegen-friendly, no UDF.
+    * The element error bound |x_i − q_i·scale| ≤ scale/2 is exact and
+    * suite-gated. All-zero vectors quantize to all-zero with scale 0;
+    * NULL embeddings are excluded (same contract as the ANN paths).
+    */
+  def quantizeInt8(vecs: DataFrame, idCol: String,
+                   embCol: String): DataFrame =
+    vecs.where(col(embCol).isNotNull)
+      .select(col(idCol),
+        (aggregate(col(embCol), lit(0.0d),
+          (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0d)
+          .as("_s"),
+        col(embCol))
+      .select(col(idCol), col("_s").cast("float").as("scale"),
+        when(col("_s") === 0.0d,
+          transform(col(embCol), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col(embCol),
+            x => round(x.cast("double") / col("_s")).cast("tinyint")))
+          .as("q"))
+
+  /** Dequantize [[quantizeInt8]] output back to float vectors:
+    * (idCol, embedding array<float>). Lossy by construction — each
+    * element is within scale/2 of the original.
+    */
+  def dequantizeInt8(qdf: DataFrame, idCol: String): DataFrame =
+    qdf.select(col(idCol),
+      transform(col("q"), b => (b.cast("double") * col("scale"))
+        .cast("float")).as("embedding"))
+
   /** The [[ivfNeighbors]] `indexDir` branch: probes from `vecs`, corpus
     * from the persisted assignment table, scan pruned to the probed
     * cells (see [[buildIvfIndex]]).

@@ -902,6 +902,40 @@ object RelationalQueries {
       |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY CUBE (lang, source)""".stripMargin
 
+  /** Int8 embedding quantization ([[graft.pipeline.Ann.quantizeInt8]]),
+    * oracled element-by-element: the quantized vectors are exploded to
+    * (vec_id, pos, qv, scale) scalar rows (the driver protocol hashes
+    * scalars, not arrays) and DuckDB recomputes the same symmetric
+    * per-vector rule. Both engines divide in DOUBLE and round
+    * half-away-from-zero (Spark's HALF_UP on doubles = DuckDB's round),
+    * and the output scale is rounded through float32 to 6 digits so the
+    * hash never depends on float formatting. Id-bounded; the production
+    * entry is the un-exploded array form.
+    */
+  def q63_quantize_int8(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Ann.quantizeInt8(
+        t(s, dir, "embeddings").where(col("vec_id") < 20),
+        "vec_id", "embedding")
+      .select(col("vec_id"),
+        round(col("scale").cast("double"), 6).as("scale_r"),
+        posexplode(col("q")))
+      .select(col("vec_id"), col("scale_r"),
+        col("pos").cast("int").as("pos"), col("col").as("qv"))
+
+  val q63_sql: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |         list_max(list_transform(embedding,
+      |           x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+      |  FROM embeddings WHERE vec_id < 20)
+      |SELECT vec_id,
+      |       round(CAST(CAST(sc AS FLOAT) AS DOUBLE), 6) AS scale_r,
+      |       CAST(i - 1 AS INT) AS pos,
+      |       CAST(CASE WHEN sc = 0 THEN 0
+      |                 ELSE round(CAST(embedding[i] AS DOUBLE) / sc)
+      |            END AS TINYINT) AS qv
+      |FROM s, UNNEST(range(1, len(embedding) + 1)) AS t(i)""".stripMargin
+
   /** Grouped percentiles with a CARDINALITY GUARD — the latency/size-
     * distribution report every pipeline dashboard needs, safe by
     * default at any scale.
@@ -1038,5 +1072,6 @@ object RelationalQueries {
     "q59_minhash_pairs_exact" -> ((q59_minhash_pairs_exact _, q59_sql)),
     "q60_dup_clusters" -> ((q60_dup_clusters _, q60_sql)),
     "q61_event_pivot" -> ((q61_event_pivot _, q61_sql)),
-    "q62_doc_cube" -> ((q62_doc_cube _, q62_sql)))
+    "q62_doc_cube" -> ((q62_doc_cube _, q62_sql)),
+    "q63_quantize_int8" -> ((q63_quantize_int8 _, q63_sql)))
 }

@@ -41,6 +41,62 @@ class AnnSpec extends AnyFunSuite {
     }.toMap
   }
 
+  test("int8 quantization: exact error bound, cosine recall preserved, dequant parity") {
+    assume(available)
+    val vecsDf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qdf = graft.pipeline.Ann.quantizeInt8(vecsDf, "vec_id", "embedding")
+    val rows = qdf.collect().map(r =>
+      (r.getLong(0), r.getFloat(1), r.getSeq[Byte](2).toArray))
+    val orig = vectors().toMap
+    assert(rows.length == orig.size, "quantization dropped vectors")
+    // the |x - q*scale| <= scale/2 bound is EXACT (round() guarantees
+    // it); the epsilon only covers the float cast of the stored scale
+    rows.foreach { case (id, sc, qa) =>
+      val x = orig(id)
+      assert(qa.length == x.length, s"vec $id: dim ${qa.length} != ${x.length}")
+      var i = 0
+      while (i < x.length) {
+        assert(math.abs(x(i) - qa(i) * sc.toDouble) <= sc / 2.0 + 1e-6,
+          s"vec $id pos $i: ${x(i)} vs ${qa(i)} * $sc")
+        assert(qa(i) >= -127 && qa(i) <= 127, s"vec $id pos $i: ${qa(i)}")
+        i += 1
+      }
+    }
+    // symmetric scaling cancels in cosine: search straight over the raw
+    // int8 arrays and compare neighbors to the float32 baseline
+    val truth = bruteTopK(vectors(), 3)
+    val qmap = rows.map { case (id, _, qa) => id -> qa }.toMap
+    def qcos(a: Array[Byte], b: Array[Byte]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = qmap.keys.toArray.sorted
+    val recalls = truth.toSeq.map { case (qid, want) =>
+      val got = ids.filter(_ != qid).map(id => (id, qcos(qmap(qid), qmap(id))))
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+      (want & got).size.toDouble / want.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"int8-search recall@3 vs float32 = $meanRecall%.3f")
+    assert(meanRecall >= 0.9,
+      f"int8 quantization destroyed neighbor structure: $meanRecall%.3f")
+    // dequantize inverts to exactly q*scale (float), per element
+    val deq = graft.pipeline.Ann.dequantizeInt8(qdf, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { case (id, sc, qa) =>
+      val d = deq(id)
+      qa.indices.foreach { i =>
+        assert(d(i) == (qa(i) * sc.toDouble).toFloat,
+          s"dequant vec $id pos $i: ${d(i)} != ${qa(i)} * $sc")
+      }
+    }
+  }
+
   test("IVF quantizer: k-means cells are populated and balanced") {
     assume(available)
     val vs = vectors()
@@ -226,6 +282,20 @@ class AnnSpec extends AnyFunSuite {
                  else (trueDup & prodDup).size.toDouble / trueDup.size
     info(f"banded cluster-membership recall = $recall%.3f")
     assert(recall >= 0.9, f"banding lost too much cluster membership: $recall%.3f")
+    // the driver union-find shortcut and the distributed CC fixpoint
+    // must be indistinguishable: force the distributed branch
+    // (collectThreshold = -1) and pin row-set equality
+    val in = spark.read.parquet(s"$qDir/documents.parquet")
+      .where(col("doc_id") < 300)
+    def run(th: Int) = graft.pipeline.TextDedup.dupClusters(
+        in, "doc_id", "text", numHashes = 16, bands = 4,
+        collectThreshold = th)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaDriver = run(Int.MaxValue)
+    val viaCc = run(-1)
+    assert(viaDriver == viaCc,
+      s"driver vs distributed CC disagree: ${viaDriver.diff(viaCc).take(5)}" +
+        s" / ${viaCc.diff(viaDriver).take(5)}")
   }
 
   test("q45 simhash groups match a driver-side brute-force recompute") {
