@@ -936,6 +936,39 @@ object RelationalQueries {
       |            END AS TINYINT) AS qv
       |FROM s, UNNEST(range(1, len(embedding) + 1)) AS t(i)""".stripMargin
 
+  /** BM25 top-k lexical retrieval ([[graft.pipeline.Retrieval.bm25TopK]])
+    * over the documents table for a fixed 3-term query. The DuckDB
+    * oracle mirrors the scoring arithmetic OPERATION BY OPERATION with
+    * every literal cast to DOUBLE (DuckDB parses bare `1.2` as DECIMAL
+    * and decimal pre-arithmetic rounds differently than double), so
+    * both engines walk the same float path; the 6-digit round plus
+    * (score desc, doc_id asc) ordering on the rounded value keeps the
+    * top-k boundary deterministic (q20 convention).
+    */
+  def q64_bm25_topk(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Retrieval.bm25TopK(
+      t(s, dir, "documents"), "doc_id", "text",
+      Seq("hash", "join", "scan"), k = 25)
+
+  val q64_sql: String =
+    """WITH b AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |                  string_split(text, ' ') AS toks FROM documents),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b),
+      |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+      |       FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM b)
+      |       WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3),
+      |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |              sum(ln((CAST(st.n_docs - dft.df AS DOUBLE) + 0.5) /
+      |                     (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+      |                  (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)) /
+      |                  (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+      |                   (CAST(1.0 AS DOUBLE) - 0.75 +
+      |                    0.75 * CAST(tf.dl AS DOUBLE) / st.avgdl))) AS s
+      |       FROM tf JOIN dft USING (tok), st GROUP BY 1)
+      |SELECT doc_id, round(s, 6) AS score FROM sc
+      |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
+
   /** Grouped percentiles with a CARDINALITY GUARD — the latency/size-
     * distribution report every pipeline dashboard needs, safe by
     * default at any scale.
@@ -1073,5 +1106,6 @@ object RelationalQueries {
     "q60_dup_clusters" -> ((q60_dup_clusters _, q60_sql)),
     "q61_event_pivot" -> ((q61_event_pivot _, q61_sql)),
     "q62_doc_cube" -> ((q62_doc_cube _, q62_sql)),
-    "q63_quantize_int8" -> ((q63_quantize_int8 _, q63_sql)))
+    "q63_quantize_int8" -> ((q63_quantize_int8 _, q63_sql)),
+    "q64_bm25_topk" -> ((q64_bm25_topk _, q64_sql)))
 }

@@ -121,6 +121,35 @@ class PlanHygieneSpec extends AnyFunSuite {
         offenders.mkString("\n"))
   }
 
+  test("q64 bm25: token arrays never shuffle; df and stats join broadcast") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.ArrayType
+    val df = graft.queries.RelationalQueries.q64_bm25_topk(spark, dir)
+    df.collect() // gate the FINAL adaptive plan
+    val nodes = PlanInspector.allNodes(df.queryExecution.executedPlan)
+    // the scale contract: the exploded token stream is filtered to the
+    // query-term set INSIDE the scan stage, so no exchange ever carries
+    // the token array (shuffled volume ∝ query-term occurrences, not
+    // corpus bytes)
+    val arrayShuffles = nodes.collect {
+      case s: ShuffleExchangeLike
+          if s.output.exists(_.dataType.isInstanceOf[ArrayType]) => s
+    }
+    assert(arrayShuffles.isEmpty,
+      s"q64: ${arrayShuffles.size} shuffle(s) carry the token array:\n" +
+        arrayShuffles.mkString("\n"))
+    // df-per-term and the 1-row stats frame must come in as broadcasts
+    val bcasts = nodes.filter(n =>
+      n.getClass.getSimpleName.startsWith("BroadcastHashJoin") ||
+        n.getClass.getSimpleName.startsWith("BroadcastNestedLoopJoin"))
+    assert(bcasts.size >= 2,
+      s"q64: expected the df join AND the stats join as broadcasts, " +
+        s"found ${bcasts.size}")
+    val smj = nodes.filter(_.getClass.getSimpleName.startsWith("SortMergeJoin"))
+    assert(smj.isEmpty, s"q64: sort-merge join crept in:\n${smj.mkString("\n")}")
+  }
+
   test("q58 sessionize: both windows share one exchange (≤ 2 shuffles)") {
     assume(new java.io.File(s"$dir/events.parquet").exists())
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

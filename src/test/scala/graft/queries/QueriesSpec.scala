@@ -298,6 +298,44 @@ class AnnSpec extends AnyFunSuite {
         s" / ${viaCc.diff(viaDriver).take(5)}")
   }
 
+  test("q64 BM25 top-k matches a driver-side brute-force recompute") {
+    val qDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$qDir/documents.parquet").exists())
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$qDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val terms = Seq("hash", "join", "scan")
+    val (k1, b) = (1.2, 0.75)
+    // split(" ", -1) keeps trailing empties, matching Spark's split
+    val toks = docs.map { case (id, t) =>
+      id -> Option(t).map(_.split(" ", -1)) }.toMap
+    val dls = toks.collect { case (id, Some(a)) => id -> a.length }
+    val n = docs.length
+    val avgdl = dls.map(_._2.toDouble).sum / dls.size
+    val tf = toks.collect { case (id, Some(a)) =>
+      id -> terms.map(t => t -> a.count(_ == t)).filter(_._2 > 0).toMap
+    }.filter(_._2.nonEmpty)
+    val df = terms.map(t => t -> tf.count(_._2.contains(t))).toMap
+    val scored = tf.map { case (id, m) =>
+      val dl = dls.toMap.apply(id)
+      id -> m.map { case (t, f) =>
+        val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+        idf * (f * (k1 + 1)) / (f + k1 * (1.0 - b + b * dl / avgdl))
+      }.sum
+    }.map { case (id, s) =>
+      id -> BigDecimal.valueOf(s)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = scored.toSeq.sortBy { case (id, s) => (-s, id) }.take(25)
+    val got = RelationalQueries.q64_bm25_topk(spark, qDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == want.length, s"${got.length} rows != ${want.length}")
+    got.zip(want).foreach { case ((gi, gs), (wi, ws)) =>
+      assert(gi == wi, s"rank order diverged at doc $gi vs $wi")
+      assert(math.abs(gs - ws) <= 1e-9, s"doc $gi: score $gs != $ws")
+    }
+  }
+
   test("q45 simhash groups match a driver-side brute-force recompute") {
     val qDir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$qDir/documents.parquet").exists())
