@@ -969,6 +969,28 @@ object RelationalQueries {
       |SELECT doc_id, round(s, 6) AS score FROM sc
       |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
 
+  /** Deterministic stratified mixture sampling
+    * ([[graft.pipeline.Sampling.stratifiedHashSample]]): keep 100% of
+    * de, 50% of en, 25% of every other language, decided per row by a
+    * fixed-length hex-string comparison on `md5(doc_id || ':' || seed)`
+    * — a rule both engines execute bit-identically (lowercase hex of
+    * md5 is pinned in both; 8-char hex compares like the uint32 it
+    * encodes), so the sampled ROW SET is oracled exactly, not just its
+    * size.
+    */
+  def q65_stratified_sample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.stratifiedHashSample(
+        t(s, dir, "documents"), "doc_id", "lang",
+        Map("de" -> 1.0, "en" -> 0.5), seed = 7L, defaultFraction = 0.25)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  val q65_sql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || '7'), 1, 8) <
+      |      CASE lang WHEN 'de' THEN 'g'
+      |                WHEN 'en' THEN '80000000'
+      |                ELSE '40000000' END""".stripMargin
+
   /** Grouped percentiles with a CARDINALITY GUARD — the latency/size-
     * distribution report every pipeline dashboard needs, safe by
     * default at any scale.
@@ -1107,5 +1129,6 @@ object RelationalQueries {
     "q61_event_pivot" -> ((q61_event_pivot _, q61_sql)),
     "q62_doc_cube" -> ((q62_doc_cube _, q62_sql)),
     "q63_quantize_int8" -> ((q63_quantize_int8 _, q63_sql)),
-    "q64_bm25_topk" -> ((q64_bm25_topk _, q64_sql)))
+    "q64_bm25_topk" -> ((q64_bm25_topk _, q64_sql)),
+    "q65_stratified_sample" -> ((q65_stratified_sample _, q65_sql)))
 }

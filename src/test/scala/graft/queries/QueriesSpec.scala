@@ -336,6 +336,40 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("q65 stratified sampling: deterministic, monotone, binomially sane") {
+    val qDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$qDir/documents.parquet").exists())
+    import graft.pipeline.Sampling
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    assert(Sampling.thresholdHex(1.0) == "g")
+    val docs = spark.read.parquet(s"$qDir/documents.parquet")
+    def ids(fr: Map[String, Double], seed: Long, dflt: Double = 0.0) =
+      Sampling.stratifiedHashSample(docs, "doc_id", "lang", fr, seed, dflt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(Map("en" -> 0.5, "de" -> 1.0), 7L, 0.25)
+    assert(a == ids(Map("en" -> 0.5, "de" -> 1.0), 7L, 0.25),
+      "sampling is not deterministic across invocations")
+    assert(a != ids(Map("en" -> 0.5, "de" -> 1.0), 8L, 0.25),
+      "changing the seed did not rotate the sample")
+    val byLang = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val deAll = byLang.filter(_._2 == "de").map(_._1).toSet
+    assert((deAll -- a).isEmpty, "fraction 1.0 must keep the whole stratum")
+    val enAll = byLang.filter(_._2 == "en").map(_._1).toSet
+    val enKept = (a & enAll).size.toDouble / enAll.size
+    assert(enKept > 0.3 && enKept < 0.7,
+      f"en keep rate $enKept%.3f far from 0.5 (n=${enAll.size})")
+    // unmapped strata fall to defaultFraction; 0 drops them entirely
+    val strict = ids(Map("en" -> 0.5), 7L)
+    assert(strict.subsetOf(enAll), "defaultFraction=0 leaked unmapped strata")
+    // same seed, larger fraction => superset (thresholds are monotone in
+    // the fraction, so mixtures can be grown without resampling)
+    val small = ids(Map("en" -> 0.3), 7L)
+    val big = ids(Map("en" -> 0.6), 7L)
+    assert(small.subsetOf(big), "sample is not monotone in the fraction")
+  }
+
   test("q45 simhash groups match a driver-side brute-force recompute") {
     val qDir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$qDir/documents.parquet").exists())
