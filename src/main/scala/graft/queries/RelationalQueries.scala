@@ -991,6 +991,50 @@ object RelationalQueries {
       |                WHEN 'en' THEN '80000000'
       |                ELSE '40000000' END""".stripMargin
 
+  /** PII redaction ([[graft.pipeline.Scrub.redactPii]]). The corpus is
+    * synthetic prose with no real identifiers, so odd doc_ids get a
+    * deterministic email + phone + IPv4 suffix APPENDED IDENTICALLY in
+    * both engines before the scrub (the q47/q48 synthesized-payload
+    * convention); even doc_ids keep their raw text and pin the
+    * had_pii=false branch. The redaction itself — the thing under
+    * test — is the same three-pattern rewrite on both sides, using
+    * only the regex subset where Java's engine and RE2 agree.
+    */
+  def q66_redact_pii(s: SparkSession, dir: String): DataFrame = {
+    val aug = t(s, dir, "documents")
+      .withColumn("text", when(col("doc_id") % 2 === 1,
+        concat(col("text"), lit(" reach user"),
+          col("doc_id").cast("string"),
+          lit("@mail.example.org or call +1 555 00"),
+          col("doc_id").cast("string"),
+          lit(" or ping 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7")))
+        .otherwise(col("text")))
+    graft.pipeline.Scrub.redactPii(aug, "text")
+      .select(col("doc_id"), col("text"), col("had_pii"))
+  }
+
+  val q66_sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 2 = 1 THEN
+      |           text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+      |           '@mail.example.org or call +1 555 00' ||
+      |           CAST(doc_id AS VARCHAR) || ' or ping 10.0.' ||
+      |           CAST(doc_id % 256 AS VARCHAR) || '.7'
+      |         ELSE text END AS t
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id, t,
+      |         regexp_replace(regexp_replace(regexp_replace(t,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |           '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS text
+      |  FROM aug)
+      |SELECT doc_id, text,
+      |       CASE WHEN t IS NULL THEN FALSE ELSE text <> t END AS had_pii
+      |FROM red""".stripMargin
+
   /** Grouped percentiles with a CARDINALITY GUARD — the latency/size-
     * distribution report every pipeline dashboard needs, safe by
     * default at any scale.
@@ -1130,5 +1174,6 @@ object RelationalQueries {
     "q62_doc_cube" -> ((q62_doc_cube _, q62_sql)),
     "q63_quantize_int8" -> ((q63_quantize_int8 _, q63_sql)),
     "q64_bm25_topk" -> ((q64_bm25_topk _, q64_sql)),
-    "q65_stratified_sample" -> ((q65_stratified_sample _, q65_sql)))
+    "q65_stratified_sample" -> ((q65_stratified_sample _, q65_sql)),
+    "q66_redact_pii" -> ((q66_redact_pii _, q66_sql)))
 }

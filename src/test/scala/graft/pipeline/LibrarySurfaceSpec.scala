@@ -16,8 +16,8 @@ class LibrarySurfaceSpec extends AnyFunSuite {
     // driver's correctness board — nothing else catches the typo
     assert(oracles.subsetOf(queries),
       s"oracle keys without a query: ${oracles -- queries}")
-    assert(queries.size >= 53, s"query surface shrank: ${queries.size}")
-    assert(oracles.size >= 42, s"oracled surface shrank: ${oracles.size}")
+    assert(queries.size >= 54, s"query surface shrank: ${queries.size}")
+    assert(oracles.size >= 43, s"oracled surface shrank: ${oracles.size}")
   }
 
   test("TextDedup.minhashPairs finds planted near-duplicates, custom columns") {

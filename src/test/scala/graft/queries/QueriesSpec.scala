@@ -370,6 +370,32 @@ class AnnSpec extends AnyFunSuite {
     assert(small.subsetOf(big), "sample is not monotone in the fraction")
   }
 
+  test("q66 PII scrub: exact redactions, idempotent, clean text untouched") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "write to Jane.Doe+spam@sub.example.co.uk today"),
+      (2L, "server at 192.168.0.1 and 8.8.8.8 rebooted"),
+      (3L, "call +49 170 1234567 or 555-123-4567 now"),
+      (4L, "plain prose with the number 42 and v1.2 only"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "mixed: a@b.io on 10.0.0.7 dial +1 222 333 4444"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Scrub.redactPii(fixture, "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) == (("write to <EMAIL> today", true)))
+    assert(out(2L) == (("server at <IP> and <IP> rebooted", true)))
+    assert(out(3L) == (("call <PHONE> or <PHONE> now", true)))
+    assert(out(4L) == (("plain prose with the number 42 and v1.2 only", false)))
+    assert(out(5L)._1 == null && !out(5L)._2)
+    assert(out(6L) == (("mixed: <EMAIL> on <IP> dial <PHONE>", true)))
+    // idempotence: scrubbing scrubbed text changes nothing
+    val twice = graft.pipeline.Scrub.redactPii(
+        graft.pipeline.Scrub.redactPii(fixture, "text"), "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (t, _)) => assert(twice(id) == t, s"doc $id") }
+  }
+
   test("q45 simhash groups match a driver-side brute-force recompute") {
     val qDir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$qDir/documents.parquet").exists())
