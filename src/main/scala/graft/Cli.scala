@@ -21,7 +21,7 @@ import scala.jdk.CollectionConverters._
   *   serve <model.json> <port>                TCP NER server (T1, model resident)
   *   client <host> <port> < raw.txt           one request per line (T2)
   *   cv <in.nes> <k> [modelDir]               k-fold cross-validation (X1)
-  *   curate <sfDir> <outDir> [minCos] [greedy|cluster]  curation recipe: dedup chain ->
+  *   curate <sfDir> <outDir> [minCos] [greedy|cluster] [redact]  curation recipe: dedup chain ->
   *                                            hot keys -> salted write (JSON report)
   */
 object Cli {
@@ -154,7 +154,7 @@ object Cli {
       stdinLines.foreach { line =>
         utf8Out.println(graft.server.NerfServer.request(host, portStr.toInt, line))
       }
-    case "curate" :: sfDir :: outDir :: rest if rest.length <= 2 =>
+    case "curate" :: sfDir :: outDir :: rest if rest.length <= 3 =>
       // End-to-end curation recipe over a documents(+embeddings) table:
       // exact dedup -> boilerplate drop -> MinHash near-dup -> embedding
       // near-dup -> hot-key detection -> salted resumable write. One
@@ -181,10 +181,15 @@ object Cli {
             "— skipping the embedding near-dup stage")
           None
         }
-      val minCos = rest.headOption.map(_.toDouble).getOrElse(0.95)
+      // optional "redact" flag anywhere in the tail: PII scrub as
+      // stage 0 of the recipe
+      val redact = rest.contains("redact")
+      val rest2 = rest.filterNot(_ == "redact")
+      require(rest2.length <= 2, s"unrecognized curate args: $rest2")
+      val minCos = rest2.headOption.map(_.toDouble).getOrElse(0.95)
       // optional policy: "cluster" switches stage 3 from greedy drop-d2
       // to CC dup-clusters with canonical-exemplar keep
-      val policy = rest.drop(1).headOption.getOrElse("greedy")
+      val policy = rest2.drop(1).headOption.getOrElse("greedy")
       require(policy == "greedy" || policy == "cluster",
         s"unknown near-dup policy '$policy' (greedy|cluster)")
       // stage checkpoints under the output dir: a crashed CLI run
@@ -192,7 +197,7 @@ object Cli {
       val report = graft.pipeline.Curate.run(spark, docs, "doc_id", "text",
         emb, "vec_id", "embedding", outDir, hotKeyCol = "source",
         minCos = minCos, stageDir = Some(s"$outDir/_stages"),
-        clusterKeep = policy == "cluster")
+        clusterKeep = policy == "cluster", redactPii = redact)
       utf8Out.println(report.json)
       spark.stop()
     case "synth" :: out :: rest =>

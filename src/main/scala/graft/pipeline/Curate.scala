@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * FIRST, composed from the library's own operators (each individually
   * oracled or gated on its own):
   *
+  *   0. PII scrub (optional) — [[Scrub.redactCol]] applied scan-side
+  *                             before any dedup (`redactPii = true`),
+  *                             so texts identical AFTER redaction
+  *                             collapse together; touched-doc tally in
+  *                             the report costs no extra scan
   *   1. exact dedup          — content-hash groupBy, keep the min-id
   *                             exemplar per identical text (q16's shape)
   *   2. boilerplate drop     — substring-level dedup at document
@@ -90,7 +95,8 @@ object Curate {
     * the write committed this run, and which stages were restored from
     * a `stageDir` checkpoint instead of computed.
     */
-  final case class Report(nInput: Long, nNullText: Long, nAfterExact: Long,
+  final case class Report(nInput: Long, nNullText: Long, nRedacted: Long,
+                          nAfterExact: Long,
                           nAfterBoilerplate: Long, nAfterMinhash: Long,
                           nAfterEmbedding: Long,
                           hotKeys: Seq[(String, Long)], salts: Int,
@@ -99,6 +105,7 @@ object Curate {
       val hk = hotKeys.map { case (k, n) =>
         s"""{"key":${TableIO.jstr(k)},"n":$n}""" }.mkString("[", ",", "]")
       s"""{"n_input":$nInput,"n_null_text":$nNullText,""" +
+        s""""n_redacted":$nRedacted,""" +
         s""""n_after_exact":$nAfterExact,""" +
         s""""n_after_boilerplate":$nAfterBoilerplate,""" +
         s""""n_after_minhash":$nAfterMinhash,""" +
@@ -129,6 +136,9 @@ object Curate {
     * @param stageDir        when set, per-stage survivor id-sets are
     *                        committed here and completed stages are
     *                        skipped on re-run (see scaladoc)
+    * @param redactPii       scrub emails/IPs/phones from `textCol`
+    *                        before stage 1 (stage 0 above); recorded in
+    *                        the checkpoint lineage
     */
   def run(spark: SparkSession, docs: DataFrame, idCol: String,
           textCol: String, embeddings: Option[DataFrame],
@@ -136,15 +146,33 @@ object Curate {
           hotKeyCol: String, maxDupSpanShare: Double = 0.8,
           minCos: Double = 0.95, spanN: Int = 20, hotDenom: Long = 16,
           buckets: Int = 16, stageDir: Option[String] = None,
-          clusterKeep: Boolean = false): Report = {
+          clusterKeep: Boolean = false,
+          redactPii: Boolean = false): Report = {
     require(maxDupSpanShare > 0.0 && maxDupSpanShare <= 1.0,
       s"maxDupSpanShare must be in (0, 1]: $maxDupSpanShare")
-    // one job: total rows + non-null texts (count(col) skips NULLs)
-    val firstRow = docs.agg(count(lit(1)), count(col(textCol))).head()
+    // one job: total rows + non-null texts (count(col) skips NULLs);
+    // with the scrub enabled, the SAME pass also tallies how many docs
+    // the redaction touches — no extra scan for the audit number
+    val firstAggs = Seq(count(lit(1)), count(col(textCol))) ++
+      (if (redactPii)
+         Seq(sum(when(Scrub.redactCol(col(textCol)) =!= col(textCol), 1L)
+           .otherwise(0L)))
+       else Nil)
+    val firstRow = docs.agg(firstAggs.head, firstAggs.tail: _*).head()
     val nInput = firstRow.getLong(0)
     val nNullText = nInput - firstRow.getLong(1)
-    val input =
+    val nRedacted =
+      if (redactPii && !firstRow.isNullAt(2)) firstRow.getLong(2) else 0L
+    // stage 0 (optional): PII scrub BEFORE any dedup, so texts that are
+    // identical after redaction collapse together in stage 1 — the
+    // order a training pipeline wants (a scrubbed near-dup is still a
+    // near-dup). Scan-side rewrite, no extra job: it fuses into stage
+    // 1's scan.
+    val input0 =
       if (nNullText == 0L) docs else docs.where(col(textCol).isNotNull)
+    val input =
+      if (redactPii) input0.withColumn(textCol, Scrub.redactCol(col(textCol)))
+      else input0
 
     // rolling persist (see scaladoc): pin this stage's survivors, force
     // them with the stage count, and only then release the PREVIOUS
@@ -178,7 +206,10 @@ object Curate {
     val resumed = scala.collection.mutable.ListBuffer.empty[Int]
     val stageLineage = Map("recipe" -> "curate-stage",
       "n_input" -> nInput.toString,
-      "minhash_policy" -> (if (clusterKeep) "cluster" else "greedy"))
+      "minhash_policy" -> (if (clusterKeep) "cluster" else "greedy"),
+      // a checkpoint of scrubbed survivors must not restore into an
+      // unscrubbed run (or vice versa) — the id-sets differ
+      "scrub" -> redactPii.toString)
     def stage(i: Int, compute: => DataFrame,
               prev: Option[DataFrame]): (DataFrame, Long) = {
       val ckpt = stageDir.map(d => s"$d/stage$i")
@@ -288,8 +319,8 @@ object Curate {
       // 6. salted resumable write, bucketed by the hot-key column
       val commits = TableIO.writeResumable(afterEmb, outDir, buckets,
         Seq(hotKeyCol), lineage = Map("recipe" -> "curate"), salts = salts)
-      val report = Report(nInput, nNullText, nAfterExact, nAfterBoiler,
-        nAfterMinhash, nAfterEmbedding, hot, salts,
+      val report = Report(nInput, nNullText, nRedacted, nAfterExact,
+        nAfterBoiler, nAfterMinhash, nAfterEmbedding, hot, salts,
         commits.map(_.rows).sum, resumed.toSeq)
       // the report outlives the driver, beside the manifests it explains
       TableIO.atomicWrite(reportPath(outDir), report.json,

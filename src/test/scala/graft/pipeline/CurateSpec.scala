@@ -201,6 +201,42 @@ class CurateSpec extends AnyFunSuite {
       Set(1L, 3L))
   }
 
+  test("curate redact stage: scrubbed output, tally, lineage guard") {
+    import spark.implicits._
+    val toks = (i: Int) => (i until i + 25).map(j => s"w$j").mkString(" ")
+    val df = Seq(
+      // 1 and 2 differ ONLY in their PII: scrubbing must collapse them
+      // into one exact-dup group
+      (1L, toks(0) + " mail a@b.io now", "a"),
+      (2L, toks(0) + " mail c@d.io now", "a"),
+      (3L, toks(100) + " from 10.0.0.1 port", "b"),
+      (4L, toks(200), "b") // clean
+    ).toDF("doc_id", "text", "source")
+    val base = java.nio.file.Files.createTempDirectory("graft_curate_pii")
+      .toString
+    val r = Curate.run(spark, df, "doc_id", "text", None, "vec_id",
+      "embedding", s"$base/t", hotKeyCol = "source",
+      stageDir = Some(s"$base/stages"), redactPii = true)
+    assert(r.nRedacted == 3, r.json)
+    // docs 1+2 became identical after the scrub -> 3 exact survivors
+    assert(r.nAfterExact == 3 && r.nWritten == 3, r.json)
+    val back = TableIO.readCommitted(spark, s"$base/t", 16)
+      .select("doc_id", "text").collect()
+      .map(row => row.getLong(0) -> row.getString(1)).toMap
+    assert(back.keySet == Set(1L, 3L, 4L))
+    assert(back(1L).endsWith(" mail <EMAIL> now"), back(1L))
+    assert(back(3L).contains(" from <IP> port"), back(3L))
+    assert(back(4L) == toks(200))
+    // a checkpoint written by a scrubbed run must refuse to restore
+    // into an unscrubbed one — the survivor id-sets differ
+    val e = intercept[IllegalArgumentException] {
+      Curate.run(spark, df, "doc_id", "text", None, "vec_id",
+        "embedding", s"$base/t2", hotKeyCol = "source",
+        stageDir = Some(s"$base/stages"), redactPii = false)
+    }
+    assert(e.getMessage.contains("lineage mismatch"), e.getMessage)
+  }
+
   test("boilerplate share: template docs flagged, unique docs at zero") {
     import spark.implicits._
     val template = (1 to 30).map(i => s"tok$i").mkString(" ")
