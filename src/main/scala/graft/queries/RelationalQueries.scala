@@ -1035,6 +1035,110 @@ object RelationalQueries {
       |       CASE WHEN t IS NULL THEN FALSE ELSE text <> t END AS had_pii
       |FROM red""".stripMargin
 
+  /** Benchmark decontamination ([[graft.pipeline.Decontam.contaminated]]):
+    * 5-token shingle overlap between the training corpus and a held-out
+    * eval set. The synthetic corpus has little organic overlap (one doc
+    * at sf0.01), so contamination is PLANTED deterministically in both
+    * engines (the q66 synthesized-payload convention): docs with
+    * `doc_id % 7 = 3` get a fixed 5-word canary appended, the eval set
+    * (`doc_id % 50 = 0`) gets the same canary — so every planted doc
+    * matches on exactly the canary shingle, on top of whatever organic
+    * boilerplate overlap exists. Exact string-equality matching, so the
+    * oracle is row-and-value exact.
+    */
+  def q67_decontam(s: SparkSession, dir: String): DataFrame = {
+    val docs0 = t(s, dir, "documents")
+    val canary = " held out eval canary phrase"
+    val aug = docs0.withColumn("text",
+      when(col("doc_id") % 7 === 3, concat(col("text"), lit(canary)))
+        .otherwise(col("text")))
+    val evalSet = docs0.where(col("doc_id") % 50 === 0)
+      .withColumn("text", concat(col("text"), lit(canary)))
+    graft.pipeline.Decontam.contaminated(
+      aug.where(col("doc_id") % 50 =!= 0), evalSet,
+      "doc_id", "text", "text", n = 5)
+  }
+
+  val q67_sql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS gram
+      |  FROM (SELECT string_split(text || ' held out eval canary phrase',
+      |                            ' ') AS toks
+      |        FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL),
+      |       UNNEST(range(1, len(toks) - 3)) AS t(i)),
+      |cg AS (
+      |  SELECT doc_id, len(toks) - 4 AS n_grams,
+      |         array_to_string(toks[i:i+4], ' ') AS gram
+      |  FROM (SELECT doc_id,
+      |               string_split(CASE WHEN doc_id % 7 = 3
+      |                 THEN text || ' held out eval canary phrase'
+      |                 ELSE text END, ' ') AS toks
+      |        FROM documents WHERE doc_id % 50 <> 0 AND text IS NOT NULL),
+      |       UNNEST(range(1, len(toks) - 3)) AS t(i))
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |       count(*) AS n_hits,
+      |       round(count(*) / CAST(n_grams AS DOUBLE), 6) AS share
+      |FROM cg JOIN ev USING (gram) GROUP BY doc_id, n_grams""".stripMargin
+
+  /** Gopher-style repetition metrics
+    * ([[graft.pipeline.Quality.repetitionStats]]) over 2-token shingles:
+    * distinct/top-shingle tallies per doc plus the two filter ratios.
+    * The Spark side is a zero-shuffle per-row fold; the oracle computes
+    * the same numbers the relational way (unnest + two GROUP BYs) —
+    * same results, deliberately different mechanics, so the fold's
+    * run-length logic is cross-checked rather than mirrored.
+    */
+  def q68_repetition(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Quality.repetitionStats(
+      t(s, dir, "documents"), "doc_id", "text", n = 2)
+
+  val q68_sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, len(toks) - 1 AS n_grams,
+      |         toks[i] || ' ' || toks[i+1] AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents WHERE text IS NOT NULL),
+      |       UNNEST(range(1, len(toks))) AS t(i)
+      |  WHERE len(toks) >= 2),
+      |pg AS (SELECT doc_id, n_grams, gram, count(*) AS c
+      |       FROM g GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |       count(*) AS n_distinct, max(c) AS top_count,
+      |       round(max(c) / CAST(n_grams AS DOUBLE), 6) AS top_share,
+      |       round(1 - count(*) / CAST(n_grams AS DOUBLE), 6) AS dup_frac
+      |FROM pg GROUP BY doc_id, n_grams""".stripMargin
+
+  /** Sequence packing ([[graft.pipeline.Pack.packChunks]]): concatenate
+    * docs in id order, cut into 128-token context windows, emit each
+    * doc's chunk span(s). The oracle IS the naive global-window cumsum
+    * (fine for DuckDB single-node); the Spark side is the bucketed
+    * two-pass prefix-sum whose output must be identical — which is
+    * exactly the property worth oracling, since the distributed
+    * rendition's only failure mode is getting an offset wrong at a
+    * bucket boundary.
+    */
+  def q69_pack_chunks(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Pack.packChunks(
+      t(s, dir, "documents").select(col("doc_id"),
+        when(col("text").isNotNull, size(split(col("text"), " ")))
+          .otherwise(lit(0)).as("n_toks")),
+      "doc_id", "n_toks", chunkTokens = 128L)
+
+  val q69_sql: String =
+    """WITH d AS (SELECT doc_id,
+      |             CASE WHEN text IS NULL THEN 0
+      |                  ELSE len(string_split(text, ' ')) END AS n
+      |           FROM documents),
+      |c AS (SELECT doc_id, n,
+      |        sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM d),
+      |x AS (SELECT doc_id, cum - n AS s, cum - 1 AS e FROM c WHERE n > 0)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |       CAST(greatest(s, i * 128) AS BIGINT) AS tok_start,
+      |       CAST(least(e, (i + 1) * 128 - 1) AS BIGINT) AS tok_end
+      |FROM x, UNNEST(range(CAST(s // 128 AS BIGINT),
+      |                     CAST(e // 128 + 1 AS BIGINT))) AS t(i)""".stripMargin
+
   /** Grouped percentiles with a CARDINALITY GUARD — the latency/size-
     * distribution report every pipeline dashboard needs, safe by
     * default at any scale.
@@ -1175,5 +1279,8 @@ object RelationalQueries {
     "q63_quantize_int8" -> ((q63_quantize_int8 _, q63_sql)),
     "q64_bm25_topk" -> ((q64_bm25_topk _, q64_sql)),
     "q65_stratified_sample" -> ((q65_stratified_sample _, q65_sql)),
-    "q66_redact_pii" -> ((q66_redact_pii _, q66_sql)))
+    "q66_redact_pii" -> ((q66_redact_pii _, q66_sql)),
+    "q67_decontam" -> ((q67_decontam _, q67_sql)),
+    "q68_repetition" -> ((q68_repetition _, q68_sql)),
+    "q69_pack_chunks" -> ((q69_pack_chunks _, q69_sql)))
 }

@@ -202,6 +202,63 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(viaCond == viaPivot, "conditional-agg and .pivot renditions diverge")
   }
 
+  test("q67 decontam: corpus shingles die at a BHJ; only the eval distinct shuffles strings") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.StringType
+    val df = RelationalQueries.q67_decontam(spark, dir)
+    df.collect() // gate the FINAL adaptive plan
+    val nodes = PlanInspector.allNodes(df.queryExecution.executedPlan)
+    val bhj = nodes.filter(
+      _.getClass.getSimpleName.startsWith("BroadcastHashJoin"))
+    assert(bhj.nonEmpty, "q67: the eval-shingle join must be a broadcast")
+    val smj = nodes.filter(
+      _.getClass.getSimpleName.startsWith("SortMergeJoin"))
+    assert(smj.isEmpty, s"q67: sort-merge join crept in:\n${smj.mkString("\n")}")
+    // the scale contract: corpus shingle strings are generated and
+    // probed inside the scan stage; the ONLY string-carrying exchange
+    // allowed is the (benchmark-sized) eval-side distinct
+    val strShuffles = nodes.collect {
+      case s: ShuffleExchangeLike
+          if s.output.exists(_.dataType == StringType) => s
+    }
+    assert(strShuffles.size <= 1,
+      s"q67: ${strShuffles.size} string shuffles — corpus text reached " +
+        s"an exchange:\n${strShuffles.mkString("\n")}")
+  }
+
+  test("q68 repetition: ZERO shuffles — a pure per-row fold") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = RelationalQueries.q68_repetition(spark, dir)
+    df.collect()
+    val shuffles = PlanInspector.allNodes(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty,
+      s"q68: per-doc statistics must not shuffle, found " +
+        s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q69 packing: one corpus shuffle, no single-partition exchange or window") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val df = RelationalQueries.q69_pack_chunks(spark, dir)
+    df.collect()
+    val nodes = PlanInspector.allNodes(df.queryExecution.executedPlan)
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    // the whole point of the bucketed two-pass: the running sum is a
+    // partitionBy(bucket) window (ONE hash exchange), never the naive
+    // global-order window that plans a single-task sort of the corpus
+    assert(shuffles.size <= 1,
+      s"q69: ${shuffles.size} shuffles in the output plan, want <=1:\n" +
+        df.queryExecution.executedPlan)
+    val single = shuffles.filter(_.outputPartitioning == SinglePartition)
+    assert(single.isEmpty,
+      s"q69: a single-partition exchange crept in — the global window " +
+        s"is back:\n${df.queryExecution.executedPlan}")
+  }
+
   test("AQE splits a Zipf-skewed join partition at runtime (skew=true)") {
     // The engine's skew story has two layers: PRE-planned salting where
     // the hot keys are known (q28, the salted write, heavyHitters), and

@@ -396,6 +396,117 @@ class AnnSpec extends AnyFunSuite {
     out.foreach { case (id, (t, _)) => assert(twice(id) == t, s"doc $id") }
   }
 
+  test("q67 decontamination matches a driver-side shingle-set recompute") {
+    val qDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$qDir/documents.parquet").exists())
+    import spark.implicits._
+    val canary = " held out eval canary phrase"
+    val docs = spark.read.parquet(s"$qDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .filter(_._2 != null)
+    def gramsOf(t: String, n: Int): Seq[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < n) Seq.empty
+      else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+    }
+    val evalGrams = docs.filter(_._1 % 50 == 0)
+      .flatMap(d => gramsOf(d._2 + canary, 5)).toSet
+    val want = docs.filter(_._1 % 50 != 0).flatMap { case (id, t0) =>
+      val t = if (id % 7 == 3) t0 + canary else t0
+      val gs = gramsOf(t, 5)
+      val hits = gs.count(evalGrams.contains)
+      if (hits > 0) Some((id, gs.length.toLong, hits.toLong)) else None
+    }.toSet
+    val got = RelationalQueries.q67_decontam(spark, qDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"decontam mismatch: extra=${got.diff(want).take(5)} " +
+        s"missing=${want.diff(got).take(5)}")
+    // every planted doc in the corpus side must be flagged
+    val planted = docs.map(_._1)
+      .filter(id => id % 50 != 0 && id % 7 == 3).toSet
+    assert(planted.subsetOf(got.map(_._1)),
+      s"planted canary docs not all flagged: " +
+        s"${planted.diff(got.map(_._1)).take(5)}")
+  }
+
+  test("q68 repetition fold equals a per-doc hash-map recompute") {
+    val qDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$qDir/documents.parquet").exists())
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$qDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val want = docs.filter(_._2 != null).flatMap { case (id, t) =>
+      val toks = t.split(" ", -1)
+      if (toks.length < 2) None
+      else {
+        val gs = (0 until toks.length - 1)
+          .map(i => toks(i) + " " + toks(i + 1))
+        val counts = gs.groupBy(identity).map(_._2.size)
+        Some((id, gs.size.toLong, counts.size.toLong, counts.max.toLong))
+      }
+    }.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    val got = RelationalQueries.q68_repetition(spark, qDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"repetition stats diverge: " +
+      s"${got.toSet.diff(want.toSet).take(3)} vs " +
+      s"${want.toSet.diff(got.toSet).take(3)}")
+    // the ratio columns derive from the tallies with fixed rounding
+    val row = RelationalQueries.q68_repetition(spark, qDir)
+      .where(col("doc_id") === got.keys.min).head()
+    val (ng, nd, tc) = got(got.keys.min)
+    assert(row.getDouble(4) == BigDecimal.valueOf(tc.toDouble / ng)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getDouble(5) == BigDecimal.valueOf(1.0 - nd.toDouble / ng)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("q69 packing: bucket-count invariance and exact driver cumsum parity") {
+    val qDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$qDir/documents.parquet").exists())
+    import graft.pipeline.Pack
+    import spark.implicits._
+    val in = spark.read.parquet(s"$qDir/documents.parquet")
+      .select(col("doc_id"),
+        when(col("text").isNotNull, size(split(col("text"), " ")))
+          .otherwise(lit(0)).as("n_toks"))
+    def run(buckets: Int) =
+      Pack.packChunks(in, "doc_id", "n_toks", 128L, buckets = buckets)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    // the two-pass prefix-sum's only failure mode is an offset error at
+    // a bucket boundary — so the output must be IDENTICAL for 1 bucket
+    // (pure sequential), a prime bucket count, and the default
+    val base = run(1)
+    assert(base == run(7), "bucket count 7 changed the packing")
+    assert(base == run(0), "default bucket count changed the packing")
+    // exact parity with a driver-side sequential cumsum
+    val rows = in.as[(Long, Int)].collect().sortBy(_._1)
+    var cum = 0L
+    val want = rows.flatMap { case (id, n) =>
+      val start = cum; cum += n
+      if (n <= 0) Seq.empty
+      else (start / 128 to (cum - 1) / 128).map { c =>
+        (id, c, math.max(start, c * 128), math.min(cum - 1, (c + 1) * 128 - 1))
+      }
+    }.toSet
+    assert(base == want,
+      s"packing mismatch: extra=${base.diff(want).take(5)} " +
+        s"missing=${want.diff(base).take(5)}")
+    // chunk occupancy must reconstruct: every chunk except the last is
+    // exactly full, token spans tile with no gaps or overlaps
+    val byChunk = base.groupBy(_._2)
+    val lastChunk = byChunk.keys.max
+    byChunk.foreach { case (c, spans) =>
+      val tokens = spans.toSeq.map(s => s._4 - s._3 + 1).sum
+      if (c < lastChunk)
+        assert(tokens == 128L, s"chunk $c holds $tokens tokens, want 128")
+      else assert(tokens <= 128L, s"last chunk overfull: $tokens")
+    }
+  }
+
   test("q45 simhash groups match a driver-side brute-force recompute") {
     val qDir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$qDir/documents.parquet").exists())
