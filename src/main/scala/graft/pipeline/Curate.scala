@@ -15,11 +15,19 @@ import org.apache.spark.sql.functions._
   *                             the report costs no extra scan
   *   1. exact dedup          — content-hash groupBy, keep the min-id
   *                             exemplar per identical text (q16's shape)
+  *   1b. decontamination (optional) — drop docs sharing an n-token
+  *                             shingle with a held-out eval set
+  *                             ([[Decontam.contaminated]], q67);
+  *                             checkpoint id 5
   *   2. boilerplate drop     — substring-level dedup at document
   *                             granularity: drop docs whose share of
   *                             duplicated 20-token spans exceeds a
   *                             threshold ([[TextDedup.boilerplateShare]],
   *                             the doc-level action of q51/q52)
+  *   2b. repetition filter (optional) — Gopher top-gram-share /
+  *                             duplicated-gram-fraction threshold drop
+  *                             ([[Quality.repetitionStats]], q68);
+  *                             checkpoint id 6
   *   3. MinHash near-dup     — banded MinHash-LSH pairs at Jaccard ≥ 0.5
   *                             ([[TextDedup.minhashPairs]], q44), greedy
   *                             exemplar-keep (drop the max-id side)
@@ -96,8 +104,9 @@ object Curate {
     * a `stageDir` checkpoint instead of computed.
     */
   final case class Report(nInput: Long, nNullText: Long, nRedacted: Long,
-                          nAfterExact: Long,
-                          nAfterBoilerplate: Long, nAfterMinhash: Long,
+                          nAfterExact: Long, nAfterDecontam: Long,
+                          nAfterBoilerplate: Long, nAfterRepetition: Long,
+                          nAfterMinhash: Long,
                           nAfterEmbedding: Long,
                           hotKeys: Seq[(String, Long)], salts: Int,
                           nWritten: Long, resumedStages: Seq[Int]) {
@@ -107,7 +116,9 @@ object Curate {
       s"""{"n_input":$nInput,"n_null_text":$nNullText,""" +
         s""""n_redacted":$nRedacted,""" +
         s""""n_after_exact":$nAfterExact,""" +
+        s""""n_after_decontam":$nAfterDecontam,""" +
         s""""n_after_boilerplate":$nAfterBoilerplate,""" +
+        s""""n_after_repetition":$nAfterRepetition,""" +
         s""""n_after_minhash":$nAfterMinhash,""" +
         s""""n_after_embedding":$nAfterEmbedding,""" +
         s""""hot_keys":$hk,"salts":$salts,"n_written":$nWritten,""" +
@@ -139,6 +150,23 @@ object Curate {
     * @param redactPii       scrub emails/IPs/phones from `textCol`
     *                        before stage 1 (stage 0 above); recorded in
     *                        the checkpoint lineage
+    * @param evalSet         when set, BENCHMARK DECONTAMINATION runs
+    *                        right after exact dedup (checkpoint id 5):
+    *                        every doc sharing a `decontamN`-token
+    *                        shingle with `evalSet(evalTextCol)` is
+    *                        dropped ([[Decontam.contaminated]], q67) —
+    *                        eval data must never survive into training
+    *                        output, so this runs before the lossy
+    *                        near-dup stages, not after
+    * @param maxTopGramShare drop docs whose most frequent
+    *                        `repetitionN`-gram holds ≥ this share of
+    *                        all grams ([[Quality.repetitionStats]],
+    *                        q68); 1.0 (default) disables the check
+    * @param maxDupGramFrac  drop docs whose duplicated-gram fraction is
+    *                        ≥ this; 1.0 (default) disables the check.
+    *                        The repetition filter (checkpoint id 6)
+    *                        runs after the boilerplate drop — both
+    *                        thresholds at 1.0 skip the stage entirely
     */
   def run(spark: SparkSession, docs: DataFrame, idCol: String,
           textCol: String, embeddings: Option[DataFrame],
@@ -147,9 +175,18 @@ object Curate {
           minCos: Double = 0.95, spanN: Int = 20, hotDenom: Long = 16,
           buckets: Int = 16, stageDir: Option[String] = None,
           clusterKeep: Boolean = false,
-          redactPii: Boolean = false): Report = {
+          redactPii: Boolean = false,
+          evalSet: Option[DataFrame] = None, evalTextCol: String = "text",
+          decontamN: Int = 8,
+          maxTopGramShare: Double = 1.0, maxDupGramFrac: Double = 1.0,
+          repetitionN: Int = 2): Report = {
     require(maxDupSpanShare > 0.0 && maxDupSpanShare <= 1.0,
       s"maxDupSpanShare must be in (0, 1]: $maxDupSpanShare")
+    require(maxTopGramShare > 0.0 && maxTopGramShare <= 1.0,
+      s"maxTopGramShare must be in (0, 1]: $maxTopGramShare")
+    require(maxDupGramFrac > 0.0 && maxDupGramFrac <= 1.0,
+      s"maxDupGramFrac must be in (0, 1]: $maxDupGramFrac")
+    val repetitionOn = maxTopGramShare < 1.0 || maxDupGramFrac < 1.0
     // one job: total rows + non-null texts (count(col) skips NULLs);
     // with the scrub enabled, the SAME pass also tallies how many docs
     // the redaction touches — no extra scan for the audit number
@@ -208,8 +245,15 @@ object Curate {
       "n_input" -> nInput.toString,
       "minhash_policy" -> (if (clusterKeep) "cluster" else "greedy"),
       // a checkpoint of scrubbed survivors must not restore into an
-      // unscrubbed run (or vice versa) — the id-sets differ
-      "scrub" -> redactPii.toString)
+      // unscrubbed run (or vice versa) — the id-sets differ; same for
+      // the optional decontam / repetition stages and their parameters
+      "scrub" -> redactPii.toString,
+      "decontam" ->
+        evalSet.map(_ => s"n=$decontamN").getOrElse("off"),
+      "repetition" ->
+        (if (repetitionOn)
+           s"n=$repetitionN,top=$maxTopGramShare,dup=$maxDupGramFrac"
+         else "off"))
     def stage(i: Int, compute: => DataFrame,
               prev: Option[DataFrame]): (DataFrame, Long) = {
       val ckpt = stageDir.map(d => s"$d/stage$i")
@@ -260,29 +304,62 @@ object Curate {
         input.join(keepExact, Seq(idCol), "left_semi")
       }, None)
 
+      // 1b (checkpoint id 5, optional): benchmark decontamination —
+      // eval-overlapping docs must be REMOVED, not deduped, so this is
+      // an anti-join against the q67 operator's flagged ids. Runs on
+      // the exact-dedup survivors (identical twins of a contaminated
+      // exemplar are already gone either way).
+      val (afterDecon, nAfterDecon) = evalSet match {
+        case Some(ev) =>
+          stage(5, {
+            val dirty = Decontam
+              .contaminated(afterExact, ev, idCol, textCol, evalTextCol,
+                decontamN)
+              .select(col("doc_id").as(idCol))
+            afterExact.join(dirty, Seq(idCol), "left_anti")
+          }, Some(afterExact))
+        case None => (afterExact, nAfterExact)
+      }
+
       // 2. boilerplate: doc-level substring-dedup action
       val (afterBoiler, nAfterBoiler) = stage(2, {
         val boiler =
-          TextDedup.boilerplateShare(afterExact, idCol, textCol, spanN)
+          TextDedup.boilerplateShare(afterDecon, idCol, textCol, spanN)
             .where(col("dup_share") >= maxDupSpanShare)
             .select(col("doc_id").as(idCol))
-        afterExact.join(boiler, Seq(idCol), "left_anti")
-      }, Some(afterExact))
+        afterDecon.join(boiler, Seq(idCol), "left_anti")
+      }, Some(afterDecon))
+
+      // 2b (checkpoint id 6, optional): repetition-quality filter —
+      // the Gopher top-gram-share / duplicated-gram-fraction rules as
+      // a threshold drop; the stats themselves are a zero-shuffle
+      // per-row fold, so this stage costs one cached-survivor scan
+      val (afterRep, nAfterRep) =
+        if (repetitionOn)
+          stage(6, {
+            val repDrop = Quality
+              .repetitionStats(afterBoiler, idCol, textCol, repetitionN)
+              .where(col("top_share") >= maxTopGramShare ||
+                col("dup_frac") >= maxDupGramFrac)
+              .select(col("doc_id").as(idCol))
+            afterBoiler.join(repDrop, Seq(idCol), "left_anti")
+          }, Some(afterBoiler))
+        else (afterBoiler, nAfterBoiler)
 
       // 3. MinHash near-dup pairs -> greedy exemplar-keep, or (with
       // clusterKeep) CC dup clusters -> canonical-exemplar keep
       val (afterMinhash, nAfterMinhash) = stage(3, {
         if (clusterKeep) {
-          val keep = TextDedup.dupClusters(afterBoiler, idCol, textCol)
+          val keep = TextDedup.dupClusters(afterRep, idCol, textCol)
             .where(col("is_canonical") === 1)
             .select(col("doc_id").as(idCol))
-          afterBoiler.join(keep, Seq(idCol), "left_semi")
+          afterRep.join(keep, Seq(idCol), "left_semi")
         } else {
-          val mhDrop = TextDedup.minhashPairs(afterBoiler, idCol, textCol)
+          val mhDrop = TextDedup.minhashPairs(afterRep, idCol, textCol)
             .select(col("d2").as(idCol)).distinct()
-          afterBoiler.join(mhDrop, Seq(idCol), "left_anti")
+          afterRep.join(mhDrop, Seq(idCol), "left_anti")
         }
-      }, Some(afterBoiler))
+      }, Some(afterRep))
 
       // 4. embedding near-dup pairs (when an embedding table exists):
       // restrict vectors to the SURVIVORS first — pairs among already-
@@ -320,7 +397,8 @@ object Curate {
       val commits = TableIO.writeResumable(afterEmb, outDir, buckets,
         Seq(hotKeyCol), lineage = Map("recipe" -> "curate"), salts = salts)
       val report = Report(nInput, nNullText, nRedacted, nAfterExact,
-        nAfterBoiler, nAfterMinhash, nAfterEmbedding, hot, salts,
+        nAfterDecon, nAfterBoiler, nAfterRep, nAfterMinhash,
+        nAfterEmbedding, hot, salts,
         commits.map(_.rows).sum, resumed.toSeq)
       // the report outlives the driver, beside the manifests it explains
       TableIO.atomicWrite(reportPath(outDir), report.json,

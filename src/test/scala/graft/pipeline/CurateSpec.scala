@@ -142,6 +142,66 @@ class CurateSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("lineage"), ex.getMessage)
   }
 
+  test("curate decontam + repetition stages: flagged docs dropped, resumable") {
+    assume(available)
+    import spark.implicits._
+    // plant a repetitive doc SHORT of the 20-token boilerplate span
+    // width, so only the repetition stage can catch it
+    val spam = Seq.fill(15)("spamtok").mkString(" ")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .unionByName(Seq((99999L, spam, "en", "src0", spam.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // eval set = every 10th doc's text; those docs are also IN the
+    // corpus, so decontamination must drop at least them
+    val evalSet = docs.where(col("doc_id") % 10 === 0).select("text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_curate_dr").toString
+    def runTo(out: String) = Curate.run(spark, docs, "doc_id", "text",
+      None, "vec_id", "embedding", out, hotKeyCol = "source",
+      stageDir = Some(s"$base/stages"),
+      evalSet = Some(evalSet), decontamN = 8, maxTopGramShare = 0.5)
+    val r = runTo(s"$base/out1")
+
+    // full monotone chain including the new stages
+    assert(r.nAfterExact >= r.nAfterDecontam &&
+      r.nAfterDecontam >= r.nAfterBoilerplate &&
+      r.nAfterBoilerplate >= r.nAfterRepetition &&
+      r.nAfterRepetition >= r.nAfterMinhash, s"not monotone: $r")
+    // eval docs live in the corpus -> decontam must have acted
+    assert(r.nAfterDecontam < r.nAfterExact,
+      s"decontam was vacuous: $r")
+    assert(r.nAfterRepetition < r.nAfterBoilerplate,
+      s"repetition filter missed the planted spam doc: $r")
+
+    // the REAL invariants, recomputed on the committed output: nothing
+    // written overlaps the eval set at 8 tokens, nothing repetitive
+    val written = TableIO.readCommitted(spark, s"$base/out1", 16)
+    assert(Decontam.contaminated(written, evalSet,
+      "doc_id", "text", "text", 8).count() == 0,
+      "committed output still contains eval-contaminated docs")
+    val maxTop = Quality.repetitionStats(written, "doc_id", "text", 2)
+      .agg(max(col("top_share"))).head().getDouble(0)
+    assert(maxTop < 0.5, f"committed output has top_share $maxTop%.3f")
+    assert(!written.select("doc_id").as[Long].collect().contains(99999L),
+      "planted spam doc survived")
+
+    // both optional stages checkpoint and resume like the core four
+    val r2 = runTo(s"$base/out2")
+    assert(r2.resumedStages.sorted == Seq(1, 2, 3, 4, 5, 6),
+      s"${r2.resumedStages}")
+    assert(r2.nAfterDecontam == r.nAfterDecontam &&
+      r2.nAfterRepetition == r.nAfterRepetition, s"$r2 vs $r")
+
+    // an eval-set-free run against the same stageDir must fail fast on
+    // lineage (the survivor id-sets differ by construction)
+    val ex = intercept[IllegalArgumentException] {
+      Curate.run(spark, docs, "doc_id", "text", None, "vec_id",
+        "embedding", s"$base/out3", hotKeyCol = "source",
+        stageDir = Some(s"$base/stages"))
+    }
+    assert(ex.getMessage.contains("lineage"), ex.getMessage)
+  }
+
   test("curate clusterKeep: stage 3 keeps exactly each cluster's canonical doc") {
     assume(available)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
