@@ -42,6 +42,79 @@ object Sampling {
     else f"${math.floor(fraction * 4294967296.0).toLong}%08x"
   }
 
+  /** Strata-count guard for [[temperatureFractions]]' driver collect
+    * and [[temperatureSample]]'s fractions map: strata are languages /
+    * domains / sources — thousands at most. A million distinct strata
+    * means the caller grouped on a high-cardinality column (url, id)
+    * and the "mixture" is meaningless; fail loudly before collecting.
+    */
+  val MaxStrata: Int = 100000
+
+  /** Temperature-scaled mixture fractions — the standard multilingual /
+    * multi-domain rebalancing rule (Conneau et al. 2020 XLM-R §3.1 /
+    * Xue et al. 2021 mT5 §3.2): sample stratum i with probability
+    * `p_i ∝ c_i^alpha`, so low-resource strata are upsampled relative
+    * to their natural share (alpha = 1 keeps the natural mixture,
+    * alpha → 0 approaches uniform; both papers use 0.3/0.7-ish).
+    * Output per stratum: `(stratum, n_docs, weight, fraction)` where
+    * `weight = c_i^alpha / Σ c_j^alpha` and
+    * `fraction = min(1, targetRows·weight / c_i)` is the per-stratum
+    * keep rate that realizes the mixture under a total row budget —
+    * ready to feed [[stratifiedHashSample]]. Strata whose natural count
+    * can't meet their boosted share saturate at 1.0 (kept whole), so
+    * the realized total is `Σ min(c_i, targetRows·weight)` — the
+    * single-shot rule the papers use, not an iterative redistribution.
+    *
+    * Scale shape: one partial-agg count per stratum (the only corpus
+    * pass), then arithmetic over |strata| rows against a broadcast
+    * 1-row normalizer. `weight`/`fraction` are rounded to 6 digits;
+    * the normalizer is a float sum over strata, so engines summing in
+    * different orders can differ in the last ulp — visible only if a
+    * value sits within ~1e-10 relative of a rounding boundary (the
+    * q63/q67 rounded-double convention).
+    */
+  def temperatureFractions(docs: DataFrame, strataCol: String,
+                           alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    // NULL strata can't be part of a mixture: excluding them HERE keeps
+    // their weight from diluting the real strata (temperatureSample
+    // drops the rows anyway, per the sampler's default-0 convention)
+    val counts = docs.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(sum(pow(col("n_docs"), alpha)).as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col("stratum"), col("n_docs"),
+        round(pow(col("n_docs"), alpha) / col("z"), 6).as("weight"),
+        round(least(lit(1.0),
+          lit(targetRows.toDouble) * (pow(col("n_docs"), alpha) / col("z"))
+            / col("n_docs")), 6).as("fraction"))
+  }
+
+  /** [[temperatureFractions]] composed with [[stratifiedHashSample]]:
+    * one call from "corpus + temperature + budget" to the sampled
+    * mixture, deterministic under `seed`. The fractions frame is
+    * |strata|-sized by the [[MaxStrata]] guard (enforced with a
+    * limit-probe BEFORE collecting, so a mis-grouped corpus fails fast
+    * instead of OOMing the driver). Rows with a NULL stratum carry no
+    * mixture weight and are dropped (the stratified sampler's
+    * default-0 convention for unmapped strata).
+    */
+  def temperatureSample(docs: DataFrame, idCol: String, strataCol: String,
+                        alpha: Double, targetRows: Long, seed: Long,
+                        maxStrata: Int = MaxStrata): DataFrame = {
+    val probe = temperatureFractions(docs, strataCol, alpha, targetRows)
+      .limit(maxStrata + 1).collect()
+    require(probe.length <= maxStrata,
+      s"more than $maxStrata strata in '$strataCol' (Sampling.MaxStrata) " +
+        "— mixture strata are languages/domains/sources; group on one")
+    val fractions = probe.iterator
+      .filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    stratifiedHashSample(docs, idCol, strataCol, fractions, seed)
+  }
+
   def stratifiedHashSample(docs: DataFrame, idCol: String,
                            strataCol: String,
                            fractions: Map[String, Double], seed: Long,

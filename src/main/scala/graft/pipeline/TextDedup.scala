@@ -371,4 +371,68 @@ object TextDedup {
           when(col("rn") <= rosterCap, col("doc_id"))))).as("docs_csv"))
       .where(col("n_docs") > 1)
   }
+
+  /** Line-level corpus dedup WITH REWRITE — the C4 cleaning rule
+    * (Raffel et al. 2020, "Exploring the Limits of Transfer Learning",
+    * §2.2: "we discarded all but one of any three-sentence span
+    * occurring more than once in the data set", here at line
+    * granularity): for every line duplicated anywhere in the corpus,
+    * keep ONLY its first occurrence (min (doc_id, position)) and remove
+    * every other occurrence from its document, reassembling the
+    * remaining lines in order. Unlike the doc-level dedups above, this
+    * REWRITES surviving documents — the standard treatment for shared
+    * boilerplate (headers, footers, license blocks) that doc-level
+    * dedup cannot touch.
+    *
+    * Output: (doc_id, text, n_dropped) over the WHOLE corpus — a
+    * rewrite is a map-shaped operator, its result is the cleaned
+    * corpus. NULL texts pass through unchanged with n_dropped 0.
+    *
+    * Scale shape — document text NEVER rides an exchange:
+    *  1. lines are generated and hashed (xxhash64) inside the scan
+    *     stage; the ownership groupBy shuffles (hash, doc_id, pos)
+    *     longs only;
+    *  2. non-winner occurrences of duplicated lines — a DUP-BOUNDED
+    *     set, like [[duplicatedSpanHashes]]'s output — come back as
+    *     per-doc drop-position arrays;
+    *  3. the rebuild joins those arrays to the original docs on doc_id
+    *     (AQE broadcasts the dup-bounded side at any realistic dup
+    *     rate) and re-splits/filters/joins the text in the FINAL
+    *     project, above every exchange.
+    * Same 8-byte-key trade as [[duplicatedSpanHashes]]: one xxhash64
+    * collision between two distinct lines (~2^-64 per pair) could drop
+    * a non-duplicate line; at "delete boilerplate" stakes that is the
+    * documented price of never shuffling corpus bytes.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 delim: String = "\n"): DataFrame = {
+    require(delim.nonEmpty, "line delimiter must be non-empty")
+    val q = java.util.regex.Pattern.quote(delim)
+    val lines = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), q)).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lh"))
+    val dupOwners = lines.groupBy("lh")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("owner"))
+      .where(col("cnt") >= 2)
+      .select(col("lh"), col("owner"))
+    val drops = lines
+      .join(dupOwners, "lh")
+      .where(struct(col("doc_id"), col("pos")) =!= col("owner"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("drop_pos"),
+        count(lit(1)).as("n_dropped"))
+    docs
+      .join(drops, docs(idCol) === drops("doc_id"), "left")
+      .select(docs(idCol).as("doc_id"),
+        when(drops("drop_pos").isNull, docs(textCol))
+          .otherwise(array_join(
+            filter(split(docs(textCol), q),
+              (_, i) => !array_contains(drops("drop_pos"), i)),
+            delim))
+          .as("text"),
+        coalesce(drops("n_dropped"), lit(0L)).as("n_dropped"))
+  }
 }

@@ -1139,6 +1139,108 @@ object RelationalQueries {
       |FROM x, UNNEST(range(CAST(s // 128 AS BIGINT),
       |                     CAST(e // 128 + 1 AS BIGINT))) AS t(i)""".stripMargin
 
+  /** Line-level corpus dedup with rewrite
+    * ([[graft.pipeline.TextDedup.dedupLines]]) — the C4 §2.2 cleaning
+    * rule: all but the first occurrence of any line duplicated anywhere
+    * in the corpus are removed from their documents, which are then
+    * reassembled. The single-line synthetic texts are deterministically
+    * re-lined in BOTH engines (8-token lines, the q66/q67
+    * planted-payload convention), and boilerplate is planted so the
+    * rule has real work: docs with `doc_id % 7 = 2` get a shared header
+    * line PREPENDED (exercises position-0 ownership), docs with
+    * `doc_id % 5 = 0` a shared footer APPENDED; whatever short-tail
+    * chunks organically collide dedup too, identically in both engines.
+    */
+  def q70_dedup_lines(s: SparkSession, dir: String): DataFrame = {
+    val header = "shared header boilerplate line"
+    val footer = "repeated footer boilerplate line"
+    val nLines = expr("cast((size(ws) + 7) div 8 as int)")
+    val body = array_join(
+      transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(col("ws"), i * lit(8) + lit(1), lit(8)), " ")),
+      "\n")
+    val aug = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(concat(
+            when(col("doc_id") % 7 === 2, lit(header + "\n")).otherwise(lit("")),
+            body,
+            when(col("doc_id") % 5 === 0, lit("\n" + footer)).otherwise(lit(""))))
+          .as("text"))
+    graft.pipeline.TextDedup.dedupLines(aug, "doc_id", "text")
+  }
+
+  val q70_sql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |             FROM documents WHERE text IS NOT NULL),
+      |chunk AS (
+      |  SELECT doc_id,
+      |         string_agg(array_to_string(toks[(i*8+1):(i*8+8)], ' '),
+      |                    chr(10) ORDER BY i) AS body
+      |  FROM tok, UNNEST(range(0, (len(toks) + 7) // 8)) AS t(i)
+      |  GROUP BY doc_id),
+      |base AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.text IS NULL THEN NULL ELSE
+      |      (CASE WHEN d.doc_id % 7 = 2
+      |            THEN 'shared header boilerplate line' || chr(10)
+      |            ELSE '' END)
+      |      || c.body
+      |      || (CASE WHEN d.doc_id % 5 = 0
+      |               THEN chr(10) || 'repeated footer boilerplate line'
+      |               ELSE '' END)
+      |    END AS text
+      |  FROM documents d LEFT JOIN chunk c USING (doc_id)),
+      |lines AS (
+      |  SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, ls[t.i] AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+      |        FROM base WHERE text IS NOT NULL),
+      |       UNNEST(range(1, len(ls) + 1)) AS t(i)),
+      |marked AS (
+      |  SELECT doc_id, pos, line,
+      |         count(*) OVER (PARTITION BY line) AS cnt,
+      |         row_number() OVER (PARTITION BY line
+      |                            ORDER BY doc_id, pos) AS rn
+      |  FROM lines),
+      |rebuilt AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      |  FROM marked WHERE cnt = 1 OR rn = 1 GROUP BY doc_id),
+      |drops AS (
+      |  SELECT doc_id, count(*) AS n_dropped
+      |  FROM marked WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id)
+      |SELECT b.doc_id,
+      |       CASE WHEN b.text IS NULL THEN NULL
+      |            ELSE coalesce(r.text, '') END AS text,
+      |       coalesce(d.n_dropped, 0) AS n_dropped
+      |FROM base b
+      |LEFT JOIN rebuilt r USING (doc_id)
+      |LEFT JOIN drops d USING (doc_id)""".stripMargin
+
+  /** Temperature-scaled mixture fractions
+    * ([[graft.pipeline.Sampling.temperatureFractions]]): the XLM-R/mT5
+    * `p_i ∝ c_i^alpha` rebalancing over the documents table's `source`
+    * column, alpha 0.7, a 200-row budget. Both engines compute
+    * `round(power(n, 0.7) / z, 6)` with identical operation order (the
+    * q63/q64 double-mirroring convention); `z` is a float sum over
+    * |strata| terms, boundary-collision risk negligible.
+    */
+  def q71_temperature_mixture(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.temperatureFractions(
+      t(s, dir, "documents"), "source", alpha = 0.7, targetRows = 200L)
+
+  val q71_sql: String =
+    """WITH c AS (SELECT source AS stratum, count(*) AS n_docs
+      |           FROM documents WHERE source IS NOT NULL GROUP BY source),
+      |z AS (SELECT sum(power(n_docs, 0.7)) AS z FROM c)
+      |SELECT stratum, n_docs,
+      |       round(power(n_docs, 0.7) / z, 6) AS weight,
+      |       round(least(1.0,
+      |             200.0 * (power(n_docs, 0.7) / z) / n_docs), 6)
+      |         AS fraction
+      |FROM c, z""".stripMargin
+
   /** Grouped percentiles with a CARDINALITY GUARD — the latency/size-
     * distribution report every pipeline dashboard needs, safe by
     * default at any scale.
@@ -1282,5 +1384,7 @@ object RelationalQueries {
     "q66_redact_pii" -> ((q66_redact_pii _, q66_sql)),
     "q67_decontam" -> ((q67_decontam _, q67_sql)),
     "q68_repetition" -> ((q68_repetition _, q68_sql)),
-    "q69_pack_chunks" -> ((q69_pack_chunks _, q69_sql)))
+    "q69_pack_chunks" -> ((q69_pack_chunks _, q69_sql)),
+    "q70_dedup_lines" -> ((q70_dedup_lines _, q70_sql)),
+    "q71_temperature_mixture" -> ((q71_temperature_mixture _, q71_sql)))
 }

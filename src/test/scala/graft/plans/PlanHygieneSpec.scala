@@ -239,6 +239,31 @@ class PlanHygieneSpec extends AnyFunSuite {
         s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q70 line dedup: document text never rides an exchange; rebuild join broadcasts") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.StringType
+    val df = RelationalQueries.q70_dedup_lines(spark, dir)
+    df.collect() // gate the FINAL adaptive plan
+    val nodes = PlanInspector.allNodes(df.queryExecution.executedPlan)
+    // the scale contract: lines die in the scan stage as xxhash64 longs,
+    // the drop-set comes back as per-doc position arrays, and the
+    // rewrite happens in the final project — so NO exchange anywhere
+    // carries a string column
+    val strShuffles = nodes.collect {
+      case s: ShuffleExchangeLike
+          if s.output.exists(_.dataType == StringType) => s
+    }
+    assert(strShuffles.isEmpty,
+      s"q70: corpus text reached an exchange:\n${strShuffles.mkString("\n")}")
+    // the rebuild join's drop-set side is dup-bounded: AQE must end it
+    // as a broadcast, not a corpus-wide sort-merge
+    val smj = nodes.filter(
+      _.getClass.getSimpleName.startsWith("SortMergeJoin"))
+    assert(smj.isEmpty,
+      s"q70: sort-merge join crept in:\n${smj.mkString("\n")}")
+  }
+
   test("q69 packing: one corpus shuffle, no single-partition exchange or window") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

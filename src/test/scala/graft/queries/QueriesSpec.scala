@@ -1036,6 +1036,93 @@ class AnnSpec extends AnyFunSuite {
       s"fixture degenerate: $hotSessions hot-user sessions")
   }
 
+  test("q70 line dedup rewrite: closed-form fixture pins every edge") {
+    import spark.implicits._
+    // B is duplicated corpus-wide (docs 1, 2, 3 — and twice inside doc 3);
+    // F is doc-2/doc-4 boilerplate; U* lines are unique; doc 5 is NULL;
+    // doc 6 is ALL duplicate lines and must rebuild to the empty string
+    val fixture = Seq(
+      (1L, "U1\nB\nU2"),
+      (2L, "F\nB"),
+      (3L, "B\nU3\nB"),
+      (4L, "U4\nF"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "B\nF"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextDedup.dedupLines(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)), r.getLong(2))).toMap
+    // winners: B -> (1, pos 1); F -> (2, pos 0)
+    assert(out(1L) == (("U1\nB\nU2", 0L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == (("F", 1L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == (("U3", 2L)),
+      s"doc 3 (within-doc dup must also drop): ${out(3L)}")
+    assert(out(4L) == (("U4", 1L)), s"doc 4: ${out(4L)}")
+    assert(out(5L)._1 == null && out(5L)._2 == 0L,
+      s"NULL text must pass through: ${out(5L)}")
+    assert(out(6L) == (("", 2L)),
+      s"all-duplicate doc must rebuild to '': ${out(6L)}")
+    // idempotence: a deduped corpus has no cross-doc duplicate lines
+    // left, except lines that became EQUAL only after the rewrite —
+    // none exist in this fixture
+    val again = graft.pipeline.TextDedup.dedupLines(
+      graft.pipeline.TextDedup.dedupLines(fixture, "doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    out.foreach { case (id, (t, _)) =>
+      assert(again(id) == t, s"doc $id not idempotent") }
+  }
+
+  test("q70 at corpus scale matches a driver-side recompute") {
+    val qDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$qDir/documents.parquet").exists())
+    import spark.implicits._
+    val header = "shared header boilerplate line"
+    val footer = "repeated footer boilerplate line"
+    val docs = spark.read.parquet(s"$qDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // the q70 fixture, recomputed in plain Scala
+    val base = docs.map { case (id, t0) =>
+      if (t0 == null) (id, null)
+      else {
+        val toks = t0.split(" ", -1)
+        val body = toks.grouped(8).map(_.mkString(" ")).mkString("\n")
+        val h = if (id % 7 == 2) header + "\n" else ""
+        val f = if (id % 5 == 0) "\n" + footer else ""
+        (id, h + body + f)
+      }
+    }
+    val lines = base.filter(_._2 != null).flatMap { case (id, t) =>
+      t.split("\n", -1).zipWithIndex.map { case (l, p) => (l, id, p) }
+    }
+    val byLine = lines.groupBy(_._1)
+    val want = base.map { case (id, t) =>
+      if (t == null) (id, null, 0L)
+      else {
+        val ls = t.split("\n", -1).zipWithIndex
+        val kept = ls.filter { case (l, p) =>
+          val occ = byLine(l)
+          occ.length == 1 || occ.minBy(o => (o._2, o._3)) == ((l, id, p))
+        }
+        (id, kept.map(_._1).mkString("\n"), (ls.length - kept.length).toLong)
+      }
+    }.toSet
+    val got = RelationalQueries.q70_dedup_lines(spark, qDir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"line dedup mismatch: extra=${got.diff(want).take(3)} " +
+        s"missing=${want.diff(got).take(3)}")
+    // the planted boilerplate must have been dropped somewhere: every
+    // footer doc except the winner lost at least the footer line
+    val dropped = got.filter(_._3 > 0).map(_._1)
+    val footerDocs = base.collect {
+      case (id, t) if t != null && id % 5 == 0 => id }
+    assert(footerDocs.count(dropped.contains) >= footerDocs.length - 1,
+      "planted footer boilerplate not deduplicated")
+  }
+
   test("approx_percentile (the 100-TB path) tracks exact percentile") {
     assume(available)
     // q57's exact `percentile` buffers distinct values per group — the
