@@ -21,8 +21,10 @@ import scala.jdk.CollectionConverters._
   *   serve <model.json> <port>                TCP NER server (T1, model resident)
   *   client <host> <port> < raw.txt           one request per line (T2)
   *   cv <in.nes> <k> [modelDir]               k-fold cross-validation (X1)
-  *   curate <sfDir> <outDir> [minCos] [greedy|cluster] [redact]  curation recipe: dedup chain ->
-  *                                            hot keys -> salted write (JSON report)
+  *   curate <sfDir> <outDir> [minCos] [greedy|cluster] [redact] [semantic]
+  *                                            curation recipe: dedup chain ->
+  *                                            hot keys -> salted write (JSON report);
+  *                                            "semantic" = SemDeDup embedding stage
   */
 object Cli {
 
@@ -154,7 +156,7 @@ object Cli {
       stdinLines.foreach { line =>
         utf8Out.println(graft.server.NerfServer.request(host, portStr.toInt, line))
       }
-    case "curate" :: sfDir :: outDir :: rest if rest.length <= 3 =>
+    case "curate" :: sfDir :: outDir :: rest if rest.length <= 4 =>
       // End-to-end curation recipe over a documents(+embeddings) table:
       // exact dedup -> boilerplate drop -> MinHash near-dup -> embedding
       // near-dup -> hot-key detection -> salted resumable write. One
@@ -181,10 +183,11 @@ object Cli {
             "— skipping the embedding near-dup stage")
           None
         }
-      // optional "redact" flag anywhere in the tail: PII scrub as
-      // stage 0 of the recipe
+      // optional flags anywhere in the tail: "redact" = PII scrub as
+      // stage 0, "semantic" = SemDeDup as the stage-4 embedding policy
       val redact = rest.contains("redact")
-      val rest2 = rest.filterNot(_ == "redact")
+      val semantic = rest.contains("semantic")
+      val rest2 = rest.filterNot(f => f == "redact" || f == "semantic")
       require(rest2.length <= 2, s"unrecognized curate args: $rest2")
       val minCos = rest2.headOption.map(_.toDouble).getOrElse(0.95)
       // optional policy: "cluster" switches stage 3 from greedy drop-d2
@@ -197,7 +200,8 @@ object Cli {
       val report = graft.pipeline.Curate.run(spark, docs, "doc_id", "text",
         emb, "vec_id", "embedding", outDir, hotKeyCol = "source",
         minCos = minCos, stageDir = Some(s"$outDir/_stages"),
-        clusterKeep = policy == "cluster", redactPii = redact)
+        clusterKeep = policy == "cluster", semanticKeep = semantic,
+        redactPii = redact)
       utf8Out.println(report.json)
       spark.stop()
     case "synth" :: out :: rest =>

@@ -182,9 +182,24 @@ object Ann {
       .select(col(idCol).as("vec_id"),
         posexplode(AnnFunctions.ner_sign_buckets(col(embCol), planes))
           .as(Seq("tbl", "bucket")))
-    // drop degenerate buckets BEFORE the quadratic self-join (scaladoc);
-    // the over-cap set is tiny (≤ corpus/maxBucketSize entries), the
-    // anti-join keys are scalars
+    val emb = vecs.where(col(embCol).isNotNull)
+      .select(col(idCol), col(embCol))
+    verifiedBucketPairs(keys, emb, idCol, embCol, minCos, maxBucketSize)
+  }
+
+  /** Shared candidate-join/exact-verify tail of every bucketed pair
+    * operator ([[lshCosinePairs]], [[semDedup]]): ids sharing a
+    * (tbl, bucket) key become candidate pairs (d1 < d2, distinct across
+    * tables), each verified by the exact codegen cosine. Degenerate
+    * buckets are dropped BEFORE the quadratic self-join — the over-cap
+    * set is tiny (≤ corpus/maxBucketSize entries), the anti-join keys
+    * are scalars. No shuffle anywhere carries a vector: embeddings
+    * attach per-candidate only, after the bucket join.
+    */
+  private def verifiedBucketPairs(keys: DataFrame, emb: DataFrame,
+                                  idCol: String, embCol: String,
+                                  minCos: Double,
+                                  maxBucketSize: Int): DataFrame = {
     val oversized = keys.groupBy("tbl", "bucket")
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
       .select("tbl", "bucket")
@@ -194,14 +209,86 @@ object Ann {
         Seq("tbl", "bucket"))
       .where(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    val emb = vecs.where(col(embCol).isNotNull)
-      .select(col(idCol), col(embCol))
     cand
       .join(emb.select(col(idCol).as("d1"), col(embCol).as("e1")), "d1")
       .join(emb.select(col(idCol).as("d2"), col(embCol).as("e2")), "d2")
       .withColumn("raw_cos", VecFunctions.ner_cosine(col("e1"), col("e2")))
       .where(col("raw_cos") >= minCos)
       .select(col("d1"), col("d2"), round(col("raw_cos"), 6).as("cos"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-dup
+    * removal over embeddings — k-means-cluster the corpus, find
+    * within-cluster pairs with cosine ≥ `tau`, group them transitively,
+    * and from each duplicate group KEEP the member LEAST similar to its
+    * cluster centroid (the paper's rule: retaining the "edge" example
+    * preserves diversity), ties broken by min id. Output, for EVERY
+    * non-null-embedding row: `(vec_id, cell, centroid_cos, cluster_id,
+    * is_kept)` — the curation action is dropping `is_kept = 0`.
+    *
+    * Membership is decided on the ROUNDED cosine (`round(cos, 6) ≥ tau`
+    * after a half-ulp-loosened raw prefilter) — the q56 convention, so
+    * a cross-engine oracle decides on the same 6-digit value. The keep
+    * rule orders on the RAW centroid cosine (bit-identical across
+    * engines per the q56 double-dot parity).
+    *
+    * Scale shape: the quantizer is the IVF machinery ([[ivfCentroids]]:
+    * driver sample bounded, kmeans++, broadcast centroids — or pass
+    * `centroids` to reuse a persisted quantizer); cell assignment and
+    * the centroid cosine are codegen scan-side expressions; pair
+    * generation is [[lshCosinePairs]]'s shared bucketed
+    * candidate-join/exact-verify with `cell` as the bucket (no
+    * all-pairs product, no vector in any bucket shuffle, degenerate
+    * cells capped at `maxCellSize`); the closure runs over dup-involved
+    * ids only ([[TextDedup.componentLabels]]'s driver/distributed
+    * choice); the keep pick is a partial-agg `min(struct(ccos, id))`
+    * per cluster — not a window, so a giant duplicate family never
+    * lands one task. Clusters form WITHIN cells by construction
+    * (SemDeDup's deliberate approximation: cross-cell near-dups are
+    * the quantizer's miss rate, bounded in-suite on a clustered
+    * fixture).
+    */
+  def semDedup(vecs: DataFrame, idCol: String, embCol: String, tau: Double,
+               nCells: Int = -1,
+               centroids: Option[Array[Array[Float]]] = None,
+               maxCellSize: Int = 10000, collectThreshold: Int = 100000,
+               seed: Long = 4321L): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
+    val nn = vecs.where(col(embCol).isNotNull)
+    val cents = centroids.getOrElse {
+      val k = if (nCells > 0) nCells else ivfAutoGeometry(nn.count())._1
+      ivfCentroids(vecs, idCol, embCol, k, seed = seed)
+    }
+    require(cents.nonEmpty, "semDedup needs >= 1 centroid")
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val assigned = nn
+      .select(col(idCol).as("vec_id"), col(embCol).as("_emb"))
+      .withColumn("cell", AnnFunctions.ner_nearest_cell(col("_emb"), cents))
+      .withColumn("_ccos", VecFunctions.ner_cosine(col("_emb"),
+        element_at(centsLit, col("cell") + 1)))
+    val keys = assigned
+      .select(col("vec_id"), lit(0).as("tbl"), col("cell").as("bucket"))
+    val emb = nn.select(col(idCol), col(embCol))
+    // decide on the rounded cosine (see scaladoc); the raw prefilter
+    // inside the shared verify is loosened half an ulp under it
+    val pairs = verifiedBucketPairs(keys, emb, idCol, embCol,
+        tau - 1e-6, maxCellSize)
+      .where(col("cos") >= tau)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = TextDedup.componentLabels(pairs, collectThreshold)
+      .withColumnRenamed("node", "vec_id")
+    val withClusters = assigned
+      .join(labels, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col("vec_id")))
+    val keepers = withClusters.groupBy("cluster_id")
+      .agg(min(struct(col("_ccos"), col("vec_id"))).as("m"))
+      .select(col("cluster_id"), col("m.vec_id").as("_keep_id"))
+    withClusters.join(keepers, Seq("cluster_id"))
+      .select(col("vec_id"), col("cell"),
+        round(col("_ccos"), 6).as("centroid_cos"), col("cluster_id"),
+        when(col("vec_id") === col("_keep_id"), 1).otherwise(0)
+          .as("is_kept"))
   }
 
   /** Coarse IVF quantizer: deterministic seeded sample (smallest

@@ -175,6 +175,7 @@ object Curate {
           minCos: Double = 0.95, spanN: Int = 20, hotDenom: Long = 16,
           buckets: Int = 16, stageDir: Option[String] = None,
           clusterKeep: Boolean = false,
+          semanticKeep: Boolean = false,
           redactPii: Boolean = false,
           evalSet: Option[DataFrame] = None, evalTextCol: String = "text",
           decontamN: Int = 8,
@@ -244,6 +245,7 @@ object Curate {
     val stageLineage = Map("recipe" -> "curate-stage",
       "n_input" -> nInput.toString,
       "minhash_policy" -> (if (clusterKeep) "cluster" else "greedy"),
+      "embedding_policy" -> (if (semanticKeep) "semantic" else "greedy"),
       // a checkpoint of scrubbed survivors must not restore into an
       // unscrubbed run (or vice versa) — the id-sets differ; same for
       // the optional decontam / repetition stages and their parameters
@@ -361,9 +363,12 @@ object Curate {
         }
       }, Some(afterRep))
 
-      // 4. embedding near-dup pairs (when an embedding table exists):
-      // restrict vectors to the SURVIVORS first — pairs among already-
-      // dropped docs are wasted candidate work
+      // 4. embedding near-dup (when an embedding table exists): restrict
+      // vectors to the SURVIVORS first — pairs among already-dropped
+      // docs are wasted candidate work. Policy: greedy drop-d2 over
+      // sign-LSH pairs (default), or (semanticKeep) SemDeDup — kmeans
+      // cells, transitive groups, keep the least-centroid-similar
+      // member (Ann.semDedup, q72)
       // final pin serves three consumers: the count, the hot-key scan,
       // and the salted write
       val (afterEmb, nAfterEmbedding) = stage(4, {
@@ -372,9 +377,22 @@ object Curate {
             val vecs = emb
               .select(col(embIdCol).as(idCol), col(embCol).as("embedding"))
               .join(afterMinhash.select(idCol), Seq(idCol), "left_semi")
-            val drop = Ann.lshCosinePairs(vecs, idCol, "embedding", minCos)
-              .select(col("d2").as(idCol)).distinct()
-            afterMinhash.join(drop, Seq(idCol), "left_anti")
+            if (semanticKeep) {
+              val keep = Ann.semDedup(vecs, idCol, "embedding", minCos)
+                .where(col("is_kept") === 1)
+                .select(col("vec_id").as(idCol))
+              // docs WITHOUT an embedding row have no semantic evidence
+              // and are kept, same as the greedy path (they can't
+              // appear in any pair there either)
+              val noVec = afterMinhash
+                .join(vecs.select(idCol), Seq(idCol), "left_anti")
+                .select(col(idCol))
+              afterMinhash.join(keep.union(noVec), Seq(idCol), "left_semi")
+            } else {
+              val drop = Ann.lshCosinePairs(vecs, idCol, "embedding", minCos)
+                .select(col("d2").as(idCol)).distinct()
+              afterMinhash.join(drop, Seq(idCol), "left_anti")
+            }
           case None => afterMinhash
         }
       }, Some(afterMinhash))

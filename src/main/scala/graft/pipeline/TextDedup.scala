@@ -240,15 +240,23 @@ object TextDedup {
     * dup graph is genuinely large takes the iterative, checkpointed CC.
     * 100k two-long rows is ~2 MB on the driver, far below OOM hazard.
     */
-  def dupClusters(docs: DataFrame, idCol: String, textCol: String,
-                  k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                  collectThreshold: Int = 100000): DataFrame = {
-    val pairs = minhashPairs(docs, idCol, textCol, k, numHashes, bands)
-      .select(col("d1").as("src"), col("d2").as("dst"))
-      // consumed twice (count + closure input): one pair enumeration
+  /** Component labels (node, comp = min member id) for an edge list —
+    * the shared closure step of [[dupClusters]] and
+    * [[graft.pipeline.Ann.semDedup]]. Chooses driver union-find vs the
+    * distributed CC fixpoint on a cheap edge COUNT (partial-agg, no
+    * rows pulled): a sub-threshold pair set union-finds on the driver
+    * in microseconds — skipping the fixpoint's per-round jobs — while
+    * a corpus whose dup graph is genuinely large takes the iterative,
+    * checkpointed CC. 100k two-long rows is ~2 MB on the driver, far
+    * below OOM hazard. The edge frame is persisted for its two
+    * consumers (count + closure input) and released before return.
+    */
+  private[pipeline] def componentLabels(pairs: DataFrame,
+                                        collectThreshold: Int): DataFrame = {
+    val edges = pairs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges = pairs.count()
-    val labels = (if (nEdges <= collectThreshold) {
+    val nEdges = edges.count()
+    val labels = if (nEdges <= collectThreshold) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -258,24 +266,34 @@ object TextDedup {
         }
         r
       }
-      pairs.collect().foreach { e =>
+      edges.collect().foreach { e =>
         val a = e.getLong(0); val b = e.getLong(1)
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val ra = find(a); val rb = find(b)
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-      val sess = docs.sparkSession
+      val sess = pairs.sparkSession
       import sess.implicits._
       // min member per root explicitly: path-compression interleavings
       // don't guarantee the root IS the min
       parent.keys.toSeq.groupBy(find).iterator.flatMap { case (_, ms) =>
         val m = ms.min; ms.iterator.map(x => (x, m))
       }.toSeq.toDF("node", "comp")
-    } else graft.pipeline.KgPipeline.connectedComponents(pairs))
-      .withColumnRenamed("node", "doc_id")
+    } else graft.pipeline.KgPipeline.connectedComponents(edges)
     // both branches have fully consumed the cache by here (collect, or
     // the eager checkpointed fixpoint); labels no longer depend on it
-    pairs.unpersist()
+    edges.unpersist()
+    labels
+  }
+
+  def dupClusters(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                  collectThreshold: Int = 100000): DataFrame = {
+    val labels = componentLabels(
+      minhashPairs(docs, idCol, textCol, k, numHashes, bands)
+        .select(col("d1").as("src"), col("d2").as("dst")),
+      collectThreshold)
+      .withColumnRenamed("node", "doc_id")
     val assigned = docs.select(col(idCol).as("doc_id"),
         coalesce(size(split(col(textCol), " ")), lit(0)).as("n_toks"))
       .join(labels, Seq("doc_id"), "left")

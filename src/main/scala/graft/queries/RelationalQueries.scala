@@ -1241,6 +1241,61 @@ object RelationalQueries {
       |         AS fraction
       |FROM c, z""".stripMargin
 
+  /** Oracled degenerate rendition of SemDeDup
+    * ([[graft.pipeline.Ann.semDedup]], the q56/q59 convention): a
+    * single FIXED all-ones centroid collapses the quantizer to one
+    * cell, so the SAME code path — scan-side assignment + centroid
+    * cosine, bucketed candidate join, rounded-cosine membership,
+    * transitive grouping, least-centroid-similar keep — enumerates the
+    * brute-force semantic-dedup decision, which DuckDB replays exactly
+    * (double dot products, recursive-CTE closure, window keep-pick).
+    * The id bound keeps the one-cell candidate set fixture-sized; the
+    * kmeans path is the scale rendition, gated in AnnSpec.
+    */
+  def q72_semdedup(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Ann.semDedup(
+      t(s, dir, "embeddings").where(col("vec_id") < 300),
+      "vec_id", "embedding", tau = 0.4,
+      centroids = Some(Array(Array.fill(64)(1.0f))),
+      maxCellSize = 1000000)
+
+  val q72_sql: String =
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |      FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
+      |m AS (SELECT vec_id,
+      |        list_dot_product(v, list_transform(v, x -> 1.0)) /
+      |        (sqrt(list_dot_product(v, v)) *
+      |         sqrt(list_dot_product(list_transform(v, x -> 1.0),
+      |                               list_transform(v, x -> 1.0)))) AS ccos
+      |      FROM e),
+      |pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+      |          FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |          WHERE round(list_dot_product(a.v, b.v) /
+      |                (sqrt(list_dot_product(a.v, a.v)) *
+      |                 sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4),
+      |und AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |        UNION SELECT d2, d1 FROM pairs),
+      |reach(node, comp) AS (
+      |  SELECT src, src FROM und
+      |  UNION
+      |  SELECT u.src, r.comp FROM und u JOIN reach r ON u.dst = r.node),
+      |labels AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+      |assigned AS (SELECT m.vec_id,
+      |               CAST(coalesce(l.comp, m.vec_id) AS BIGINT) AS cluster_id,
+      |               m.ccos
+      |             FROM m LEFT JOIN labels l ON l.node = m.vec_id),
+      |keepers AS (SELECT cluster_id, vec_id AS keep_id FROM (
+      |              SELECT cluster_id, vec_id,
+      |                row_number() OVER (PARTITION BY cluster_id
+      |                                   ORDER BY ccos, vec_id) AS rn
+      |              FROM assigned) WHERE rn = 1)
+      |SELECT a.vec_id, CAST(0 AS INT) AS cell,
+      |       round(a.ccos, 6) AS centroid_cos, a.cluster_id,
+      |       CAST(CASE WHEN a.vec_id = k.keep_id THEN 1 ELSE 0 END AS INT)
+      |         AS is_kept
+      |FROM assigned a JOIN keepers k USING (cluster_id)""".stripMargin
+
   /** Grouped percentiles with a CARDINALITY GUARD — the latency/size-
     * distribution report every pipeline dashboard needs, safe by
     * default at any scale.
@@ -1386,5 +1441,6 @@ object RelationalQueries {
     "q68_repetition" -> ((q68_repetition _, q68_sql)),
     "q69_pack_chunks" -> ((q69_pack_chunks _, q69_sql)),
     "q70_dedup_lines" -> ((q70_dedup_lines _, q70_sql)),
-    "q71_temperature_mixture" -> ((q71_temperature_mixture _, q71_sql)))
+    "q71_temperature_mixture" -> ((q71_temperature_mixture _, q71_sql)),
+    "q72_semdedup" -> ((q72_semdedup _, q72_sql)))
 }

@@ -238,6 +238,48 @@ class CurateSpec extends AnyFunSuite {
       "gate is vacuous: no near-dup cluster collapsed at this SF")
   }
 
+  test("curate semanticKeep: stage 4 keeps exactly SemDeDup's keepers; lineage guards the policy") {
+    assume(available)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = Some(spark.read.parquet(s"$dir/embeddings.parquet"))
+    val base = java.nio.file.Files.createTempDirectory("graft_curate_sem")
+      .toString
+    val out = s"$base/out"
+    val r = Curate.run(spark, docs, "doc_id", "text", emb, "vec_id",
+      "embedding", out, hotKeyCol = "source", minCos = 0.4,
+      stageDir = Some(s"$base/stages"), semanticKeep = true)
+    assert(r.nAfterEmbedding < r.nAfterMinhash,
+      "semantic stage was vacuous at minCos 0.4 (see q53 fixture note)")
+    // wiring parity: stage 4's checkpoint must equal an INDEPENDENT
+    // Ann.semDedup over stage 3's committed survivors (plus the docs
+    // that have no embedding row — no semantic evidence keeps them)
+    val stage3 = TableIO.readCommitted(spark, s"$base/stages/stage3",
+      Curate.StageBuckets).select("doc_id")
+    val vecs = emb.get
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(stage3, Seq("doc_id"), "left_semi")
+    val keepers = Ann.semDedup(vecs, "doc_id", "embedding", 0.4)
+      .where(col("is_kept") === 1)
+      .collect().map(_.getLong(0)).toSet
+    val noVec = stage3
+      .join(vecs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    val want = keepers ++ noVec
+    val got = TableIO.readCommitted(spark, out, 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} " +
+      s"extra=${(got -- want).take(5)}")
+    // a checkpoint written under the semantic policy must refuse to
+    // restore into a greedy run
+    val ex = intercept[IllegalArgumentException] {
+      Curate.run(spark, docs, "doc_id", "text", emb, "vec_id",
+        "embedding", out, hotKeyCol = "source", minCos = 0.4,
+        stageDir = Some(s"$base/stages"), semanticKeep = false)
+    }
+    assert(ex.getMessage.contains("lineage"),
+      s"wrong failure: ${ex.getMessage.take(120)}")
+  }
+
   test("curate sets NULL-text docs aside instead of deduping them") {
     import spark.implicits._
     val toks = (i: Int) => (i until i + 25).map(j => s"w$j").mkString(" ")

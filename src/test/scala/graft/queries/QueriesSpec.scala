@@ -740,6 +740,97 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("q72 semDedup degenerate (one fixed centroid) equals a driver recompute") {
+    assume(available)
+    val vs = vectors()
+    val ones = Array.fill(64)(1.0f)
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // driver truth: rounded-cosine membership, min-label closure, keep
+    // the member least similar to the centroid (raw cosine, id ties)
+    val pairs = for {
+      i <- vs.indices; j <- (i + 1) until vs.length
+      if r6(cosine(vs(i)._2, vs(j)._2)) >= 0.4
+    } yield (vs(i)._1, vs(j)._1)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val label = vs.map(_._1).map { id =>
+      val members = vs.map(_._1).filter(x => find(x) == find(id))
+      id -> members.min
+    }.toMap
+    val ccos = vs.map { case (id, v) => id -> cosine(v, ones) }.toMap
+    val keepOf = vs.map(_._1).groupBy(label)
+      .map { case (c, ms) => c -> ms.minBy(id => (ccos(id), id)) }
+    val want = vs.map { case (id, _) =>
+      (id, 0, r6(ccos(id)), label(id), if (keepOf(label(id)) == id) 1 else 0)
+    }.toSet
+    val df = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = graft.pipeline.Ann.semDedup(df, "vec_id", "embedding",
+        tau = 0.4, centroids = Some(Array(ones)), maxCellSize = 1000000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(got == want,
+      s"semDedup diverged: extra=${got.diff(want).take(3)} " +
+        s"missing=${want.diff(got).take(3)}")
+    assert(want.exists(_._5 == 0), "fixture has no drops — vacuous")
+  }
+
+  test("semDedup kmeans path: one keeper per cluster, in-cell, recall on clustered data") {
+    import spark.implicits._
+    val vs = clusteredVecs()
+    val df = vs.toDF("vec_id", "embedding")
+    // nCells BELOW the fixture's 20 natural clusters: a coarser
+    // quantizer merges natural clusters into cells rather than
+    // splitting them, which is the alignment regime SemDeDup wants
+    // (at 32 cells the splits cost ~20 points of pair recall — the
+    // documented cross-cell approximation, not a bug)
+    val rows = graft.pipeline.Ann.semDedup(
+      df, "vec_id", "embedding", tau = 0.95, nCells = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), r.getInt(4)))
+    assert(rows.length == vs.length, s"${rows.length} rows != ${vs.length}")
+    // exactly one keeper per cluster; keeper minimizes (centroid_cos, id)
+    // up to the output rounding; members of a cluster share one cell
+    rows.groupBy(_._4).foreach { case (c, ms) =>
+      assert(ms.count(_._5 == 1) == 1, s"cluster $c keeper count != 1")
+      assert(ms.map(_._2).distinct.length == 1, s"cluster $c spans cells")
+      val keeper = ms.find(_._5 == 1).get
+      assert(ms.forall(m => keeper._3 <= m._3 + 1e-6),
+        s"cluster $c keeper is not least-centroid-similar")
+    }
+    // tight 20-cluster fixture: semantic dedup must collapse most of it
+    val kept = rows.count(_._5 == 1)
+    assert(kept < 200, s"$kept keepers of ${vs.length} — dedup vacuous")
+    // recall: brute-force duplicate pairs must land in one cluster,
+    // up to the quantizer's cross-cell miss rate (the documented
+    // SemDeDup approximation)
+    val labelOf = rows.map(r => r._1 -> r._4).toMap
+    val arr = vs.toArray
+    var dup = 0; var together = 0
+    for (i <- arr.indices; j <- (i + 1) until arr.length) {
+      if (cosine(arr(i)._2, arr(j)._2) >= 0.96) {
+        dup += 1
+        if (labelOf(arr(i)._1) == labelOf(arr(j)._1)) together += 1
+      }
+    }
+    assert(dup > 1000, s"fixture degenerate: only $dup brute-force pairs")
+    val recall = together.toDouble / dup
+    info(f"semDedup pair recall on clustered fixture: $recall%.3f ($dup pairs)")
+    assert(recall >= 0.9, f"semDedup recall $recall%.3f < 0.9")
+    // determinism across invocations (seeded quantizer)
+    val again = graft.pipeline.Ann.semDedup(
+      df, "vec_id", "embedding", tau = 0.95, nCells = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), r.getInt(4)))
+    assert(rows.toSet == again.toSet, "semDedup is not deterministic")
+  }
+
   test("q53 cosine pairs: exact precision vs brute force; q21 parity on its id range") {
     assume(available)
     val vs = vectors()
@@ -1121,6 +1212,50 @@ class AnnSpec extends AnyFunSuite {
       case (id, t) if t != null && id % 5 == 0 => id }
     assert(footerDocs.count(dropped.contains) >= footerDocs.length - 1,
       "planted footer boilerplate not deduplicated")
+  }
+
+  test("q71 temperature mixture: closed-form weights, saturation, composed sample") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    // two non-null strata so the normalizer is a 2-term sum (IEEE
+    // addition is commutative, so the driver recompute can't diverge
+    // on summation order); nulls must carry no weight
+    val docs = ((1L to 320L).map(i => (i, "en")) ++
+      (321L to 330L).map(i => (i, "de")) ++
+      (331L to 335L).map(i => (i, null: String))).toDF("doc_id", "lang")
+    val fr = Sampling.temperatureFractions(docs, "lang", 0.5, 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(fr.keySet == Set("en", "de"), s"null stratum leaked: ${fr.keySet}")
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = math.pow(320, 0.5) + math.pow(10, 0.5)
+    assert(fr("en") == ((320L, r6(math.pow(320, 0.5) / z),
+      r6(100.0 * (math.pow(320, 0.5) / z) / 320))), s"en: ${fr("en")}")
+    // de's boosted share exceeds its count: fraction saturates at 1.0
+    assert(fr("de") == ((10L, r6(math.pow(10, 0.5) / z), 1.0)),
+      s"de must saturate: ${fr("de")}")
+    // composed sampler: whole saturated stratum kept, en near its
+    // fraction, nulls dropped, deterministic
+    val kept = Sampling.temperatureSample(
+        docs, "doc_id", "lang", 0.5, 100L, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((321L to 330L).forall(kept), "saturated stratum not kept whole")
+    assert((331L to 335L).forall(id => !kept(id)), "null-stratum rows leaked")
+    val enKept = kept.count(_ <= 320L).toDouble / 320.0
+    val enFrac = fr("en")._3
+    assert(math.abs(enKept - enFrac) < 0.15,
+      f"en keep rate $enKept%.3f far from fraction $enFrac%.3f")
+    assert(kept == Sampling.temperatureSample(
+        docs, "doc_id", "lang", 0.5, 100L, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet,
+      "temperatureSample is not deterministic")
+    // strata-cardinality guard fails fast before collecting
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(docs, "doc_id", "doc_id", 0.5, 100L, 7L,
+        maxStrata = 10)
+    }
+    assert(ex.getMessage.contains("MaxStrata"))
   }
 
   test("approx_percentile (the 100-TB path) tracks exact percentile") {
