@@ -33,7 +33,16 @@ import org.apache.spark.sql.functions._
   *                             exemplar-keep (drop the max-id side)
   *   4. embedding near-dup   — sign-LSH cosine pairs over the embedding
   *                             column ([[Ann.lshCosinePairs]], q53),
-  *                             same greedy policy
+  *                             same greedy policy; `semanticKeep = true`
+  *                             switches to SemDeDup ([[Ann.semDedup]],
+  *                             q72): kmeans cells, transitive groups,
+  *                             keep the least-centroid-similar member
+  *   4b. mixture sampling (optional) — temperature-scaled per-stratum
+  *                             downsample to a row budget
+  *                             ([[Sampling.temperatureSample]], q71/q65)
+  *                             as the LAST content decision
+  *                             (`mixtureCol` + `mixtureTargetRows`);
+  *                             checkpoint id 7
   *   5. hot-key detection    — CMS heavy hitters over the write key
   *                             ([[Sketches.heavyHitters]], q54), sizing
   *                             the salt fan-out of the final write
@@ -107,7 +116,7 @@ object Curate {
                           nAfterExact: Long, nAfterDecontam: Long,
                           nAfterBoilerplate: Long, nAfterRepetition: Long,
                           nAfterMinhash: Long,
-                          nAfterEmbedding: Long,
+                          nAfterEmbedding: Long, nAfterMixture: Long,
                           hotKeys: Seq[(String, Long)], salts: Int,
                           nWritten: Long, resumedStages: Seq[Int]) {
     def json: String = {
@@ -121,6 +130,7 @@ object Curate {
         s""""n_after_repetition":$nAfterRepetition,""" +
         s""""n_after_minhash":$nAfterMinhash,""" +
         s""""n_after_embedding":$nAfterEmbedding,""" +
+        s""""n_after_mixture":$nAfterMixture,""" +
         s""""hot_keys":$hk,"salts":$salts,"n_written":$nWritten,""" +
         s""""resumed_stages":${resumedStages.mkString("[", ",", "]")}}"""
     }
@@ -180,7 +190,9 @@ object Curate {
           evalSet: Option[DataFrame] = None, evalTextCol: String = "text",
           decontamN: Int = 8,
           maxTopGramShare: Double = 1.0, maxDupGramFrac: Double = 1.0,
-          repetitionN: Int = 2): Report = {
+          repetitionN: Int = 2,
+          mixtureCol: Option[String] = None, mixtureAlpha: Double = 1.0,
+          mixtureTargetRows: Long = 0L, mixtureSeed: Long = 0L): Report = {
     require(maxDupSpanShare > 0.0 && maxDupSpanShare <= 1.0,
       s"maxDupSpanShare must be in (0, 1]: $maxDupSpanShare")
     require(maxTopGramShare > 0.0 && maxTopGramShare <= 1.0,
@@ -255,7 +267,12 @@ object Curate {
       "repetition" ->
         (if (repetitionOn)
            s"n=$repetitionN,top=$maxTopGramShare,dup=$maxDupGramFrac"
-         else "off"))
+         else "off"),
+      "mixture" ->
+        mixtureCol.filter(_ => mixtureTargetRows > 0)
+          .map(c => s"col=$c,alpha=$mixtureAlpha," +
+            s"target=$mixtureTargetRows,seed=$mixtureSeed")
+          .getOrElse("off"))
     def stage(i: Int, compute: => DataFrame,
               prev: Option[DataFrame]): (DataFrame, Long) = {
       val ckpt = stageDir.map(d => s"$d/stage$i")
@@ -397,26 +414,41 @@ object Curate {
         }
       }, Some(afterMinhash))
 
+      // 4b (checkpoint id 7, optional): temperature-scaled mixture
+      // sampling (Sampling.temperatureSample, q71/q65) as the recipe's
+      // LAST content decision — the budgeted rebalance a training mix
+      // applies after every dedup/quality drop, deterministic under
+      // (seed, id) so the stage checkpoint and any retry agree
+      val (afterMix, nAfterMixture) =
+        mixtureCol.filter(_ => mixtureTargetRows > 0) match {
+          case Some(mc) =>
+            stage(7, {
+              Sampling.temperatureSample(afterEmb, idCol, mc,
+                mixtureAlpha, mixtureTargetRows, mixtureSeed)
+            }, Some(afterEmb))
+          case None => (afterEmb, nAfterEmbedding)
+        }
+
       // 5. hot keys over the WRITE key: the detection a salting
       // pipeline runs before choosing its fan-out. The salt count is
       // sized so the hottest key's rows spread over enough tasks that
       // no task holds more than ~1/parallelism of the data.
-      val hot = Sketches.heavyHitters(afterEmb, hotKeyCol, hotDenom)
+      val hot = Sketches.heavyHitters(afterMix, hotKeyCol, hotDenom)
         .collect()
         .map(r => (String.valueOf(r.get(0)), r.getLong(1)))
         .sortBy(-_._2).toSeq
       val par = spark.sparkContext.defaultParallelism
       val maxShare =
-        if (hot.isEmpty || nAfterEmbedding == 0) 0.0
-        else hot.head._2.toDouble / nAfterEmbedding
+        if (hot.isEmpty || nAfterMixture == 0) 0.0
+        else hot.head._2.toDouble / nAfterMixture
       val salts = math.min(64, math.max(8, math.ceil(maxShare * par).toInt))
 
       // 6. salted resumable write, bucketed by the hot-key column
-      val commits = TableIO.writeResumable(afterEmb, outDir, buckets,
+      val commits = TableIO.writeResumable(afterMix, outDir, buckets,
         Seq(hotKeyCol), lineage = Map("recipe" -> "curate"), salts = salts)
       val report = Report(nInput, nNullText, nRedacted, nAfterExact,
         nAfterDecon, nAfterBoiler, nAfterRep, nAfterMinhash,
-        nAfterEmbedding, hot, salts,
+        nAfterEmbedding, nAfterMixture, hot, salts,
         commits.map(_.rows).sum, resumed.toSeq)
       // the report outlives the driver, beside the manifests it explains
       TableIO.atomicWrite(reportPath(outDir), report.json,

@@ -109,10 +109,14 @@ object Sampling {
     require(probe.length <= maxStrata,
       s"more than $maxStrata strata in '$strataCol' (Sampling.MaxStrata) " +
         "— mixture strata are languages/domains/sources; group on one")
-    val fractions = probe.iterator
-      .filter(!_.isNullAt(0))
-      .map(r => r.getString(0) -> r.getDouble(3)).toMap
-    stratifiedHashSample(docs, idCol, strataCol, fractions, seed)
+    // a corpus with no non-null strata samples to nothing (every row is
+    // "unmapped" under the default-0 convention) — not an error
+    if (probe.isEmpty) docs.where(lit(false))
+    else {
+      val fractions = probe.iterator
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
+      stratifiedHashSample(docs, idCol, strataCol, fractions, seed)
+    }
   }
 
   def stratifiedHashSample(docs: DataFrame, idCol: String,

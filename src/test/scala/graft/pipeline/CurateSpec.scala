@@ -280,6 +280,51 @@ class CurateSpec extends AnyFunSuite {
       s"wrong failure: ${ex.getMessage.take(120)}")
   }
 
+  test("curate mixture stage: exact parity with an independent temperatureSample, lineage-guarded") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft_curate_mix")
+      .toString
+    val out = s"$base/out"
+    // no embeddings: pre-mixture survivors are exactly stage 3's set
+    val r = Curate.run(spark, docs, "doc_id", "text", None, "vec_id",
+      "embedding", out, hotKeyCol = "source",
+      stageDir = Some(s"$base/stages"),
+      mixtureCol = Some("source"), mixtureAlpha = 0.5,
+      mixtureTargetRows = 100L, mixtureSeed = 7L)
+    assert(r.nAfterMixture < r.nAfterEmbedding,
+      s"mixture stage was vacuous: $r")
+    assert(r.nWritten == r.nAfterMixture,
+      "written rows must be the mixture survivors")
+    // the sampler is deterministic under (seed, id): the written table
+    // must equal an INDEPENDENT temperatureSample over stage 3's
+    // committed survivors
+    val stage3 = TableIO.readCommitted(spark, s"$base/stages/stage3",
+      Curate.StageBuckets).select("doc_id")
+    val pre = docs.join(stage3, Seq("doc_id"), "left_semi")
+    val want = Sampling.temperatureSample(pre, "doc_id", "source",
+        0.5, 100L, 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = TableIO.readCommitted(spark, out, 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} " +
+      s"extra=${(got -- want).take(5)}")
+    // the budget is approximately realized (binomial keep, saturation
+    // aside): within a generous band of the 100-row target
+    assert(r.nAfterMixture > 50 && r.nAfterMixture < 200,
+      s"realized mixture ${r.nAfterMixture} far from the 100-row target")
+    // a checkpoint written under one mixture config must refuse another
+    val ex = intercept[IllegalArgumentException] {
+      Curate.run(spark, docs, "doc_id", "text", None, "vec_id",
+        "embedding", out, hotKeyCol = "source",
+        stageDir = Some(s"$base/stages"),
+        mixtureCol = Some("source"), mixtureAlpha = 0.5,
+        mixtureTargetRows = 100L, mixtureSeed = 8L)
+    }
+    assert(ex.getMessage.contains("lineage"),
+      s"wrong failure: ${ex.getMessage.take(120)}")
+  }
+
   test("curate sets NULL-text docs aside instead of deduping them") {
     import spark.implicits._
     val toks = (i: Int) => (i until i + 25).map(j => s"w$j").mkString(" ")
