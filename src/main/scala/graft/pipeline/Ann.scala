@@ -267,6 +267,11 @@ object Ann {
       .withColumn("cell", AnnFunctions.ner_nearest_cell(col("_emb"), cents))
       .withColumn("_ccos", VecFunctions.ner_cosine(col("_emb"),
         element_at(centsLit, col("cell") + 1)))
+      // the vector dies HERE, in the scan stage: everything downstream
+      // (bucket keys, the labels join, the keepers aggregate) shuffles
+      // scalars only — embeddings re-attach per-CANDIDATE inside the
+      // shared verify, never corpus-wide
+      .select(col("vec_id"), col("cell"), col("_ccos"))
     val keys = assigned
       .select(col("vec_id"), lit(0).as("tbl"), col("cell").as("bucket"))
     val emb = nn.select(col(idCol), col(embCol))

@@ -53,6 +53,22 @@ object Decontam {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Pure-JVM rendition of [[shingles]] — BIT-PARITY with the column
+    * expression (same `split(" ", -1)` tokenization incl. empty
+    * trailing tokens, same space re-join), pinned in StreamingDedupSpec
+    * so the ingest-time filter and the batch operator can never
+    * disagree on membership. Empty for NULL/short texts.
+    */
+  def shinglesOf(text: String, n: Int): Iterator[String] = {
+    if (text == null) Iterator.empty
+    else {
+      val toks = text.split(" ", -1)
+      if (toks.length < n) Iterator.empty
+      else (0 to toks.length - n).iterator
+        .map(i => toks.slice(i, i + n).mkString(" "))
+    }
+  }
+
   /** Contaminated corpus documents: every doc sharing at least one
     * n-token shingle with `evalSet`, with overlap tallies —
     * `(doc_id, n_grams, n_hits, share)` where `n_hits` counts the doc's

@@ -1296,6 +1296,87 @@ object RelationalQueries {
       |         AS is_kept
       |FROM assigned a JOIN keepers k USING (cluster_id)""".stripMargin
 
+  /** Gopher document-quality rules ([[graft.pipeline.Quality
+    * .gopherRules]], Rae et al. 2021 table A1): word-count bounds, mean
+    * word length, symbol ratio, bullet/ellipsis line shares, alphabetic
+    * share, stop-word presence, and the composite keep decision. Each
+    * rule is given a deterministic firing subpopulation (q66/q67
+    * planted-payload convention, mutually exclusive CASE chain in both
+    * engines): %23=10 → two-word doc (word count), %11=4 → bullet
+    * prefix, %13=6 → ellipsis ending, %17=8 → hash/ellipsis symbols,
+    * %19=9 → a 30-word numeric tail (alpha share); the stop-word rule
+    * fires organically on docs lacking "the". Decisions are mirrored
+    * IEEE doubles over integer tallies — boundary-exact cross-engine.
+    */
+  def q73_gopher_quality(s: SparkSession, dir: String): DataFrame = {
+    val nums = "11 22 33 44 55 66 77 88 99 100 111 222 333 444 555 666 " +
+      "777 888 999 1010 1111 1212 1313 1414 1515 1616 1717 1818 1919 2020"
+    val aug = t(s, dir, "documents").select(col("doc_id"),
+      when(col("text").isNull, lit(null).cast("string"))
+        .when(col("doc_id") % 23 === 10, lit("tiny doc"))
+        .when(col("doc_id") % 11 === 4, concat(lit("- "), col("text")))
+        .when(col("doc_id") % 13 === 6, concat(col("text"), lit(" wait...")))
+        .when(col("doc_id") % 17 === 8,
+          concat(col("text"), lit(" ##### ...... ####")))
+        .when(col("doc_id") % 19 === 9, concat(col("text"), lit(" " + nums)))
+        .otherwise(col("text")).as("text"))
+    graft.pipeline.Quality.gopherRules(aug, "doc_id", "text",
+      minWords = 10L, minStopWords = 1)
+  }
+
+  val q73_sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL THEN NULL
+      |         WHEN doc_id % 23 = 10 THEN 'tiny doc'
+      |         WHEN doc_id % 11 = 4 THEN '- ' || text
+      |         WHEN doc_id % 13 = 6 THEN text || ' wait...'
+      |         WHEN doc_id % 17 = 8 THEN text || ' ##### ...... ####'
+      |         WHEN doc_id % 19 = 9 THEN text ||
+      |           ' 11 22 33 44 55 66 77 88 99 100 111 222 333 444 555' ||
+      |           ' 666 777 888 999 1010 1111 1212 1313 1414 1515 1616' ||
+      |           ' 1717 1818 1919 2020'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+      |         string_split(text, chr(10)) AS ls
+      |  FROM aug WHERE text IS NOT NULL),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+      |      AS sum_len,
+      |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+      |    CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT)
+      |      AS n_ell,
+      |    CAST(len(ls) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(ls, l -> starts_with(l, '- ')
+      |      OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT)
+      |      AS n_bullet,
+      |    CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS BIGINT)
+      |      AS n_ell_lines,
+      |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(['the','be','to','of','and','that','have',
+      |      'with'], sw -> list_contains(ws, sw))) AS BIGINT) AS n_stop
+      |  FROM s)
+      |SELECT doc_id, n_words,
+      |  round(sum_len / n_words, 6) AS mean_word_len,
+      |  round(CAST(n_hash + n_ell AS DOUBLE) / n_words, 6) AS symbol_ratio,
+      |  round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_share,
+      |  round(CAST(n_ell_lines AS DOUBLE) / n_lines, 6) AS ellipsis_share,
+      |  round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_share,
+      |  n_stop AS n_stopwords,
+      |  CAST(CASE WHEN n_words >= 10 AND n_words <= 100000
+      |    AND sum_len / n_words >= 3.0 AND sum_len / n_words <= 10.0
+      |    AND CAST(n_hash + n_ell AS DOUBLE) / n_words <= 0.1
+      |    AND CAST(n_bullet AS DOUBLE) / n_lines <= 0.9
+      |    AND CAST(n_ell_lines AS DOUBLE) / n_lines <= 0.3
+      |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+      |    AND n_stop >= 1 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM m""".stripMargin
+
   /** Grouped percentiles with a CARDINALITY GUARD — the latency/size-
     * distribution report every pipeline dashboard needs, safe by
     * default at any scale.
@@ -1442,5 +1523,6 @@ object RelationalQueries {
     "q69_pack_chunks" -> ((q69_pack_chunks _, q69_sql)),
     "q70_dedup_lines" -> ((q70_dedup_lines _, q70_sql)),
     "q71_temperature_mixture" -> ((q71_temperature_mixture _, q71_sql)),
-    "q72_semdedup" -> ((q72_semdedup _, q72_sql)))
+    "q72_semdedup" -> ((q72_semdedup _, q72_sql)),
+    "q73_gopher_quality" -> ((q73_gopher_quality _, q73_sql)))
 }

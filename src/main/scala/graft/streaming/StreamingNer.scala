@@ -142,6 +142,45 @@ object StreamingNer {
       graft.pipeline.TextDedup.simhash64(_, bits), stateTtl)
   }
 
+  /** Streaming decontamination — the ingest-time rendition of the batch
+    * operator ([[graft.pipeline.Decontam.contaminated]], q67): docs
+    * sharing an n-token shingle with the held-out eval set are dropped
+    * BEFORE they ever land in the corpus, so eval data can't leak into
+    * a continuously-ingested training table. The eval shingle set is
+    * computed once as a batch job over the static eval frame (same
+    * `MaxEvalShingles` broadcast contract as the batch path) and
+    * broadcast; each micro-batch then applies a STATELESS per-row
+    * predicate — no state store, no shuffle, and the filter composes
+    * with the dedup streams downstream. Membership uses
+    * [[graft.pipeline.Decontam.shinglesOf]], bit-parity with the batch
+    * shingle expression (pinned in StreamingDedupSpec): a doc dropped
+    * here is exactly a doc the batch operator would flag.
+    *
+    * NULL texts shingle to nothing and pass (the batch operator never
+    * flags them either). Returns the CLEAN stream.
+    */
+  def decontamStream(spark: SparkSession, docs: Dataset[(Long, String)],
+                     evalSet: DataFrame, evalTextCol: String, n: Int,
+                     maxEvalShingles: Long =
+                       graft.pipeline.Decontam.MaxEvalShingles)
+      : Dataset[(Long, String)] = {
+    val evalGrams = evalSet
+      .select(explode(graft.pipeline.Decontam
+        .shingles(col(evalTextCol), n)).as("gram"))
+      .distinct()
+    val nEval = evalGrams.count()
+    require(nEval <= maxEvalShingles,
+      s"eval set has $nEval distinct $n-gram shingles, above the " +
+        s"broadcast budget of $maxEvalShingles — shard the eval set " +
+        "(Decontam.MaxEvalShingles)")
+    val grams = evalGrams.collect().map(_.getString(0)).toSet
+    val bGrams = spark.sparkContext.broadcast(grams)
+    docs.filter { case (_, text) =>
+      !graft.pipeline.Decontam.shinglesOf(text, n)
+        .exists(bGrams.value.contains)
+    }
+  }
+
   /** Event-time windowed mention counts with a watermark: tumbling
     * 10-second windows per NE type, late data bounded at 30 seconds.
     * Input: streaming (ts timestamp, line string).

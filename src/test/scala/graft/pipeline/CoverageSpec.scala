@@ -481,6 +481,49 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontam drops exactly the batch-flagged docs; kernels bit-parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = Seq("held out eval canary phrase appears here").toDF("text")
+    val docs = Seq(
+      (1L, "clean doc words only nothing shared at all"),
+      (2L, "prefix held out eval canary phrase appears suffix"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "eval canary phrase appears here trailing"),
+      (5L, "phrase appears nothing more"))
+    // batch truth over the same rows
+    val flagged = graft.pipeline.Decontam.contaminated(
+        docs.toDF("doc_id", "text"), evalSet, "doc_id", "text", "text", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(2L, 4L), s"fixture drifted: $flagged")
+    val input = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingNer
+      .decontamStream(spark, input.toDS(), evalSet, "text", n = 3)
+      .toDF("doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("decontam_t")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM decontam_t")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == docs.map(_._1).toSet -- flagged,
+        s"stream/batch decontam disagree: kept=$kept flagged=$flagged")
+      assert(kept.contains(3L), "NULL text must pass the stream filter")
+    } finally q.stop()
+    // the JVM shingle kernel must be BIT-PARITY with the column
+    // expression on adversarial tokenizations (empties, lead/trail and
+    // double spaces, NULL)
+    Seq("a b c", "", " lead", "trail ", "a  b", "one", null).foreach { t =>
+      val viaCol = Seq(Tuple1(t)).toDF("t")
+        .select(graft.pipeline.Decontam.shingles(col("t"), 2).as("g"))
+        .head.getSeq[String](0)
+      assert(graft.pipeline.Decontam.shinglesOf(t, 2).toSeq == viaCol,
+        s"shingle kernel diverges on ${Option(t).map("'" + _ + "'")}")
+    }
+  }
+
   test("TTL-bounded dedup still dedups within the TTL horizon") {
     import spark.implicits._
     import scala.concurrent.duration._

@@ -264,6 +264,29 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"q70: sort-merge join crept in:\n${smj.mkString("\n")}")
   }
 
+  test("q72 semDedup: vectors shuffle only keyed by id; closure and keep-pick move scalars") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val df = RelationalQueries.q72_semdedup(spark, dir)
+    df.collect() // gate the FINAL adaptive plan
+    val nodes = PlanInspector.allNodes(df.queryExecution.executedPlan)
+    // the q53 convention: an embedding may move once per candidate,
+    // keyed by id (the verify attach) — never on a bucket/cell key, and
+    // never through the labels join or the keepers aggregate
+    val offenders = nodes.collect {
+      case s: ShuffleExchangeLike
+          if s.output.exists(_.dataType match {
+            case ArrayType(FloatType, _) => true
+            case _ => false
+          }) && !s.outputPartitioning.toString.contains("d1") &&
+            !s.outputPartitioning.toString.contains("d2") &&
+            !s.outputPartitioning.toString.contains("vec_id") => s
+    }
+    assert(offenders.isEmpty,
+      s"q72: a vector shuffled on a non-id key:\n${offenders.mkString("\n")}")
+  }
+
   test("q69 packing: one corpus shuffle, no single-partition exchange or window") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

@@ -1127,6 +1127,51 @@ class AnnSpec extends AnyFunSuite {
       s"fixture degenerate: $hotSessions hot-user sessions")
   }
 
+  test("q73 gopher rules: every rule fires on its planted case") {
+    import spark.implicits._
+    val good = ("the quick brown fox jumps over the lazy dog near " +
+      "a calm river bank today").trim // 15 words, has 'the'
+    val fixture = Seq(
+      (1L, good),                                         // keeps
+      (2L, "tiny doc"),                                   // word count
+      (3L, "- " + good),                                  // bullet line
+      (4L, good + " wait..."),                            // ellipsis line
+      (5L, good + " ## ... ## ... ## ..."),               // symbol ratio
+      (6L, good + " 11 22 33 44 55 66 77 88 99 100 111"), // alpha share
+      (7L, "quick brown fox jumps over lazy dog near " +
+        "calm river bank today again now here"),          // no stop words
+      (8L, null.asInstanceOf[String]),                    // dropped
+      (9L, "the " + Seq.fill(11)("extraordinarily").mkString(" "))
+        // mean word length (and ONLY that: 12 words, has 'the', alpha 1)
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Quality.gopherRules(fixture, "doc_id", "text",
+        minWords = 10L, minStopWords = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(8L), "NULL text must be dropped")
+    def keep(id: Long) = out(id).getInt(out(id).fieldIndex("keep"))
+    assert(keep(1L) == 1, s"good doc dropped: ${out(1L)}")
+    assert(keep(2L) == 0, "word-count rule missed the tiny doc")
+    assert(keep(3L) == 0, "bullet rule missed")
+    assert(keep(4L) == 0, "ellipsis rule missed")
+    assert(keep(5L) == 0, "symbol rule missed")
+    assert(keep(6L) == 0, "alpha-share rule missed")
+    assert(keep(7L) == 0, "stop-word rule missed")
+    assert(keep(9L) == 0, "mean-word-length rule missed")
+    // spot-check the statistics behind two of the decisions
+    val r5 = out(5L)
+    assert(r5.getLong(r5.fieldIndex("n_words")) == 21L)
+    // 6 '#' chars + 3 "..." occurrences over 21 words
+    assert(math.abs(r5.getDouble(r5.fieldIndex("symbol_ratio")) -
+      BigDecimal(9.0 / 21).setScale(6,
+        scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    val r6 = out(6L)
+    assert(math.abs(r6.getDouble(r6.fieldIndex("alpha_share")) -
+      BigDecimal(15.0 / 26).setScale(6,
+        scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    // of the stop set only 'the' appears in the good doc
+    assert(out(1L).getLong(out(1L).fieldIndex("n_stopwords")) == 1L)
+  }
+
   test("q70 line dedup rewrite: closed-form fixture pins every edge") {
     import spark.implicits._
     // B is duplicated corpus-wide (docs 1, 2, 3 — and twice inside doc 3);
