@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: only dump queries whose name starts with the
+    // given prefix (local iteration aid; the driver passes 2 args)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o) => (s, o, "")
+      case Array(s, o, p) => (s, o, p)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +20,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => name.startsWith(only) }
+      .foreach { case (name, fn) =>
       // NonFatal, not Throwable: an OutOfMemoryError / fatal VM error
       // means the JVM is broken — results from the remaining queries
       // would be untrustworthy; let it propagate and kill the run

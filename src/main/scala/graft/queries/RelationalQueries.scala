@@ -1473,6 +1473,49 @@ object RelationalQueries {
       |       min(ms) AS sess_start_ms
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  /** DSIR importance weights ([[graft.pipeline.Dsir]], Xie et al.
+    * 2023): fit the hashed-unigram+bigram log-likelihood-ratio model
+    * with target = the English docs and raw = the whole corpus, then
+    * score every doc. The 256 md5-prefix buckets are string keys both
+    * engines derive identically (q65 convention); the per-doc weight is
+    * a float sum rounded to 6 digits — Spark folds per gram occurrence,
+    * DuckDB sums cnt·lr per bucket, a grouping difference of ~1e-14
+    * absolute against a 1e-6 rounding grid (the q64 convention).
+    */
+  def q74_dsir_weights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ratios = graft.pipeline.Dsir.logRatios(
+      docs.where(col("lang") === "en"), docs, "text")
+    graft.pipeline.Dsir.importanceWeights(docs, "doc_id", "text", ratios)
+  }
+
+  val q74_sql: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+      |             FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id, lang, substring(md5(t.gram), 1, 2) AS bucket
+      |      FROM tok, UNNEST(list_concat(ws,
+      |        list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+      |        AS t(gram)),
+      |dom AS (SELECT printf('%02x', i) AS bucket FROM range(0, 256) t(i)),
+      |tc AS (SELECT bucket, count(*) AS t_cnt FROM g WHERE lang = 'en'
+      |       GROUP BY 1),
+      |rc AS (SELECT bucket, count(*) AS r_cnt FROM g GROUP BY 1),
+      |j AS (SELECT d.bucket, coalesce(t_cnt, 0) AS t_cnt,
+      |             coalesce(r_cnt, 0) AS r_cnt
+      |      FROM dom d LEFT JOIN tc USING (bucket)
+      |                 LEFT JOIN rc USING (bucket)),
+      |tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM j),
+      |lr AS (SELECT bucket,
+      |         ln(CAST(t_cnt + 1 AS DOUBLE) / (t_tot + 256)) -
+      |         ln(CAST(r_cnt + 1 AS DOUBLE) / (r_tot + 256)) AS lr
+      |       FROM j, tot),
+      |per AS (SELECT doc_id, bucket, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      |      FROM g GROUP BY 1)
+      |SELECT n.doc_id, n.n_grams, round(sum(per.cnt * lr.lr), 6) AS log_w
+      |FROM per JOIN lr USING (bucket) JOIN n USING (doc_id)
+      |GROUP BY n.doc_id, n.n_grams""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -1524,5 +1567,6 @@ object RelationalQueries {
     "q70_dedup_lines" -> ((q70_dedup_lines _, q70_sql)),
     "q71_temperature_mixture" -> ((q71_temperature_mixture _, q71_sql)),
     "q72_semdedup" -> ((q72_semdedup _, q72_sql)),
-    "q73_gopher_quality" -> ((q73_gopher_quality _, q73_sql)))
+    "q73_gopher_quality" -> ((q73_gopher_quality _, q73_sql)),
+    "q74_dsir_weights" -> ((q74_dsir_weights _, q74_sql)))
 }
