@@ -1516,6 +1516,40 @@ object RelationalQueries {
       |FROM per JOIN lr USING (bucket) JOIN n USING (doc_id)
       |GROUP BY n.doc_id, n.n_grams""".stripMargin
 
+  /** Quality-classifier scoring ([[graft.pipeline.Classifier
+    * .scoreDocs]]) under a FIXED 256-bucket weight vector
+    * `w_b = (2b − 255)/512` (exactly representable doubles, so both
+    * engines hold identical weights) — the degenerate rendition
+    * (q56/q59/q72 convention) that oracles the same fold / L1-normalize
+    * / sigmoid code path a trained model runs. The bucket id
+    * `hash16 % 256` is the md5 SECOND byte, which DuckDB reads directly
+    * as hex chars 3..4.
+    */
+  def q75_quality_score(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Classifier.scoreDocs(
+      t(s, dir, "documents"), "doc_id", "text",
+      graft.pipeline.Classifier.FilterModel(256,
+        Array.tabulate(256)(b => (2.0 * b - 255.0) / 512.0), bias = 0.0))
+
+  val q75_sql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |             FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id, substring(md5(t.gram), 3, 2) AS bucket
+      |      FROM tok, UNNEST(list_concat(ws,
+      |        list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+      |        AS t(gram)),
+      |wt AS (SELECT printf('%02x', i) AS bucket,
+      |              CAST(2 * i - 255 AS DOUBLE) / 512 AS w
+      |       FROM range(0, 256) t(i)),
+      |per AS (SELECT doc_id, bucket, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      |      FROM g GROUP BY 1)
+      |SELECT n.doc_id, n.n_grams,
+      |       round(1.0 / (1.0 + exp(-(0.0 + sum(per.cnt * wt.w) / n.n_grams))),
+      |             6) AS score
+      |FROM per JOIN wt USING (bucket) JOIN n USING (doc_id)
+      |GROUP BY n.doc_id, n.n_grams""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -1568,5 +1602,6 @@ object RelationalQueries {
     "q71_temperature_mixture" -> ((q71_temperature_mixture _, q71_sql)),
     "q72_semdedup" -> ((q72_semdedup _, q72_sql)),
     "q73_gopher_quality" -> ((q73_gopher_quality _, q73_sql)),
-    "q74_dsir_weights" -> ((q74_dsir_weights _, q74_sql)))
+    "q74_dsir_weights" -> ((q74_dsir_weights _, q74_sql)),
+    "q75_quality_score" -> ((q75_quality_score _, q75_sql)))
 }
