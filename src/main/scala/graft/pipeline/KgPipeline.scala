@@ -203,50 +203,21 @@ object KgPipeline {
   //  input_hint — SURVEY.md §2.9)
   // ------------------------------------------------------------------
 
-  /** Lineage truncation for fixpoint rounds: a RELIABLE checkpoint (to
-    * the session's checkpoint dir) when one is configured — executor
-    * loss is routine at the 1000-executor design point, and
-    * localCheckpoint blocks die with their executor, killing the job —
-    * falling back to localCheckpoint when no checkpoint dir is set
-    * (local mode, tests: executors == driver, so executor loss IS job
-    * loss and the cheaper truncation is sound).
+  /** Lineage truncation for fixpoint rounds — see [[Lineage.chk]]
+    * (shared with the BPE merge loop since round 6).
     */
-  private def chk(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+  private def chk(df: DataFrame): DataFrame = Lineage.chk(df)
 
-  /** The reliable-checkpoint directory backing a [[chk]] result, when it
-    * was a reliable checkpoint (None for localCheckpoint — local blocks
-    * die with their executors and need no cleanup).
-    */
   private def checkpointFileOf(df: DataFrame): Option[String] =
-    df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.getCheckpointFile
-      case _ => None
-    }
+    Lineage.checkpointFileOf(df)
 
-  /** Delete a superseded reliable checkpoint's files. Spark never cleans
-    * these itself unless `spark.cleaner.referenceTracking.cleanCheckpoints`
-    * is set (default false), so every fixpoint round would otherwise leak
-    * one checkpoint directory into durable storage for the life of the
-    * cluster (ADVICE r3). Only call once every consumer of the
-    * checkpointed frame has materialized; cleanup failure is logged, not
-    * fatal — a leaked directory beats a dead job.
+  /** Delete a superseded reliable checkpoint's files (ADVICE r3) —
+    * see [[Lineage.dropCheckpointFiles]]. Only call once every consumer
+    * of the checkpointed frame has materialized.
     */
   private def dropCheckpoint(spark: org.apache.spark.sql.SparkSession,
                              file: Option[String]): Unit =
-    file.foreach { f =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      } catch {
-        case e: Exception =>
-          System.err.println(s"[KgPipeline] checkpoint cleanup of $f " +
-            s"failed (${e.getMessage}) — remove it manually")
-      }
-    }
+    Lineage.dropCheckpointFiles(spark, file)
 
   /** Minimum-label propagation (hash-to-min) over an undirected edge
     * set. Returns (node, component) where component = min node id in the
@@ -482,27 +453,8 @@ object KgPipeline {
             // Unpersisting a locally-checkpointed RDD makes Spark WARN
             // that it "can no longer be recomputed" — which is this
             // method's documented CONTRACT (release = the frames are
-            // dead), not an incident. Left alone, the warning repeats on
-            // every bench trial's releaseAll and buries real warnings in
-            // the log tail (VERDICT r5). Silence exactly that RDD
-            // class's logger for exactly this call, restoring after;
-            // best-effort — a logging-backend change must not break
-            // release itself.
-            val loggerName = lr.rdd.getClass.getName
-            val prev =
-              try {
-                val lvl = org.apache.logging.log4j.LogManager
-                  .getLogger(loggerName).getLevel
-                org.apache.logging.log4j.core.config.Configurator
-                  .setLevel(loggerName, org.apache.logging.log4j.Level.ERROR)
-                Some(lvl)
-              } catch { case scala.util.control.NonFatal(_) => None }
-            try lr.rdd.unpersist(blocking)
-            finally prev.foreach { lvl =>
-              try org.apache.logging.log4j.core.config.Configurator
-                .setLevel(loggerName, lvl)
-              catch { case scala.util.control.NonFatal(_) => () }
-            }
+            // dead), not an incident (VERDICT r5). Shared quiet path.
+            Lineage.quietUnpersist(lr.rdd, blocking)
         }
       case _ => ()
     }

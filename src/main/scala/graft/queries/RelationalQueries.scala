@@ -1550,6 +1550,45 @@ object RelationalQueries {
       |FROM per JOIN wt USING (bucket) JOIN n USING (doc_id)
       |GROUP BY n.doc_id, n.n_grams""".stripMargin
 
+  /** BPE segmentation tallies ([[graft.pipeline.Bpe.encodeDocs]])
+    * under a FIXED hierarchical merge table — the oracled rendition of
+    * the tokenizer (q56/q59/q75 convention): the Spark side runs the
+    * real greedy lowest-rank encode kernel; DuckDB replays the merges
+    * as chained `replace` over chr(1)-joined code points, which is
+    * equivalent for THIS merge set because it is hierarchical (each
+    * merge's parts are chars or earlier outputs, so later merges can
+    * never create an earlier pair), its outputs are distinct, and no
+    * output's suffix/prefix can fake a separator-adjacent match
+    * (checked exhaustively in BpeSpec's replace-parity gate). Learned
+    * merge tables are exercised by the train gates, not this oracle.
+    */
+  def q76_bpe_encode(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.encodeDocs(t(s, dir, "documents"), "doc_id", "text",
+      Seq(("t", "h"), ("a", "n"), ("th", "e"), ("an", "d")))
+
+  val q76_sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, t.word
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM documents WHERE text IS NOT NULL),
+      |       UNNEST(ws) AS t(word)
+      |  WHERE t.word <> ''),
+      |enc AS (
+      |  SELECT doc_id,
+      |    len(string_split(
+      |      replace(replace(replace(replace(
+      |        array_to_string(string_split(word, ''), chr(1))
+      |          || chr(1) || '</w>',
+      |        't' || chr(1) || 'h', 'th'),
+      |        'a' || chr(1) || 'n', 'an'),
+      |        'th' || chr(1) || 'e', 'the'),
+      |        'an' || chr(1) || 'd', 'and'),
+      |      chr(1))) AS n_toks
+      |  FROM w)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |FROM enc GROUP BY doc_id""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -1603,5 +1642,6 @@ object RelationalQueries {
     "q72_semdedup" -> ((q72_semdedup _, q72_sql)),
     "q73_gopher_quality" -> ((q73_gopher_quality _, q73_sql)),
     "q74_dsir_weights" -> ((q74_dsir_weights _, q74_sql)),
-    "q75_quality_score" -> ((q75_quality_score _, q75_sql)))
+    "q75_quality_score" -> ((q75_quality_score _, q75_sql)),
+    "q76_bpe_encode" -> ((q76_bpe_encode _, q76_sql)))
 }
