@@ -22,9 +22,12 @@ import scala.jdk.CollectionConverters._
   *   client <host> <port> < raw.txt           one request per line (T2)
   *   cv <in.nes> <k> [modelDir]               k-fold cross-validation (X1)
   *   curate <sfDir> <outDir> [minCos] [greedy|cluster] [redact] [semantic]
+  *          [quality=<model.json>]
   *                                            curation recipe: dedup chain ->
   *                                            hot keys -> salted write (JSON report);
-  *                                            "semantic" = SemDeDup embedding stage
+  *                                            "semantic" = SemDeDup embedding stage,
+  *                                            "quality=" = trained-filter stage
+  *                                            (Classifier.save model file)
   */
 object Cli {
 
@@ -156,7 +159,7 @@ object Cli {
       stdinLines.foreach { line =>
         utf8Out.println(graft.server.NerfServer.request(host, portStr.toInt, line))
       }
-    case "curate" :: sfDir :: outDir :: rest if rest.length <= 4 =>
+    case "curate" :: sfDir :: outDir :: rest if rest.length <= 5 =>
       // End-to-end curation recipe over a documents(+embeddings) table:
       // exact dedup -> boilerplate drop -> MinHash near-dup -> embedding
       // near-dup -> hot-key detection -> salted resumable write. One
@@ -187,7 +190,13 @@ object Cli {
       // stage 0, "semantic" = SemDeDup as the stage-4 embedding policy
       val redact = rest.contains("redact")
       val semantic = rest.contains("semantic")
-      val rest2 = rest.filterNot(f => f == "redact" || f == "semantic")
+      // "quality=<path>": load a persisted Classifier model and run the
+      // trained-filter stage (checkpoint id 8) at the default threshold
+      val qualityModel = rest.find(_.startsWith("quality="))
+        .map(f => graft.pipeline.Classifier.load(spark,
+          f.stripPrefix("quality=")))
+      val rest2 = rest.filterNot(f => f == "redact" || f == "semantic" ||
+        f.startsWith("quality="))
       require(rest2.length <= 2, s"unrecognized curate args: $rest2")
       val minCos = rest2.headOption.map(_.toDouble).getOrElse(0.95)
       // optional policy: "cluster" switches stage 3 from greedy drop-d2
@@ -201,7 +210,7 @@ object Cli {
         emb, "vec_id", "embedding", outDir, hotKeyCol = "source",
         minCos = minCos, stageDir = Some(s"$outDir/_stages"),
         clusterKeep = policy == "cluster", semanticKeep = semantic,
-        redactPii = redact)
+        redactPii = redact, qualityModel = qualityModel)
       utf8Out.println(report.json)
       spark.stop()
     case "synth" :: out :: rest =>

@@ -56,6 +56,23 @@ object Classifier {
                                bias: Double) {
     require(weights.length == nBuckets,
       s"weight vector length ${weights.length} != nBuckets $nBuckets")
+
+    /** Content fingerprint (md5 over the IEEE bit patterns — the
+      * centroid-persistence convention: decimal rendering could
+      * collide distinct last-ulp weights): identifies THIS model in
+      * checkpoint lineage, so a curation checkpoint filtered by one
+      * model refuses to restore into a run using another.
+      */
+    def fingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bb = java.nio.ByteBuffer.allocate(8)
+      def put(d: Double): Unit = {
+        bb.clear(); bb.putLong(java.lang.Double.doubleToLongBits(d))
+        md.update(bb.array())
+      }
+      put(nBuckets.toDouble); put(bias); weights.foreach(put)
+      md.digest().map("%02x".format(_)).mkString
+    }
   }
 
   private def requireBuckets(nBuckets: Int): Unit =
@@ -104,6 +121,63 @@ object Classifier {
         scoreExpr(col(textCol), w, model.bias, model.nBuckets).as("s"))
       .where(col("n_grams") > 0)
       .select(col("doc_id"), col("n_grams"), round(col("s"), 6).as("score"))
+  }
+
+  /** Persist a trained filter model — the production pipeline trains
+    * once and scores everywhere, and the scorer MUST hold the exact
+    * weights (the [[FilterModel.fingerprint]] is over bit patterns, and
+    * the checkpoint-lineage guard compares it): doubles are serialized
+    * as IEEE-754 bit patterns (hex), not decimal, and the write is
+    * atomic (temp + rename) through the Hadoop FS API — the
+    * `Ann.saveCentroids` conventions.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: FilterModel,
+           path: String): Unit = {
+    val body = model.weights.map(d =>
+      java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d)))
+      .mkString("[\"", "\",\"", "\"]")
+    val bias =
+      java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(model.bias))
+    val json = s"""{"format":"graft-quality-lr","version":1,""" +
+      s""""n_buckets":${model.nBuckets},"bias_bits":"$bias",""" +
+      s""""weight_bits":$body}"""
+    graft.io.TableIO.atomicWrite(path, json,
+      spark.sessionState.newHadoopConf())
+  }
+
+  /** Load a model written by [[save]] — bit-exact, loud on wrong
+    * format or a truncated weight vector (a silently short vector
+    * would mis-score every doc, not error).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): FilterModel = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    val json = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    require(json.contains("\"format\":\"graft-quality-lr\""),
+      s"$path is not a graft quality-filter model file")
+    val nBuckets = """"n_buckets":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path: model header missing n_buckets"))
+    val bias = """"bias_bits":"([0-9a-f]+)"""".r.findFirstMatchIn(json)
+      .map(m => java.lang.Double.longBitsToDouble(
+        java.lang.Long.parseUnsignedLong(m.group(1), 16)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path: model header missing bias_bits"))
+    val weights = """"weight_bits":\["([0-9a-f",]+)"\]""".r
+      .findFirstMatchIn(json)
+      .map(_.group(1).split("\",\"")
+        .map(h => java.lang.Double.longBitsToDouble(
+          java.lang.Long.parseUnsignedLong(h, 16))))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path: model weight_bits missing"))
+    require(weights.length == nBuckets,
+      s"$path: corrupt model — header says $nBuckets weights, body has " +
+        s"${weights.length}")
+    FilterModel(nBuckets, weights, bias)
   }
 
   /** One encoded training doc: label + per-gram bucket ids (occurrence

@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   *                             duplicated-gram-fraction threshold drop
   *                             ([[Quality.repetitionStats]], q68);
   *                             checkpoint id 6
+  *   2c. quality classifier (optional) — trained model-based filter:
+  *                             drop docs scoring under a threshold
+  *                             ([[Classifier.scoreDocs]], q75's kernel);
+  *                             zero-shuffle scan-side scoring, BEFORE
+  *                             the expensive near-dup stages so they
+  *                             pair fewer docs; checkpoint id 8, model
+  *                             fingerprint in the lineage
   *   3. MinHash near-dup     — banded MinHash-LSH pairs at Jaccard ≥ 0.5
   *                             ([[TextDedup.minhashPairs]], q44), greedy
   *                             exemplar-keep (drop the max-id side)
@@ -115,6 +122,7 @@ object Curate {
   final case class Report(nInput: Long, nNullText: Long, nRedacted: Long,
                           nAfterExact: Long, nAfterDecontam: Long,
                           nAfterBoilerplate: Long, nAfterRepetition: Long,
+                          nAfterQuality: Long,
                           nAfterMinhash: Long,
                           nAfterEmbedding: Long, nAfterMixture: Long,
                           hotKeys: Seq[(String, Long)], salts: Int,
@@ -128,6 +136,7 @@ object Curate {
         s""""n_after_decontam":$nAfterDecontam,""" +
         s""""n_after_boilerplate":$nAfterBoilerplate,""" +
         s""""n_after_repetition":$nAfterRepetition,""" +
+        s""""n_after_quality":$nAfterQuality,""" +
         s""""n_after_minhash":$nAfterMinhash,""" +
         s""""n_after_embedding":$nAfterEmbedding,""" +
         s""""n_after_mixture":$nAfterMixture,""" +
@@ -177,6 +186,12 @@ object Curate {
     *                        The repetition filter (checkpoint id 6)
     *                        runs after the boilerplate drop — both
     *                        thresholds at 1.0 skip the stage entirely
+    * @param qualityModel    when set, the trained quality classifier
+    *                        ([[Classifier.scoreDocs]]) drops docs
+    *                        scoring under `minQualityScore` right
+    *                        before the near-dup stages (checkpoint id
+    *                        8); the model's weight fingerprint rides
+    *                        the checkpoint lineage
     */
   def run(spark: SparkSession, docs: DataFrame, idCol: String,
           textCol: String, embeddings: Option[DataFrame],
@@ -192,7 +207,9 @@ object Curate {
           maxTopGramShare: Double = 1.0, maxDupGramFrac: Double = 1.0,
           repetitionN: Int = 2,
           mixtureCol: Option[String] = None, mixtureAlpha: Double = 1.0,
-          mixtureTargetRows: Long = 0L, mixtureSeed: Long = 0L): Report = {
+          mixtureTargetRows: Long = 0L, mixtureSeed: Long = 0L,
+          qualityModel: Option[Classifier.FilterModel] = None,
+          minQualityScore: Double = 0.5): Report = {
     require(maxDupSpanShare > 0.0 && maxDupSpanShare <= 1.0,
       s"maxDupSpanShare must be in (0, 1]: $maxDupSpanShare")
     require(maxTopGramShare > 0.0 && maxTopGramShare <= 1.0,
@@ -272,6 +289,12 @@ object Curate {
         mixtureCol.filter(_ => mixtureTargetRows > 0)
           .map(c => s"col=$c,alpha=$mixtureAlpha," +
             s"target=$mixtureTargetRows,seed=$mixtureSeed")
+          .getOrElse("off"),
+      // the fingerprint covers the WEIGHTS: a checkpoint filtered by
+      // one model must not restore into a run scoring with another
+      "quality" ->
+        qualityModel
+          .map(m => s"min=$minQualityScore,model=${m.fingerprint}")
           .getOrElse("off"))
     def stage(i: Int, compute: => DataFrame,
               prev: Option[DataFrame]): (DataFrame, Long) = {
@@ -365,20 +388,34 @@ object Curate {
           }, Some(afterBoiler))
         else (afterBoiler, nAfterBoiler)
 
+      // 2c (checkpoint id 8, optional): trained quality-classifier
+      // filter — zero-shuffle scoring (q75's kernel), threshold drop
+      // BEFORE the near-dup stages so they pair fewer docs
+      val (afterQual, nAfterQual) = qualityModel match {
+        case Some(m) =>
+          stage(8, {
+            val keep = Classifier.scoreDocs(afterRep, idCol, textCol, m)
+              .where(col("score") >= minQualityScore)
+              .select(col("doc_id").as(idCol))
+            afterRep.join(keep, Seq(idCol), "left_semi")
+          }, Some(afterRep))
+        case None => (afterRep, nAfterRep)
+      }
+
       // 3. MinHash near-dup pairs -> greedy exemplar-keep, or (with
       // clusterKeep) CC dup clusters -> canonical-exemplar keep
       val (afterMinhash, nAfterMinhash) = stage(3, {
         if (clusterKeep) {
-          val keep = TextDedup.dupClusters(afterRep, idCol, textCol)
+          val keep = TextDedup.dupClusters(afterQual, idCol, textCol)
             .where(col("is_canonical") === 1)
             .select(col("doc_id").as(idCol))
-          afterRep.join(keep, Seq(idCol), "left_semi")
+          afterQual.join(keep, Seq(idCol), "left_semi")
         } else {
-          val mhDrop = TextDedup.minhashPairs(afterRep, idCol, textCol)
+          val mhDrop = TextDedup.minhashPairs(afterQual, idCol, textCol)
             .select(col("d2").as(idCol)).distinct()
-          afterRep.join(mhDrop, Seq(idCol), "left_anti")
+          afterQual.join(mhDrop, Seq(idCol), "left_anti")
         }
-      }, Some(afterRep))
+      }, Some(afterQual))
 
       // 4. embedding near-dup (when an embedding table exists): restrict
       // vectors to the SURVIVORS first — pairs among already-dropped
@@ -447,7 +484,7 @@ object Curate {
       val commits = TableIO.writeResumable(afterMix, outDir, buckets,
         Seq(hotKeyCol), lineage = Map("recipe" -> "curate"), salts = salts)
       val report = Report(nInput, nNullText, nRedacted, nAfterExact,
-        nAfterDecon, nAfterBoiler, nAfterRep, nAfterMinhash,
+        nAfterDecon, nAfterBoiler, nAfterRep, nAfterQual, nAfterMinhash,
         nAfterEmbedding, nAfterMixture, hot, salts,
         commits.map(_.rows).sum, resumed.toSeq)
       // the report outlives the driver, beside the manifests it explains

@@ -86,6 +86,25 @@ class ClassifierSpec extends AnyFunSuite {
     assert(acc >= 0.95, s"held-out accuracy $acc < 0.95")
   }
 
+  test("model save/load roundtrip is bit-exact; corrupt files fail loudly") {
+    val rnd = new scala.util.Random(3)
+    val m = Classifier.FilterModel(64,
+      Array.fill(64)(rnd.nextGaussian()), bias = 0.123456789)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qlr")
+    val path = s"$dir/model.json"
+    Classifier.save(spark, m, path)
+    val back = Classifier.load(spark, path)
+    assert(back.nBuckets == m.nBuckets)
+    assert(back.bias == m.bias && back.weights.sameElements(m.weights),
+      "roundtrip must be bit-exact")
+    assert(back.fingerprint == m.fingerprint)
+    val bad = s"$dir/junk.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bad),
+      """{"format":"something-else"}""")
+    val ex = intercept[IllegalArgumentException](Classifier.load(spark, bad))
+    assert(ex.getMessage.contains("not a graft quality-filter model"))
+  }
+
   test("scoring equals a driver recompute and runs shuffle-free") {
     assume(available)
     val rnd = new scala.util.Random(11)

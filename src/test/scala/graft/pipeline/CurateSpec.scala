@@ -325,6 +325,50 @@ class CurateSpec extends AnyFunSuite {
       s"wrong failure: ${ex.getMessage.take(120)}")
   }
 
+  test("curate quality stage: parity with independent scoreDocs, fingerprint-guarded") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft_curate_q")
+      .toString
+    val out = s"$base/out"
+    // the q75 fixed weights: symmetric around zero, so scores straddle
+    // the 0.5 threshold and the stage genuinely acts on this corpus
+    val model = Classifier.FilterModel(256,
+      Array.tabulate(256)(b => (2.0 * b - 255.0) / 512.0), bias = 0.0)
+    val r = Curate.run(spark, docs, "doc_id", "text", None, "vec_id",
+      "embedding", out, hotKeyCol = "source",
+      stageDir = Some(s"$base/stages"),
+      qualityModel = Some(model), minQualityScore = 0.5)
+    assert(r.nAfterQuality < r.nAfterRepetition,
+      s"quality stage was vacuous: $r")
+    assert(r.nWritten == r.nAfterEmbedding)
+    // stage-8 checkpoint must equal an INDEPENDENT scoreDocs threshold
+    // over stage 2's committed survivors (repetition off -> stage 8's
+    // input is stage 2's output)
+    val stage2 = TableIO.readCommitted(spark, s"$base/stages/stage2",
+      Curate.StageBuckets).select("doc_id")
+    val pre = docs.join(stage2, Seq("doc_id"), "left_semi")
+    val want = Classifier.scoreDocs(pre, "doc_id", "text", model)
+      .where(col("score") >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = TableIO.readCommitted(spark, s"$base/stages/stage8",
+      Curate.StageBuckets).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} " +
+      s"extra=${(got -- want).take(5)}")
+    // a checkpoint filtered by one model must refuse a different model
+    // (the fingerprint covers the weights/bias, not just the threshold)
+    val ex = intercept[IllegalArgumentException] {
+      Curate.run(spark, docs, "doc_id", "text", None, "vec_id",
+        "embedding", out, hotKeyCol = "source",
+        stageDir = Some(s"$base/stages"),
+        qualityModel = Some(model.copy(bias = 0.1)),
+        minQualityScore = 0.5)
+    }
+    assert(ex.getMessage.contains("lineage"),
+      s"wrong failure: ${ex.getMessage.take(120)}")
+  }
+
   test("curate sets NULL-text docs aside instead of deduping them") {
     import spark.implicits._
     val toks = (i: Int) => (i until i + 25).map(j => s"w$j").mkString(" ")
