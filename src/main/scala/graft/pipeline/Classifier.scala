@@ -32,11 +32,11 @@ import org.apache.spark.storage.StorageLevel
   *    the driver; epoch cost is one scan of the cached encodings.
   *    Full-batch gradients are order-free up to float summation, so
   *    no seeded shuffling is needed and runs are deterministic.
-  *  - SCORING ([[scoreDocs]]) is ZERO-shuffle: weights ride into the
-  *    plan as one array literal and each doc's logit is a per-row
-  *    `aggregate` fold over its grams fused into the scan stage
-  *    (codegen'd collection expressions, no UDF). Scoring 100 TB is
-  *    one pass that writes (doc_id, score).
+  *  - SCORING ([[scoreDocs]]) is ZERO-shuffle: weights ride as a
+  *    broadcast and each doc's logit is one scan-side typed-kernel
+  *    pass (reused digest — the q40/q74 pattern; a Catalyst
+  *    higher-order fold evaluates interpreted and measured ~50x
+  *    slower). Scoring 100 TB is one pass that writes (doc_id, score).
   *
   * The scoring kernel is cross-engine oracleable at nBuckets = 256
   * with a fixed weight vector (q75) — the degenerate-rendition
@@ -79,14 +79,11 @@ object Classifier {
     require(nBuckets >= 2 && nBuckets <= MaxBuckets,
       s"nBuckets must be in [2, $MaxBuckets]: $nBuckets")
 
-  /** Column-side bucket id of one gram: `hash16(md5 prefix) % nBuckets`. */
-  private def bucketExpr(g: Column, nBuckets: Int): Column =
-    conv(substring(md5(g), 1, 4), 16, 10).cast("int") % nBuckets
-
-  /** JVM-side bucket id — bit-parity with [[bucketExpr]], pinned in
-    * ClassifierSpec (the `Decontam.shinglesOf` convention: the driver
-    * recompute and any ingest-time filter can never disagree with the
-    * column expression).
+  /** JVM-side bucket id — bit-parity with the column-side derivation
+    * `conv(substring(md5(g), 1, 4), 16, 10) % nBuckets` that the q75
+    * oracle replays, pinned in ClassifierSpec (the
+    * `Decontam.shinglesOf` convention: the oracle and any ingest-time
+    * filter can never disagree with this kernel).
     */
   def bucketOf(gram: String, nBuckets: Int): Int = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -94,33 +91,53 @@ object Classifier {
     (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % nBuckets
   }
 
-  /** The shared scoring fold: logit = bias + (Σ_grams w[bucket]) / n,
-    * then σ. One division AFTER the sum (mirrored by the oracle), so
-    * the arithmetic is order-stable up to float summation.
+  /** JVM bucket under a REUSED digest (the hot-loop form of
+    * [[bucketOf]] — one MessageDigest per partition, not per gram).
     */
-  private def scoreExpr(text: Column, w: Column, bias: Double,
-                        nBuckets: Int): Column = {
-    val gs = Dsir.grams(text)
-    val sumW = aggregate(gs, lit(0.0), (acc, g) =>
-      acc + element_at(w, bucketExpr(g, nBuckets) + 1))
-    lit(1.0) / (lit(1.0) + exp(-(lit(bias) + sumW / size(gs))))
+  private def bucketWith(md: java.security.MessageDigest, g: String,
+                         nBuckets: Int): Int = {
+    md.reset()
+    val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % nBuckets
   }
 
   /** Score documents under a model: `(doc_id, n_grams, score)`, score
-    * = σ(bias + w·x) rounded to 6 digits (the q64/q74 float-rounding
-    * convention). Zero-shuffle scan-side fold.
+    * = σ(bias + (Σ_grams w[bucket]) / n) rounded to 6 digits (one
+    * division AFTER the sum, mirrored by the q75 oracle; the q64/q74
+    * float-rounding convention). Zero-shuffle: one scan-side
+    * typed-kernel pass — the Catalyst higher-order fold this replaced
+    * evaluated its lambda interpreted (CodegenFallback) and was the
+    * 2nd-slowest query on the bench board; the kernel is the q40/q74
+    * pattern and [[bucketOf]]'s bit-parity gate covers it.
     */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
                 model: FilterModel): DataFrame = {
     requireBuckets(model.nBuckets)
-    val w = typedLit(model.weights)
-    val gs = Dsir.grams(col(textCol))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bModel = spark.sparkContext.broadcast(model)
     docs
-      .select(col(idCol).as("doc_id"),
-        size(gs).cast("long").as("n_grams"),
-        scoreExpr(col(textCol), w, model.bias, model.nBuckets).as("s"))
-      .where(col("n_grams") > 0)
-      .select(col("doc_id"), col("n_grams"), round(col("s"), 6).as("score"))
+      .select(col(idCol).cast("long").as("_id"),
+        col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val m = bModel.value
+        it.flatMap { case (id, t) =>
+          var n = 0L
+          var sumW = 0.0
+          (Decontam.shinglesOf(t, 1) ++ Decontam.shinglesOf(t, 2))
+            .foreach { g =>
+              sumW += m.weights(bucketWith(md, g, m.nBuckets)); n += 1
+            }
+          if (n == 0L) None
+          else {
+            val s = 1.0 / (1.0 + math.exp(-(m.bias + sumW / n)))
+            Some((id, n, Dsir.round6(s)))
+          }
+        }
+      }
+      .toDF("doc_id", "n_grams", "score")
   }
 
   /** Persist a trained filter model — the production pipeline trains
@@ -187,7 +204,7 @@ object Classifier {
   final case class EncDoc(y: Double, buckets: Array[Int])
 
   /** Encode labeled docs to all-int form through the SAME JVM bucket
-    * kernel the specs pin against [[bucketExpr]]. Docs with no grams
+    * kernel the specs pin against the oracle derivation. Docs with no grams
     * carry no gradient and are dropped here.
     */
   def encode(labeled: DataFrame, textCol: String, labelCol: String,

@@ -43,15 +43,15 @@ object Decontam {
   val MaxEvalShingles: Long = 2000000L
 
   /** All n-token shingles of a space-tokenized text column (empty array
-    * when the text has fewer than n tokens or is NULL).
+    * when the text has fewer than n tokens or is NULL). Backed by the
+    * native codegen expression [[graft.functions.NerShingles]] — the
+    * `transform(sequence, slice+array_join)` composition it replaced
+    * evaluated interpreted and re-ran `split` per element (O(tokens ×
+    * chars) per doc; the round-6 bench caught it across every
+    * shingle-heavy query).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    when(text.isNotNull && size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShingleFunctions.ner_shingles(text, n)
 
   /** Pure-JVM rendition of [[shingles]] — BIT-PARITY with the column
     * expression (same `split(" ", -1)` tokenization incl. empty

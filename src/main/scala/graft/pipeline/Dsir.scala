@@ -29,11 +29,11 @@ import org.apache.spark.sql.functions._
   *    curated-sample-sized by construction (it is the thing humans
   *    vetted); the raw pass is the only corpus-wide scan.
   *  - Scoring ([[importanceWeights]]) is ZERO-shuffle: the 256-slot
-  *    log-ratio table rides into the plan as ONE array literal and
-  *    each doc's weight is a per-row `aggregate` fold over its grams
-  *    (md5 → bucket index → array lookup, all codegen'd collection
-  *    expressions, no UDF) fused into the scan stage. Scoring 100 TB
-  *    is one pass that writes (doc_id, log_w).
+  *    log-ratio table rides as a broadcast array and each doc's weight
+  *    is one scan-side typed-kernel pass (reused digest, left-fold in
+  *    gram order — the q40 pattern; a Catalyst higher-order fold would
+  *    evaluate its lambda INTERPRETED and was measured 50x slower).
+  *    Scoring 100 TB is one pass that writes (doc_id, log_w).
   *  - Resampling ([[resampleGumbel]]) adds deterministic Gumbel noise
   *    derived from `md5(id:seed)` (no RNG state — stable under
   *    retries/resume, the `Sampling.stratifiedHashSample` convention)
@@ -78,23 +78,31 @@ object Dsir {
   def logRatios(target: DataFrame, raw: DataFrame,
                 textCol: String): DataFrame = {
     val spark = target.sparkSession
-    val domain = spark.range(NumBuckets)
-      .select(lpad(lower(hex(col("id"))), 2, "0").as("bucket"))
-    val tc = bucketCounts(target, textCol).withColumnRenamed("cnt", "t_cnt")
-    val rc = bucketCounts(raw, textCol).withColumnRenamed("cnt", "r_cnt")
-    val joined = domain
-      .join(broadcast(tc), Seq("bucket"), "left")
-      .join(broadcast(rc), Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("t_cnt"), lit(0L)).as("t_cnt"),
-        coalesce(col("r_cnt"), lit(0L)).as("r_cnt"))
-    val tots = joined.agg(sum("t_cnt").as("t_tot"), sum("r_cnt").as("r_tot"))
-    joined.crossJoin(broadcast(tots))
-      .select(col("bucket"), col("t_cnt"), col("r_cnt"),
-        (log((col("t_cnt") + lit(1L)).cast("double")
-            / (col("t_tot") + lit(NumBuckets.toLong)))
-          - log((col("r_cnt") + lit(1L)).cast("double")
-            / (col("r_tot") + lit(NumBuckets.toLong)))).as("lr"))
+    import spark.implicits._
+    // ONE pass per corpus: each collapses to <= 256 (bucket, long)
+    // rows at the partial agg and collects those. The smoothing / lr
+    // arithmetic then runs driver-side over the fixed bucket domain
+    // and the result returns as a LOCAL relation — a lazily-returned
+    // plan would re-run both corpus passes for every downstream
+    // consumer (the totals, the ratio collect, the scorer), which the
+    // first cut did and the bench caught (q74 was the slowest query
+    // on the board).
+    def counts(docs: DataFrame): Map[String, Long] =
+      bucketCounts(docs, textCol).as[(String, Long)].collect().toMap
+    val tc = counts(target)
+    val rc = counts(raw)
+    val tTot = tc.values.sum
+    val rTot = rc.values.sum
+    val rows = (0 until NumBuckets).map { b =>
+      val key = f"$b%02x"
+      val t = tc.getOrElse(key, 0L)
+      val r = rc.getOrElse(key, 0L)
+      // same double op order as the q74 oracle's SQL
+      val lr = math.log((t + 1L).toDouble / (tTot + NumBuckets)) -
+        math.log((r + 1L).toDouble / (rTot + NumBuckets))
+      (key, t, r, lr)
+    }
+    rows.toDF("bucket", "t_cnt", "r_cnt", "lr")
   }
 
   /** Collect a [[logRatios]] frame to the 256-slot lookup array
@@ -112,31 +120,66 @@ object Dsir {
     arr
   }
 
-  /** The unrounded per-doc log importance weight — a per-row fold over
-    * the doc's grams against the 256-slot literal `arr`, fused into the
-    * scan stage (zero shuffles).
+  /** JVM bucket of one gram under a REUSED digest — bit-parity with
+    * the oracle-side `substring(md5(gram), 1, 2)` derivation (the
+    * first md5 byte), pinned in DsirSpec. Scoring runs this kernel
+    * per gram: the first cut used a Catalyst `aggregate` higher-order
+    * fold, but lambda functions evaluate INTERPRETED (CodegenFallback),
+    * and the per-gram interpreted md5 made q74 the slowest query on
+    * the bench board (14 s at sf0.1, ~50x the scan cost) — the typed
+    * kernel is the q40 pattern: still scan-side, still zero-shuffle,
+    * one object boundary instead of 240k interpreted expression trees.
     */
-  private def weightExpr(text: Column, arr: Column): Column =
-    aggregate(grams(text), lit(0.0), (acc, g) =>
-      acc + element_at(arr,
-        conv(substring(md5(g), 1, 2), 16, 10).cast("int") + 1))
+  private def bucketWith(md: java.security.MessageDigest, g: String): Int = {
+    md.reset()
+    md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+  }
+
+  /** Spark's `round(x, 6)` (BigDecimal HALF_UP), for kernel-side
+    * outputs that must hash-match the oracle's rounded columns.
+    */
+  private[pipeline] def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Unrounded per-doc (n_grams, log_w) under a broadcast ratio array —
+    * the shared scoring kernel. Left-fold in gram order (unigrams then
+    * bigrams), matching the spec's recompute.
+    */
+  private def scoreKernel(docs: DataFrame, idCol: String, textCol: String,
+                          arr: Array[Double]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bArr = spark.sparkContext.broadcast(arr)
+    docs
+      .select(col(idCol).cast("long").as("_id"),
+        col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val a = bArr.value
+        it.flatMap { case (id, t) =>
+          var n = 0L
+          var w = 0.0
+          (Decontam.shinglesOf(t, 1) ++ Decontam.shinglesOf(t, 2))
+            .foreach { g => w += a(bucketWith(md, g)); n += 1 }
+          if (n == 0L) None else Some((id, n, w))
+        }
+      }
+  }
 
   /** Per-document log importance weights under a fitted [[logRatios]]
     * model: `(doc_id, n_grams, log_w)`, log_w rounded to 6 digits (the
     * q64 convention — the sum is float, both engines agree except
     * within ~1e-9 of a rounding boundary). Zero-shuffle: one scan-side
-    * fold per row.
+    * kernel pass per row.
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         ratios: DataFrame): DataFrame = {
-    val arr = typedLit(ratioArray(ratios))
-    val gs = grams(col(textCol))
-    docs
-      .select(col(idCol).as("doc_id"),
-        size(gs).cast("long").as("n_grams"),
-        weightExpr(col(textCol), arr).as("w"))
-      .where(col("n_grams") > 0)
-      .select(col("doc_id"), col("n_grams"), round(col("w"), 6).as("log_w"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    scoreKernel(docs, idCol, textCol, ratioArray(ratios))
+      .map { case (id, n, w) => (id, n, round6(w)) }
+      .toDF("doc_id", "n_grams", "log_w")
   }
 
   /** Gumbel-top-k importance resampling (the paper's sampling-without-
@@ -153,19 +196,17 @@ object Dsir {
   def resampleGumbel(docs: DataFrame, idCol: String, textCol: String,
                      ratios: DataFrame, k: Int, seed: Long): DataFrame = {
     require(k >= 1, s"resample budget must be >= 1: $k")
-    val arr = typedLit(ratioArray(ratios))
-    val gs = grams(col(textCol))
-    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
-      lit(seed.toString))), 1, 8), 16, 10).cast("double") + lit(0.5)) /
-      lit(4294967296.0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one md5 per ROW (codegen) — unlike the per-gram weight kernel,
+    // the noise derivation was never a hot path
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), lit(seed.toString))), 1, 8), 16, 10).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
     val gumbel = -log(-log(u))
-    docs
-      .select(col(idCol).as("doc_id"),
-        size(gs).cast("long").as("n_grams"),
-        weightExpr(col(textCol), arr).as("w"),
-        gumbel.as("g"))
-      .where(col("n_grams") > 0)
-      .withColumn("k0", col("w") + col("g"))
+    scoreKernel(docs, idCol, textCol, ratioArray(ratios))
+      .toDF("doc_id", "n_grams", "w")
+      .withColumn("k0", col("w") + gumbel)
       .orderBy(col("k0").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("n_grams"),

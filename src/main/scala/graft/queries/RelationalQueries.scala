@@ -1589,6 +1589,50 @@ object RelationalQueries {
       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
       |FROM enc GROUP BY doc_id""".stripMargin
 
+  /** Stupid-backoff bigram-LM perplexity scoring
+    * ([[graft.pipeline.Ngram]], Brants et al. 2007 / the CCNet §3.3
+    * quality filter): the LM is trained on the doc_id % 3 != 0 split
+    * and scores ALL docs, so the held-out third genuinely exercises
+    * the backoff and OOV-floor branches. Text-keyed rendition
+    * (`hashedKeys = false`, the q51/q52 pairing — the hashed default
+    * is row-parity-gated in NgramSpec); the oracle mirrors the
+    * chr(31)-concat join keys and the exact CASE/division order.
+    */
+  def q77_lm_perplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lm = graft.pipeline.Ngram.train(
+      docs.where(col("doc_id") % 3 =!= 0), "text")
+    graft.pipeline.Ngram.scoreDocs(docs, "doc_id", "text", lm,
+      hashedKeys = false)
+  }
+
+  val q77_sql: String =
+    """WITH tr AS (SELECT string_split(text, ' ') AS ws FROM documents
+      |            WHERE text IS NOT NULL AND doc_id % 3 <> 0),
+      |n AS (SELECT sum(len(ws)) AS n FROM tr),
+      |uni AS (SELECT w, count(*) AS c1 FROM tr, UNNEST(ws) AS t(w)
+      |        GROUP BY w),
+      |bi AS (SELECT ws[i] || chr(31) || ws[i+1] AS bk, count(*) AS c2
+      |       FROM tr, UNNEST(range(1, len(ws))) AS t(i) GROUP BY 1),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM documents WHERE text IS NOT NULL),
+      |pairs AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |          FROM tok, UNNEST(range(1, len(ws))) AS t(i)),
+      |sc AS (SELECT p.doc_id,
+      |         CASE WHEN b.c2 IS NOT NULL AND cu.c1 IS NOT NULL
+      |              THEN CAST(b.c2 AS DOUBLE) / cu.c1
+      |              ELSE (0.4 * CAST(coalesce(nu.c1, 1) AS DOUBLE))
+      |                   / (SELECT n FROM n)
+      |         END AS s
+      |       FROM pairs p
+      |       LEFT JOIN bi b ON p.w1 || chr(31) || p.w2 = b.bk
+      |       LEFT JOIN uni cu ON p.w1 = cu.w
+      |       LEFT JOIN uni nu ON p.w2 = nu.w)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       round(avg(ln(s)), 6) AS logp,
+      |       round(exp(-avg(ln(s))), 6) AS ppl
+      |FROM sc GROUP BY doc_id""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -1643,5 +1687,6 @@ object RelationalQueries {
     "q73_gopher_quality" -> ((q73_gopher_quality _, q73_sql)),
     "q74_dsir_weights" -> ((q74_dsir_weights _, q74_sql)),
     "q75_quality_score" -> ((q75_quality_score _, q75_sql)),
-    "q76_bpe_encode" -> ((q76_bpe_encode _, q76_sql)))
+    "q76_bpe_encode" -> ((q76_bpe_encode _, q76_sql)),
+    "q77_lm_perplexity" -> ((q77_lm_perplexity _, q77_sql)))
 }
