@@ -86,6 +86,37 @@ class ClassifierSpec extends AnyFunSuite {
     assert(acc >= 0.95, s"held-out accuracy $acc < 0.95")
   }
 
+  test("scoreDocs runs unchanged on a stream, row-identical to batch") {
+    // the scorer is a stateless select + mapPartitions, so the SAME
+    // operator is the ingest-time quality filter — no streaming twin
+    // to keep in sync (the decontamStream/dedupStream family needed
+    // one only because they hold state or a broadcast set)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = Classifier.FilterModel(256,
+      Array.tabulate(256)(b => (2.0 * b - 255.0) / 512.0), bias = 0.0)
+    val rows = Seq((1L, "the quick essay discusses history"),
+      (2L, "BUY cheap pills click WIN FREE"), (3L, null: String))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = Classifier.scoreDocs(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", model)
+    val q = out.writeStream.format("memory").queryName("qscore_t")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM qscore_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Classifier.scoreDocs(
+        rows.toDF("doc_id", "text"), "doc_id", "text", model)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(want.map(_._1) == Set(1L, 2L), "fixture: NULL text drops")
+      assert(got == want, s"stream $got != batch $want")
+    } finally q.stop()
+  }
+
   test("model save/load roundtrip is bit-exact; corrupt files fail loudly") {
     val rnd = new scala.util.Random(3)
     val m = Classifier.FilterModel(64,
