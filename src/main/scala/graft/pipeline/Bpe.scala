@@ -80,6 +80,27 @@ object Bpe {
     out.result()
   }
 
+  /** Tie-break order for merge winners: UNSIGNED UTF-8 BYTE order —
+    * what Spark's string ordering (UTF8String binary compare) uses in
+    * [[trainDistributed]]'s `orderBy`. Java's natural String order
+    * compares UTF-16 code units, which DISAGREES with byte order
+    * between [U+E000, U+FFFF] and supplementary-plane characters
+    * (emoji vs U+FFFD — both routine in noisy web text), so a
+    * java-ordered driver kernel could pick a different tie winner and
+    * silently break the merge-for-merge parity contract.
+    */
+  private val utf8Order: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    var r = 0
+    while (r == 0 && i < n) {
+      r = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff); i += 1
+    }
+    if (r != 0) r else java.lang.Integer.compare(a.length, b.length)
+  }
+
   private def countPairs(seqs: Iterable[(Array[String], Long)])
       : scala.collection.mutable.HashMap[(String, String), Long] = {
     val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -110,7 +131,8 @@ object Bpe {
       val counts = countPairs(seqs)
       if (counts.isEmpty) stop = true
       else {
-        val (pair, cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        val (pair, cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
         if (cnt < minCount) stop = true
         else {
           merges += pair

@@ -215,10 +215,15 @@ object Classifier {
     labeled
       .select(col(labelCol).cast("double").as("y"), col(textCol).as("t"))
       .as[(Double, String)]
-      .flatMap { case (y, t) =>
-        val gs = (Decontam.shinglesOf(t, 1) ++ Decontam.shinglesOf(t, 2))
-          .map(bucketOf(_, nBuckets)).toArray
-        if (gs.isEmpty) None else Some(EncDoc(y, gs))
+      .mapPartitions { it =>
+        // one digest per partition (the scoreDocs hot-loop shape), not
+        // one MessageDigest.getInstance per gram
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (y, t) =>
+          val gs = (Decontam.shinglesOf(t, 1) ++ Decontam.shinglesOf(t, 2))
+            .map(bucketWith(md, _, nBuckets)).toArray
+          if (gs.isEmpty) None else Some(EncDoc(y, gs))
+        }
       }
   }
 

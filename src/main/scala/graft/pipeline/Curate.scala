@@ -271,31 +271,30 @@ object Curate {
     // input ⋉ ids; anything less (absent, or half-written by a crash)
     // recomputes — writeResumable then commits only the missing buckets.
     val resumed = scala.collection.mutable.ListBuffer.empty[Int]
+    // Optional stages appear in the lineage ONLY when they are ON: a
+    // checkpoint of scrubbed survivors must not restore into an
+    // unscrubbed run (or vice versa — the id-sets differ; mismatch on
+    // key presence), but a checkpoint written BEFORE an optional stage
+    // existed stays restorable into a run that leaves it off (an
+    // always-present "off" entry would invalidate every committed
+    // checkpoint each time the recipe grows a knob).
     val stageLineage = Map("recipe" -> "curate-stage",
       "n_input" -> nInput.toString,
       "minhash_policy" -> (if (clusterKeep) "cluster" else "greedy"),
-      "embedding_policy" -> (if (semanticKeep) "semantic" else "greedy"),
-      // a checkpoint of scrubbed survivors must not restore into an
-      // unscrubbed run (or vice versa) — the id-sets differ; same for
-      // the optional decontam / repetition stages and their parameters
-      "scrub" -> redactPii.toString,
-      "decontam" ->
-        evalSet.map(_ => s"n=$decontamN").getOrElse("off"),
-      "repetition" ->
-        (if (repetitionOn)
-           s"n=$repetitionN,top=$maxTopGramShare,dup=$maxDupGramFrac"
-         else "off"),
-      "mixture" ->
-        mixtureCol.filter(_ => mixtureTargetRows > 0)
-          .map(c => s"col=$c,alpha=$mixtureAlpha," +
-            s"target=$mixtureTargetRows,seed=$mixtureSeed")
-          .getOrElse("off"),
+      "embedding_policy" -> (if (semanticKeep) "semantic" else "greedy")) ++
+      (if (redactPii) Map("scrub" -> "on") else Map.empty) ++
+      evalSet.map(_ => "decontam" -> s"n=$decontamN") ++
+      (if (repetitionOn)
+         Map("repetition" ->
+           s"n=$repetitionN,top=$maxTopGramShare,dup=$maxDupGramFrac")
+       else Map.empty) ++
+      mixtureCol.filter(_ => mixtureTargetRows > 0)
+        .map(c => "mixture" -> (s"col=$c,alpha=$mixtureAlpha," +
+          s"target=$mixtureTargetRows,seed=$mixtureSeed")) ++
       // the fingerprint covers the WEIGHTS: a checkpoint filtered by
       // one model must not restore into a run scoring with another
-      "quality" ->
-        qualityModel
-          .map(m => s"min=$minQualityScore,model=${m.fingerprint}")
-          .getOrElse("off"))
+      qualityModel
+        .map(m => "quality" -> s"min=$minQualityScore,model=${m.fingerprint}")
     def stage(i: Int, compute: => DataFrame,
               prev: Option[DataFrame]): (DataFrame, Long) = {
       val ckpt = stageDir.map(d => s"$d/stage$i")

@@ -78,8 +78,12 @@ object Ngram {
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val bi = bigramRows(t, textCol, Seq.empty)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val n = t.select(sum(size(ws)).as("n")).head().getLong(0)
-    Lm(uni, bi, n)
+    // sum over zero rows is NULL — fail loudly, not with an NPE, when
+    // the training frame has no non-null texts
+    val nRow = t.select(sum(size(ws)).as("n")).head()
+    require(!nRow.isNullAt(0),
+      "Ngram.train: training corpus has no non-null texts")
+    Lm(uni, bi, nRow.getLong(0))
   }
 
   /** Perplexity-score documents under a trained [[Lm]]:
@@ -102,8 +106,11 @@ object Ngram {
     // in what the exchanges carry
     def uk(c: Column): Column = if (hashedKeys) xxhash64(c) else c
     def bk(a: Column, b: Column): Column =
-      // the separator makes ("a b", "c") and ("a", "b c") distinct keys
-      if (hashedKeys) xxhash64(a, b) else concat(a, lit("\u001f"), b)
+      // text mode keys on the (w1, w2) STRUCT — collision-free by
+      // construction (a separator-concat key would conflate bigrams
+      // when a token itself contains the separator; raw web text can
+      // contain any control char)
+      if (hashedKeys) xxhash64(a, b) else struct(a.as("w1"), b.as("w2"))
     val uni = lm.unigrams.select(uk(col("w")).as("_uk"), col("c1"))
     val bi = lm.bigrams
       .select(bk(col("w1"), col("w2")).as("_bk"), col("c2"))

@@ -1595,8 +1595,9 @@ object RelationalQueries {
     * and scores ALL docs, so the held-out third genuinely exercises
     * the backoff and OOV-floor branches. Text-keyed rendition
     * (`hashedKeys = false`, the q51/q52 pairing — the hashed default
-    * is row-parity-gated in NgramSpec); the oracle mirrors the
-    * chr(31)-concat join keys and the exact CASE/division order.
+    * is row-parity-gated in NgramSpec); the oracle joins on the
+    * (w1, w2) pair — the same collision-free key the Spark side
+    * structs on — and mirrors the exact CASE/division order.
     */
   def q77_lm_perplexity(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1612,8 +1613,8 @@ object RelationalQueries {
       |n AS (SELECT sum(len(ws)) AS n FROM tr),
       |uni AS (SELECT w, count(*) AS c1 FROM tr, UNNEST(ws) AS t(w)
       |        GROUP BY w),
-      |bi AS (SELECT ws[i] || chr(31) || ws[i+1] AS bk, count(*) AS c2
-      |       FROM tr, UNNEST(range(1, len(ws))) AS t(i) GROUP BY 1),
+      |bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS c2
+      |       FROM tr, UNNEST(range(1, len(ws))) AS t(i) GROUP BY 1, 2),
       |tok AS (SELECT doc_id, string_split(text, ' ') AS ws
       |        FROM documents WHERE text IS NOT NULL),
       |pairs AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
@@ -1625,7 +1626,7 @@ object RelationalQueries {
       |                   / (SELECT n FROM n)
       |         END AS s
       |       FROM pairs p
-      |       LEFT JOIN bi b ON p.w1 || chr(31) || p.w2 = b.bk
+      |       LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
       |       LEFT JOIN uni cu ON p.w1 = cu.w
       |       LEFT JOIN uni nu ON p.w2 = nu.w)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
