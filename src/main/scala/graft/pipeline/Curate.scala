@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   *                             the expensive near-dup stages so they
   *                             pair fewer docs; checkpoint id 8, model
   *                             fingerprint in the lineage
+  *   2d. LM perplexity filter (optional) — the CCNet-style generative
+  *                             complement: drop docs whose stupid-
+  *                             backoff bigram perplexity exceeds a
+  *                             ceiling ([[Ngram.scoreDocs]], q77's
+  *                             operator); docs with no bigram positions
+  *                             (single-token) carry no evidence and
+  *                             pass, like no-vector docs in stage 4;
+  *                             checkpoint id 9
   *   3. MinHash near-dup     — banded MinHash-LSH pairs at Jaccard ≥ 0.5
   *                             ([[TextDedup.minhashPairs]], q44), greedy
   *                             exemplar-keep (drop the max-id side)
@@ -122,7 +130,7 @@ object Curate {
   final case class Report(nInput: Long, nNullText: Long, nRedacted: Long,
                           nAfterExact: Long, nAfterDecontam: Long,
                           nAfterBoilerplate: Long, nAfterRepetition: Long,
-                          nAfterQuality: Long,
+                          nAfterQuality: Long, nAfterLmPpl: Long,
                           nAfterMinhash: Long,
                           nAfterEmbedding: Long, nAfterMixture: Long,
                           hotKeys: Seq[(String, Long)], salts: Int,
@@ -137,6 +145,7 @@ object Curate {
         s""""n_after_boilerplate":$nAfterBoilerplate,""" +
         s""""n_after_repetition":$nAfterRepetition,""" +
         s""""n_after_quality":$nAfterQuality,""" +
+        s""""n_after_lm_ppl":$nAfterLmPpl,""" +
         s""""n_after_minhash":$nAfterMinhash,""" +
         s""""n_after_embedding":$nAfterEmbedding,""" +
         s""""n_after_mixture":$nAfterMixture,""" +
@@ -186,6 +195,12 @@ object Curate {
     *                        The repetition filter (checkpoint id 6)
     *                        runs after the boilerplate drop — both
     *                        thresholds at 1.0 skip the stage entirely
+    * @param lm              when set, the LM perplexity filter
+    *                        ([[Ngram.scoreDocs]]) drops docs with
+    *                        `ppl > maxPpl` right after the classifier
+    *                        stage (checkpoint id 9); train the LM on a
+    *                        clean reference corpus and persist it with
+    *                        [[Ngram.saveLm]]
     * @param qualityModel    when set, the trained quality classifier
     *                        ([[Classifier.scoreDocs]]) drops docs
     *                        scoring under `minQualityScore` right
@@ -209,7 +224,9 @@ object Curate {
           mixtureCol: Option[String] = None, mixtureAlpha: Double = 1.0,
           mixtureTargetRows: Long = 0L, mixtureSeed: Long = 0L,
           qualityModel: Option[Classifier.FilterModel] = None,
-          minQualityScore: Double = 0.5): Report = {
+          minQualityScore: Double = 0.5,
+          lm: Option[Ngram.Lm] = None,
+          maxPpl: Double = 1e6): Report = {
     require(maxDupSpanShare > 0.0 && maxDupSpanShare <= 1.0,
       s"maxDupSpanShare must be in (0, 1]: $maxDupSpanShare")
     require(maxTopGramShare > 0.0 && maxTopGramShare <= 1.0,
@@ -294,7 +311,11 @@ object Curate {
       // the fingerprint covers the WEIGHTS: a checkpoint filtered by
       // one model must not restore into a run scoring with another
       qualityModel
-        .map(m => "quality" -> s"min=$minQualityScore,model=${m.fingerprint}")
+        .map(m => "quality" -> s"min=$minQualityScore,model=${m.fingerprint}") ++
+      // the LM is a corpus-sized count table — the lineage carries its
+      // parameters + token total (the decontam stage's convention for
+      // data-sized inputs), not a content hash
+      lm.map(l => "lm" -> s"max_ppl=$maxPpl,n_tokens=${l.nTokens}")
     def stage(i: Int, compute: => DataFrame,
               prev: Option[DataFrame]): (DataFrame, Long) = {
       val ckpt = stageDir.map(d => s"$d/stage$i")
@@ -401,20 +422,36 @@ object Curate {
         case None => (afterRep, nAfterRep)
       }
 
+      // 2d (checkpoint id 9, optional): LM perplexity ceiling — drop
+      // docs the reference-corpus LM finds unlikely (high ppl); docs
+      // with no bigram positions are absent from the score frame and
+      // pass (no evidence)
+      val (afterLm, nAfterLm) = lm match {
+        case Some(model) =>
+          stage(9, {
+            val tooPerplexed = Ngram
+              .scoreDocs(afterQual, idCol, textCol, model)
+              .where(col("ppl") > maxPpl)
+              .select(col("doc_id").as(idCol))
+            afterQual.join(tooPerplexed, Seq(idCol), "left_anti")
+          }, Some(afterQual))
+        case None => (afterQual, nAfterQual)
+      }
+
       // 3. MinHash near-dup pairs -> greedy exemplar-keep, or (with
       // clusterKeep) CC dup clusters -> canonical-exemplar keep
       val (afterMinhash, nAfterMinhash) = stage(3, {
         if (clusterKeep) {
-          val keep = TextDedup.dupClusters(afterQual, idCol, textCol)
+          val keep = TextDedup.dupClusters(afterLm, idCol, textCol)
             .where(col("is_canonical") === 1)
             .select(col("doc_id").as(idCol))
-          afterQual.join(keep, Seq(idCol), "left_semi")
+          afterLm.join(keep, Seq(idCol), "left_semi")
         } else {
-          val mhDrop = TextDedup.minhashPairs(afterQual, idCol, textCol)
+          val mhDrop = TextDedup.minhashPairs(afterLm, idCol, textCol)
             .select(col("d2").as(idCol)).distinct()
-          afterQual.join(mhDrop, Seq(idCol), "left_anti")
+          afterLm.join(mhDrop, Seq(idCol), "left_anti")
         }
-      }, Some(afterQual))
+      }, Some(afterLm))
 
       // 4. embedding near-dup (when an embedding table exists): restrict
       // vectors to the SURVIVORS first — pairs among already-dropped
@@ -483,8 +520,8 @@ object Curate {
       val commits = TableIO.writeResumable(afterMix, outDir, buckets,
         Seq(hotKeyCol), lineage = Map("recipe" -> "curate"), salts = salts)
       val report = Report(nInput, nNullText, nRedacted, nAfterExact,
-        nAfterDecon, nAfterBoiler, nAfterRep, nAfterQual, nAfterMinhash,
-        nAfterEmbedding, nAfterMixture, hot, salts,
+        nAfterDecon, nAfterBoiler, nAfterRep, nAfterQual, nAfterLm,
+        nAfterMinhash, nAfterEmbedding, nAfterMixture, hot, salts,
         commits.map(_.rows).sum, resumed.toSeq)
       // the report outlives the driver, beside the manifests it explains
       TableIO.atomicWrite(reportPath(outDir), report.json,

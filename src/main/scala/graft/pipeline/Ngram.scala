@@ -86,6 +86,47 @@ object Ngram {
     Lm(uni, bi, nRow.getLong(0))
   }
 
+  /** Persist a trained LM: the two count tables as parquet plus a
+    * meta file with the token total, written LAST (atomic rename) so a
+    * half-written model directory is unloadable rather than silently
+    * short. Production trains the LM once over the reference corpus
+    * and scores everywhere — the same contract as
+    * `Classifier.save/load` and `Ann.saveCentroids`, with plain
+    * integer counts (bit-exactness concerns don't arise).
+    */
+  def saveLm(lm: Lm, dir: String): Unit = {
+    val spark = lm.unigrams.sparkSession
+    lm.unigrams.write.mode("overwrite").parquet(s"$dir/unigrams")
+    lm.bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
+    graft.io.TableIO.atomicWrite(s"$dir/_lm_meta.json",
+      s"""{"format":"graft-bigram-lm","version":1,""" +
+        s""""n_tokens":${lm.nTokens}}""",
+      spark.sessionState.newHadoopConf())
+  }
+
+  /** Load a model written by [[saveLm]] — loud on a missing/foreign
+    * meta file (count tables without their total are not a model).
+    */
+  def loadLm(spark: org.apache.spark.sql.SparkSession, dir: String): Lm = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_lm_meta.json")
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p),
+      s"$dir is not a graft LM directory (no _lm_meta.json — " +
+        "half-written save or wrong path)")
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    require(json.contains("\"format\":\"graft-bigram-lm\""),
+      s"$dir/_lm_meta.json is not a graft bigram-LM meta file")
+    val n = """"n_tokens":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$dir/_lm_meta.json: n_tokens missing"))
+    Lm(spark.read.parquet(s"$dir/unigrams"),
+      spark.read.parquet(s"$dir/bigrams"), n)
+  }
+
   /** Perplexity-score documents under a trained [[Lm]]:
     * `(doc_id, n_bigrams, logp, ppl)`, logp/ppl rounded to 6 digits
     * (float sums over a doc's positions — the q64 convention).

@@ -369,6 +369,48 @@ class CurateSpec extends AnyFunSuite {
       s"wrong failure: ${ex.getMessage.take(120)}")
   }
 
+  test("curate LM-perplexity stage: parity with independent scoreDocs, lineage-guarded") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft_curate_lm")
+      .toString
+    // LM trained on a third of the corpus so the rest genuinely
+    // spreads in perplexity; ceiling at the corpus median-ish value so
+    // the stage acts
+    val lm = Ngram.train(docs.where(col("doc_id") % 3 === 0), "text")
+    val ppls = Ngram.scoreDocs(docs, "doc_id", "text", lm)
+      .select("ppl").collect().map(_.getDouble(0)).sorted
+    val ceiling = ppls(ppls.length / 2)
+    val r = Curate.run(spark, docs, "doc_id", "text", None, "vec_id",
+      "embedding", s"$base/out", hotKeyCol = "source",
+      stageDir = Some(s"$base/stages"), lm = Some(lm), maxPpl = ceiling)
+    assert(r.nAfterLmPpl < r.nAfterQuality, s"LM stage was vacuous: $r")
+    // stage-9 checkpoint == independent threshold over stage 2's
+    // committed survivors (classifier off -> stage 9's input is
+    // stage 2's output); no-bigram docs pass by contract
+    val stage2 = TableIO.readCommitted(spark, s"$base/stages/stage2",
+      Curate.StageBuckets).select("doc_id")
+    val pre = docs.join(stage2, Seq("doc_id"), "left_semi")
+    val dropped = Ngram.scoreDocs(pre, "doc_id", "text", lm)
+      .where(col("ppl") > ceiling)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = pre.select("doc_id").collect().map(_.getLong(0)).toSet -- dropped
+    val got = TableIO.readCommitted(spark, s"$base/stages/stage9",
+      Curate.StageBuckets).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} " +
+      s"extra=${(got -- want).take(5)}")
+    // a checkpoint filtered under one ceiling refuses another
+    val ex = intercept[IllegalArgumentException] {
+      Curate.run(spark, docs, "doc_id", "text", None, "vec_id",
+        "embedding", s"$base/out", hotKeyCol = "source",
+        stageDir = Some(s"$base/stages"), lm = Some(lm),
+        maxPpl = ceiling * 2)
+    }
+    assert(ex.getMessage.contains("lineage"),
+      s"wrong failure: ${ex.getMessage.take(120)}")
+  }
+
   test("curate sets NULL-text docs aside instead of deduping them") {
     import spark.implicits._
     val toks = (i: Int) => (i until i + 25).map(j => s"w$j").mkString(" ")

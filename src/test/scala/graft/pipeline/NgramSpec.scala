@@ -75,6 +75,25 @@ class NgramSpec extends AnyFunSuite {
         s"missing=${text.diff(hash).take(3)}")
   }
 
+  test("saveLm/loadLm roundtrip scores identically; foreign dirs fail loudly") {
+    assume(available)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .limit(100)
+    val lm = Ngram.train(docs, "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    Ngram.saveLm(lm, s"$base/lm")
+    val back = Ngram.loadLm(spark, s"$base/lm")
+    assert(back.nTokens == lm.nTokens)
+    def rows(m: Ngram.Lm) =
+      Ngram.scoreDocs(docs, "doc_id", "text", m).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+    assert(rows(back) == rows(lm))
+    val ex = intercept[IllegalArgumentException](
+      Ngram.loadLm(spark, s"$base/nowhere"))
+    assert(ex.getMessage.contains("not a graft LM directory"))
+  }
+
   test("hashed-mode scoring shuffles no strings once the LM is materialized") {
     assume(available)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
