@@ -22,12 +22,14 @@ import scala.jdk.CollectionConverters._
   *   client <host> <port> < raw.txt           one request per line (T2)
   *   cv <in.nes> <k> [modelDir]               k-fold cross-validation (X1)
   *   curate <sfDir> <outDir> [minCos] [greedy|cluster] [redact] [semantic]
-  *          [quality=<model.json>]
+  *          [quality=<model.json>] [lm=<lmDir>]
   *                                            curation recipe: dedup chain ->
   *                                            hot keys -> salted write (JSON report);
   *                                            "semantic" = SemDeDup embedding stage,
   *                                            "quality=" = trained-filter stage
-  *                                            (Classifier.save model file)
+  *                                            (Classifier.save model file),
+  *                                            "lm=" = perplexity ceiling stage
+  *                                            (Ngram.saveLm directory)
   */
 object Cli {
 
@@ -159,7 +161,7 @@ object Cli {
       stdinLines.foreach { line =>
         utf8Out.println(graft.server.NerfServer.request(host, portStr.toInt, line))
       }
-    case "curate" :: sfDir :: outDir :: rest if rest.length <= 5 =>
+    case "curate" :: sfDir :: outDir :: rest if rest.length <= 6 =>
       // End-to-end curation recipe over a documents(+embeddings) table:
       // exact dedup -> boilerplate drop -> MinHash near-dup -> embedding
       // near-dup -> hot-key detection -> salted resumable write. One
@@ -195,8 +197,12 @@ object Cli {
       val qualityModel = rest.find(_.startsWith("quality="))
         .map(f => graft.pipeline.Classifier.load(spark,
           f.stripPrefix("quality=")))
+      // "lm=<dir>": load a persisted bigram LM and run the perplexity
+      // ceiling (checkpoint id 9) at the default maxPpl
+      val lmModel = rest.find(_.startsWith("lm="))
+        .map(f => graft.pipeline.Ngram.loadLm(spark, f.stripPrefix("lm=")))
       val rest2 = rest.filterNot(f => f == "redact" || f == "semantic" ||
-        f.startsWith("quality="))
+        f.startsWith("quality=") || f.startsWith("lm="))
       require(rest2.length <= 2, s"unrecognized curate args: $rest2")
       val minCos = rest2.headOption.map(_.toDouble).getOrElse(0.95)
       // optional policy: "cluster" switches stage 3 from greedy drop-d2
@@ -210,7 +216,7 @@ object Cli {
         emb, "vec_id", "embedding", outDir, hotKeyCol = "source",
         minCos = minCos, stageDir = Some(s"$outDir/_stages"),
         clusterKeep = policy == "cluster", semanticKeep = semantic,
-        redactPii = redact, qualityModel = qualityModel)
+        redactPii = redact, qualityModel = qualityModel, lm = lmModel)
       utf8Out.println(report.json)
       spark.stop()
     case "synth" :: out :: rest =>

@@ -191,7 +191,9 @@ object Dsir {
     * contract), and seed rotation redraws the noise. Returns
     * `(doc_id, n_grams, log_w, key)` with key = the noised score,
     * both rounded; ordering and the k-boundary are decided on the
-    * UNROUNDED key with doc_id tie-break. TakeOrdered — no global sort.
+    * ROUNDED key with doc_id tie-break (the q20 convention — a
+    * cross-engine replay must agree on the boundary, q78).
+    * TakeOrdered — no global sort.
     */
   def resampleGumbel(docs: DataFrame, idCol: String, textCol: String,
                      ratios: DataFrame, k: Int, seed: Long): DataFrame = {
@@ -206,10 +208,10 @@ object Dsir {
     val gumbel = -log(-log(u))
     scoreKernel(docs, idCol, textCol, ratioArray(ratios))
       .toDF("doc_id", "n_grams", "w")
-      .withColumn("k0", col("w") + gumbel)
+      .withColumn("k0", round(col("w") + gumbel, 6))
       .orderBy(col("k0").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("n_grams"),
-        round(col("w"), 6).as("log_w"), round(col("k0"), 6).as("key"))
+        round(col("w"), 6).as("log_w"), col("k0").as("key"))
   }
 }

@@ -1634,6 +1634,55 @@ object RelationalQueries {
       |       round(exp(-avg(ln(s))), 6) AS ppl
       |FROM sc GROUP BY doc_id""".stripMargin
 
+  /** DSIR Gumbel-top-k resampling ([[graft.pipeline.Dsir
+    * .resampleGumbel]]) over the q74 model: deterministic noise
+    * `g = −ln(−ln((hex32(md5(id:seed)) + 0.5)/2^32))` that DuckDB
+    * derives identically (hex cast both engines share), k-boundary on
+    * the ROUNDED key with doc_id tie-break (q20 convention) — the
+    * selection step of DSIR, cross-engine checked end to end.
+    */
+  def q78_dsir_resample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ratios = graft.pipeline.Dsir.logRatios(
+      docs.where(col("lang") === "en"), docs, "text")
+    graft.pipeline.Dsir.resampleGumbel(docs, "doc_id", "text", ratios,
+      k = 100, seed = 7L)
+  }
+
+  val q78_sql: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+      |             FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id, lang, substring(md5(t.gram), 1, 2) AS bucket
+      |      FROM tok, UNNEST(list_concat(ws,
+      |        list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+      |        AS t(gram)),
+      |dom AS (SELECT printf('%02x', i) AS bucket FROM range(0, 256) t(i)),
+      |tc AS (SELECT bucket, count(*) AS t_cnt FROM g WHERE lang = 'en'
+      |       GROUP BY 1),
+      |rc AS (SELECT bucket, count(*) AS r_cnt FROM g GROUP BY 1),
+      |j AS (SELECT d.bucket, coalesce(t_cnt, 0) AS t_cnt,
+      |             coalesce(r_cnt, 0) AS r_cnt
+      |      FROM dom d LEFT JOIN tc USING (bucket)
+      |                 LEFT JOIN rc USING (bucket)),
+      |tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM j),
+      |lr AS (SELECT bucket,
+      |         ln(CAST(t_cnt + 1 AS DOUBLE) / (t_tot + 256)) -
+      |         ln(CAST(r_cnt + 1 AS DOUBLE) / (r_tot + 256)) AS lr
+      |       FROM j, tot),
+      |per AS (SELECT doc_id, bucket, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      |      FROM g GROUP BY 1),
+      |w AS (SELECT n.doc_id, n.n_grams, sum(per.cnt * lr.lr) AS w
+      |      FROM per JOIN lr USING (bucket) JOIN n USING (doc_id)
+      |      GROUP BY n.doc_id, n.n_grams),
+      |keyed AS (SELECT doc_id, n_grams, round(w, 6) AS log_w,
+      |            round(w + (-ln(-ln(
+      |              (('0x' || substring(md5(doc_id || ':7'), 1, 8))::BIGINT
+      |               + 0.5) / 4294967296.0))), 6) AS key
+      |          FROM w)
+      |SELECT doc_id, n_grams, log_w, key FROM keyed
+      |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -1689,5 +1738,6 @@ object RelationalQueries {
     "q74_dsir_weights" -> ((q74_dsir_weights _, q74_sql)),
     "q75_quality_score" -> ((q75_quality_score _, q75_sql)),
     "q76_bpe_encode" -> ((q76_bpe_encode _, q76_sql)),
-    "q77_lm_perplexity" -> ((q77_lm_perplexity _, q77_sql)))
+    "q77_lm_perplexity" -> ((q77_lm_perplexity _, q77_sql)),
+    "q78_dsir_resample" -> ((q78_dsir_resample _, q78_sql)))
 }
