@@ -89,17 +89,11 @@ object Bpe {
     * java-ordered driver kernel could pick a different tie winner and
     * silently break the merge-for-merge parity contract.
     */
-  private val utf8Order: Ordering[String] = (x: String, y: String) => {
-    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(a.length, b.length)
-    var r = 0
-    while (r == 0 && i < n) {
-      r = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff); i += 1
-    }
-    if (r != 0) r else java.lang.Integer.compare(a.length, b.length)
-  }
+  private val utf8Order: Ordering[String] = (x: String, y: String) =>
+    // delegate to the SAME comparison the distributed orderBy runs —
+    // parity by construction, not by a hand-kept reimplementation
+    org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
 
   private def countPairs(seqs: Iterable[(Array[String], Long)])
       : scala.collection.mutable.HashMap[(String, String), Long] = {

@@ -294,7 +294,10 @@ object Curate {
     // key presence), but a checkpoint written BEFORE an optional stage
     // existed stays restorable into a run that leaves it off (an
     // always-present "off" entry would invalidate every committed
-    // checkpoint each time the recipe grows a knob).
+    // checkpoint each time the recipe grows a knob). One-time cost of
+    // adopting this scheme: checkpoints written by the earlier
+    // always-present-entry code fail the guard LOUDLY and must be
+    // recomputed once.
     val stageLineage = Map("recipe" -> "curate-stage",
       "n_input" -> nInput.toString,
       "minhash_policy" -> (if (clusterKeep) "cluster" else "greedy"),

@@ -96,12 +96,19 @@ object Ngram {
     */
   def saveLm(lm: Lm, dir: String): Unit = {
     val spark = lm.unigrams.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    // re-saving over an existing model: drop the OLD meta before
+    // touching the tables, so a crash mid-rewrite leaves an unloadable
+    // directory instead of old-meta-over-new-tables (which loadLm
+    // would happily pair into a silently wrong model)
+    val meta = new org.apache.hadoop.fs.Path(s"$dir/_lm_meta.json")
+    val fs = meta.getFileSystem(conf)
+    if (fs.exists(meta)) fs.delete(meta, false)
     lm.unigrams.write.mode("overwrite").parquet(s"$dir/unigrams")
     lm.bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
     graft.io.TableIO.atomicWrite(s"$dir/_lm_meta.json",
       s"""{"format":"graft-bigram-lm","version":1,""" +
-        s""""n_tokens":${lm.nTokens}}""",
-      spark.sessionState.newHadoopConf())
+        s""""n_tokens":${lm.nTokens}}""", conf)
   }
 
   /** Load a model written by [[saveLm]] — loud on a missing/foreign

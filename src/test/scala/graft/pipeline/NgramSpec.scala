@@ -92,6 +92,15 @@ class NgramSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](
       Ngram.loadLm(spark, s"$base/nowhere"))
     assert(ex.getMessage.contains("not a graft LM directory"))
+    // re-save over the same dir (exercises the drop-old-meta-first
+    // crash-window ordering): the loaded model must be the NEW one
+    val docs2 = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 2 === 0).limit(80)
+    val lm2 = Ngram.train(docs2, "text")
+    Ngram.saveLm(lm2, s"$base/lm")
+    val back2 = Ngram.loadLm(spark, s"$base/lm")
+    assert(back2.nTokens == lm2.nTokens && back2.nTokens != lm.nTokens)
+    assert(rows(back2) != rows(lm), "re-save must replace the model")
   }
 
   test("hashed-mode scoring shuffles no strings once the LM is materialized") {
