@@ -39,5 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ner_cosine"),
       info("ner_cosine", "_FUNC_(a, b) - cosine similarity of two float arrays"),
       graft.functions.FnBuilders.nerCosine))
+    ext.injectFunction((
+      FunctionIdentifier("ner_shingles"),
+      info("ner_shingles",
+        "_FUNC_(text, n) - all n-token shingles of the space-split text"),
+      graft.functions.FnBuilders.nerShingles))
   }
 }

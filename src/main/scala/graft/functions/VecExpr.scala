@@ -119,6 +119,19 @@ private[graft] object FnBuilders {
   val nerShape = checked("ner_shape", 1)(e => NerShape(e.head))
   val nerPackedShape = checked("ner_packed_shape", 1)(e => NerPackedShape(e.head))
   val nerCosine = checked("ner_cosine", 2)(e => NerCosine(e(0), e(1)))
+  val nerShingles = checked("ner_shingles", 2) { e =>
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    e(1) match {
+      case Literal(n: Int, org.apache.spark.sql.types.IntegerType) =>
+        NerShingles(e(0), n)
+      case other =>
+        // surfaces at analysis time with this message (builder
+        // exceptions abort resolution of the call site)
+        throw new IllegalArgumentException(
+          s"ner_shingles: the width argument must be an integer " +
+            s"literal, got $other")
+    }
+  }
 }
 
 object VecFunctions {

@@ -37,6 +37,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getString(0) == "Xxdo")
       assert(r.getString(1) == "Xxd")
       assert(math.abs(r.getDouble(2) - 24.0 / 25.0) < 1e-12)
+      val sh = spark.sql("SELECT ner_shingles('a b c', 2) AS g")
+        .collect()(0).getSeq[String](0)
+      assert(sh == Seq("a b", "b c"))
       // catalog-level registration survives newSession()
       val fresh = spark.newSession()
       assert(fresh.sql("SELECT ner_shape('Zz9') AS s").collect()(0)
