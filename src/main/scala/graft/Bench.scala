@@ -116,7 +116,15 @@ object Bench {
           s"SPARK_GRAFT_QUERY_TRIALS=$qTrials: at least one trial is " +
             "needed — zero would report every query as failed with a " +
             "0.000 total instead of measuring anything")
+        // optional name-prefix filter (comma-separated) for measuring a
+        // new query subset under the committed protocol — the q78
+        // footnote-row convention; the driver never sets it, so full
+        // rounds always time the whole surface
+        val only = sys.env.get("SPARK_GRAFT_ONLY")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         val names = SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (n, _) =>
+            only.forall(_.exists(p => n.startsWith(p))) }
         val perTrial: Seq[Seq[(String, Double)]] = (1 to qTrials).map { t =>
           if (t > 1) graft.queries.PipelineQueries.releaseAll(spark)
           names.map { case (name, fn) =>

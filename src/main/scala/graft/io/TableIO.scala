@@ -474,9 +474,24 @@ object TableIO {
     val tmp = new HPath(s"$dir/_compact_tmp/bucket-$k")
     val fs = bucketPath.getFileSystem(conf)
     // maintenance lock (see scaladoc): taken BEFORE the crash repair so
-    // two concurrent compactors cannot each "repair" the other's
-    // in-flight swap. create(overwrite=false) is the atomic
-    // test-and-set on HDFS/local FS.
+    // two concurrent maintainers cannot each "repair" the other's
+    // in-flight swap. Shared with mergeBuckets — compaction and merge
+    // must serialize against each other too.
+    withMaintenanceLock(fs, dir, k) {
+      compactLocked(spark, dir, buckets, k, targetFiles, conf,
+        bucketPath, backup, tmp, fs)
+    }
+  }
+
+  /** The per-bucket MAINTENANCE lock shared by [[compactBucket]] and
+    * [[mergeBuckets]]: create(overwrite=false) is the atomic
+    * test-and-set on HDFS/local FS. Advisory — a crash between create
+    * and the finally leaves a stale lock that blocks maintenance until
+    * deleted by hand (the message names the path); readers and
+    * resumable writers are never blocked.
+    */
+  private def withMaintenanceLock[T](fs: org.apache.hadoop.fs.FileSystem,
+                                     dir: String, k: Int)(body: => T): T = {
     val lock = new HPath(s"$dir/_compact_tmp/bucket-$k.lock")
     fs.mkdirs(lock.getParent)
     val lockOut =
@@ -484,30 +499,35 @@ object TableIO {
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           throw new IllegalStateException(
-            s"bucket $k of $dir is already being compacted (lock file " +
-              s"$lock exists) — compaction is single-process per bucket; " +
-              "if no compactor is running, a crashed one left the lock: " +
-              "delete it by hand and re-run (the crash repair will " +
-              "restore any interrupted swap)")
+            s"bucket $k of $dir is already under maintenance (lock file " +
+              s"$lock exists) — compaction/merge is single-process per " +
+              "bucket; if no maintainer is running, a crashed one left " +
+              "the lock: delete it by hand and re-run (the crash repair " +
+              "will restore any interrupted swap)")
       }
     lockOut.close()
-    try compactLocked(spark, dir, buckets, k, targetFiles, conf,
-      bucketPath, backup, tmp, fs)
+    try body
     finally fs.delete(lock, false)
   }
 
-  private def compactLocked(spark: SparkSession, dir: String, buckets: Int,
-                            k: Int, targetFiles: Int, conf: Configuration,
-                            bucketPath: HPath, backup: HPath, tmp: HPath,
-                            fs: org.apache.hadoop.fs.FileSystem): Int = {
-    // repair a crashed previous compaction before anything else — BOTH
-    // crash windows:
-    //  - bucket dir missing, backup present: crash BETWEEN the swap
-    //    renames — the backup is the live data; restore it.
-    //  - bucket dir present AND backup present: crash AFTER the swap
-    //    but before the backup delete — the bucket dir is already the
-    //    compacted copy; reclaim the stale backup (leaving it would
-    //    make the rename below move the live dir INTO it).
+  /** Repair a crashed COMPACTION swap — BOTH crash windows (compaction
+    * never changes content, so the discriminator is presence alone):
+    *  - bucket dir missing, backup present: crash BETWEEN the swap
+    *    renames — the backup is the live data; restore it.
+    *  - bucket dir present AND backup present: crash AFTER the swap but
+    *    before the backup delete — the bucket dir is already the
+    *    compacted copy; reclaim the stale backup (leaving it would make
+    *    a later rename move the live dir INTO it).
+    * Called by [[compactBucket]] on entry and by [[mergeBuckets]]
+    * before it reads a bucket's committed data (a merge that read a
+    * bucket whose live dir sat in a crashed compaction's backup would
+    * silently merge against an empty bucket). Must run under the
+    * bucket's maintenance lock.
+    */
+  private def repairCompactionCrash(fs: org.apache.hadoop.fs.FileSystem,
+                                    dir: String, k: Int): Unit = {
+    val bucketPath = new HPath(s"$dir/data/_bucket=$k")
+    val backup = new HPath(s"$dir/data/.precompact-$k")
     if (!fs.exists(bucketPath) && fs.exists(backup)) {
       System.err.println(s"[TableIO] bucket $k: restoring interrupted " +
         s"compaction backup $backup")
@@ -518,6 +538,13 @@ object TableIO {
         s"compaction backup $backup (swap had completed)")
       fs.delete(backup, true)
     }
+  }
+
+  private def compactLocked(spark: SparkSession, dir: String, buckets: Int,
+                            k: Int, targetFiles: Int, conf: Configuration,
+                            bucketPath: HPath, backup: HPath, tmp: HPath,
+                            fs: org.apache.hadoop.fs.FileSystem): Int = {
+    repairCompactionCrash(fs, dir, k)
     val committed = readCommits(dir, buckets, conf).find(_.bucket == k)
       .getOrElse(throw new IllegalStateException(
         s"bucket $k of $dir has no commit manifest — compaction only " +
@@ -565,6 +592,250 @@ object TableIO {
     fs.delete(backup, true)
     fs.listStatus(bucketPath)
       .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  // ------------------------------------------------------------------
+  // MERGE — copy-on-write upsert/delete at bucket granularity
+  // ------------------------------------------------------------------
+
+  final case class MergeReport(affectedBuckets: Seq[Int], rowsBefore: Long,
+                               rowsAfter: Long, nUpserts: Long,
+                               nDeleteKeys: Long, nDeletedExisting: Long,
+                               commits: Seq[BucketCommit])
+
+  /** MERGE INTO for a committed resumable table — the maintenance
+    * operation a LIVING knowledge graph needs (entities re-canonicalize,
+    * files change at new commits, retractions arrive): apply a bounded
+    * delta of upserts and deletes by key, rewriting ONLY the buckets an
+    * affected key routes to; every untouched bucket's files and manifest
+    * are left byte-identical.
+    *
+    * Semantics (Iceberg MERGE INTO with an explicit key):
+    *  - an upsert row REPLACES every committed row sharing its key
+    *    (then inserts itself — one upsert can replace several rows if
+    *    the key is not unique in the table; the usual contract is a
+    *    unique key);
+    *  - a key in `deleteKeys` removes every committed row with that key;
+    *  - a key both upserted and deleted is AMBIGUOUS → fail fast;
+    *  - `keyCols` must contain every `bucketCols` column — a row's
+    *    bucket is `pmod(hash(bucketCols), buckets)` (the writeResumable
+    *    routing), so a key that does not pin the bucket columns cannot
+    *    be routed to the one bucket it lives in.
+    *
+    * Scale shape: cost is proportional to the AFFECTED buckets' data
+    * plus the delta — the merge plan reads `dir/data` with a partition
+    * filter on the affected `_bucket` values (static pruning), anti-joins
+    * the delta keys (delta-bounded build side), and writes the merged
+    * buckets in ONE job. The anti-join keys may be strings (entity ids);
+    * the volume is affected-buckets-only, never the table.
+    *
+    * Crash safety, per bucket and under the shared maintenance lock
+    * (same lock as [[compactBucket]] — merge and compaction serialize):
+    * stage (tmp data + staged manifest, both outside `data/`) → rename
+    * live aside to a dot-hidden `.premerge-k` → rename tmp into place →
+    * atomically install the staged manifest → delete backup + staged.
+    * Unlike compaction the CONTENT changes, so the repair discriminator
+    * is the staged manifest: backup present + committed manifest ==
+    * staged ⇒ the swap completed (roll forward: reclaim backup); any
+    * other backup-present state rolls BACK (restore the old bucket,
+    * discard staged state) and the merge simply re-runs. `readCommitted`
+    * inside the between-renames window fails loudly (manifest rows > 0,
+    * directory missing) — the existing contract.
+    *
+    * New manifests carry the bucket's ORIGINAL lineage: merge changes
+    * content (rows/checksum), never provenance — resume and readCommitted
+    * lineage guards keep working across merges.
+    */
+  def mergeBuckets(spark: SparkSession, dir: String, buckets: Int,
+                   bucketCols: Seq[String], keyCols: Seq[String],
+                   upserts: DataFrame,
+                   deleteKeys: Option[DataFrame] = None): MergeReport = {
+    require(keyCols.nonEmpty, "mergeBuckets needs at least one key column")
+    require(bucketCols.forall(keyCols.contains),
+      s"keyCols $keyCols must contain every bucket column $bucketCols — " +
+        "the bucket of a row is derived from the bucket columns")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new HPath(dir).getFileSystem(conf)
+    require(hExists(s"$dir/_commits", conf),
+      s"$dir is not a committed resumable table (no _commits)")
+    // canonical data-column order = the table's parquet order; the
+    // checksum convention hashes columns in this order
+    require(hExists(s"$dir/data", conf),
+      s"$dir has no data directory — merge needs a written table")
+    val tableSchema = spark.read.parquet(s"$dir/data").schema
+    val dataCols = tableSchema.fields.map(_.name).filterNot(_ == "_bucket")
+    keyCols.foreach(kc => require(dataCols.contains(kc),
+      s"key column $kc is not a table column (${dataCols.mkString(",")})"))
+    // upserts must carry the full table schema, same types
+    dataCols.foreach { c =>
+      val want = tableSchema(c).dataType
+      val got = upserts.schema.fields.find(_.name == c).map(_.dataType)
+      require(got.contains(want),
+        s"upserts column $c: expected $want, got ${got.orNull}")
+    }
+    val bExpr = pmod(hash(bucketCols.map(col): _*), lit(buckets))
+    val up = upserts.select(dataCols.map(col): _*)
+    val del = deleteKeys.map(_.select(keyCols.map(col): _*))
+    // ambiguity fail-fast: a key cannot be both upserted and deleted
+    del.foreach { d =>
+      val both = up.select(keyCols.map(col): _*).join(d, keyCols, "semi")
+        .limit(1).count()
+      require(both == 0L,
+        "mergeBuckets: at least one key appears in BOTH upserts and " +
+          "deleteKeys — ambiguous; split the delta")
+    }
+    val nUpserts = up.count()
+    val nDeleteKeys = del.map(_.count()).getOrElse(0L)
+    // affected buckets: the delta's bucket image (≤ buckets, collected)
+    val affected = {
+      val ub = up.select(bExpr.as("_bucket"))
+      val db = del.map(_.select(bExpr.as("_bucket"))).getOrElse(ub.limit(0))
+      ub.unionByName(db).distinct().collect().map(_.getInt(0)).sorted.toSeq
+    }
+    if (affected.isEmpty)
+      return MergeReport(Seq.empty, 0L, 0L, nUpserts, nDeleteKeys, 0L,
+        Seq.empty)
+    // validate the affected manifests BEFORE touching anything
+    val commits = readCommits(dir, buckets, conf).map(c => c.bucket -> c).toMap
+    affected.foreach { k =>
+      require(commits.contains(k),
+        s"bucket $k has no commit manifest — merge only operates on " +
+          "committed tables (finish or resume the write first)")
+      require(readLayout(dir, k, conf) == LayoutVersion,
+        s"bucket $k committed under a different layout — refusing to merge")
+      require(readBucketsTotal(dir, k, conf) == buckets,
+        s"bucket $k committed under a different bucket count — refusing " +
+          "to merge")
+    }
+    // take every affected bucket's maintenance lock for the whole merge
+    // (sorted order), repair crashed swaps FIRST — a bucket whose live
+    // dir sits in a crashed backup would otherwise read as empty
+    val locks = affected.map(k => new HPath(s"$dir/_compact_tmp/bucket-$k.lock"))
+    fs.mkdirs(new HPath(s"$dir/_compact_tmp"))
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[HPath]
+    try {
+      locks.zip(affected).foreach { case (lock, k) =>
+        val out =
+          try fs.create(lock, false)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              throw new IllegalStateException(
+                s"bucket $k of $dir is already under maintenance (lock " +
+                  s"file $lock exists) — merge is single-process per " +
+                  "bucket; if nothing is running, delete the stale lock " +
+                  "and re-run")
+          }
+        out.close()
+        acquired += lock
+      }
+      affected.foreach { k =>
+        repairCompactionCrash(fs, dir, k)
+        repairMergeCrash(fs, dir, k, conf)
+      }
+      mergeLocked(spark, dir, buckets, affected, commits, dataCols.toSeq,
+        keyCols, up, del, bExpr, nUpserts, nDeleteKeys, conf, fs)
+    } finally acquired.foreach(l => fs.delete(l, false))
+  }
+
+  /** Repair a crashed MERGE swap for bucket `k` (under the lock). The
+    * staged manifest is the discriminator: if the committed manifest
+    * already equals it, the swap completed — roll forward (reclaim
+    * backup + staged). Otherwise roll back: discard any half-installed
+    * new data, restore the backup, discard staged state; the merge that
+    * crashed simply re-runs.
+    */
+  private def repairMergeCrash(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String, k: Int,
+                               conf: Configuration): Unit = {
+    val live = new HPath(s"$dir/data/_bucket=$k")
+    val backup = new HPath(s"$dir/data/.premerge-$k")
+    val staged = s"$dir/_merge_tmp/manifest-$k.json"
+    if (fs.exists(backup)) {
+      val stagedTxt = hRead(staged, conf)
+      val installed = hRead(commitPath(dir, k), conf)
+      if (stagedTxt.isDefined && installed == stagedTxt) {
+        System.err.println(s"[TableIO] bucket $k: merge swap had " +
+          s"completed — reclaiming backup $backup")
+        fs.delete(backup, true)
+        fs.delete(new HPath(staged), false)
+      } else {
+        System.err.println(s"[TableIO] bucket $k: rolling back " +
+          s"interrupted merge — restoring $backup")
+        if (fs.exists(live)) fs.delete(live, true)
+        require(fs.rename(backup, live),
+          s"could not restore $backup to $live")
+        if (stagedTxt.isDefined) fs.delete(new HPath(staged), false)
+      }
+    } else if (hRead(staged, conf).isDefined) {
+      // staged manifest without a backup: crash BEFORE the swap began —
+      // staged state is dead weight from a run whose tmp data this run
+      // overwrites anyway
+      fs.delete(new HPath(staged), false)
+    }
+  }
+
+  private def mergeLocked(spark: SparkSession, dir: String, buckets: Int,
+                          affected: Seq[Int], commits: Map[Int, BucketCommit],
+                          dataCols: Seq[String], keyCols: Seq[String],
+                          up: DataFrame, del: Option[DataFrame],
+                          bExpr: org.apache.spark.sql.Column,
+                          nUpserts: Long, nDeleteKeys: Long,
+                          conf: Configuration,
+                          fs: org.apache.hadoop.fs.FileSystem): MergeReport = {
+    val rowsBefore = affected.map(commits(_).rows).sum
+    // a rows>0 manifest whose directory is gone is data loss — the
+    // module contract says fail loudly, never merge over a short table
+    affected.foreach { k =>
+      if (commits(k).rows > 0L)
+        require(fs.exists(new HPath(s"$dir/data/_bucket=$k")),
+          s"bucket $k commits ${commits(k).rows} rows but its directory " +
+            "is missing — data loss, not a merge target")
+    }
+    val old = spark.read.parquet(s"$dir/data")
+      .where(col("_bucket").isin(affected.map(Int.box): _*))
+    val touchedKeys = {
+      val upK = up.select(keyCols.map(col): _*)
+      del.map(d => upK.unionByName(d)).getOrElse(upK).distinct()
+    }
+    val nDeletedExisting = del match {
+      case Some(d) => old.join(d, keyCols, "semi").count()
+      case None => 0L
+    }
+    val merged = old.select(dataCols.map(col) :+ col("_bucket"): _*)
+      .join(touchedKeys, keyCols, "left_anti")
+      .unionByName(up.withColumn("_bucket", bExpr))
+    val tmpData = s"$dir/_merge_tmp/data"
+    if (hExists(tmpData, conf)) fs.delete(new HPath(tmpData), true)
+    merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmpData)
+    // stage + swap per bucket; staged manifests carry the bucket's
+    // ORIGINAL lineage (merge changes content, never provenance)
+    val newCommits = affected.map { k =>
+      val staged = recomputePath(spark, s"$tmpData/_bucket=$k", k)
+      val lineage = readLineage(dir, k, conf)
+      val lineageJson = lineage.toSeq.sortBy(_._1).map { case (k2, v) =>
+        s"${jstr(k2)}:${jstr(v)}" }.mkString(",")
+      val manifest =
+        s"""{"bucket":$k,"rows":${staged.rows},"checksum":${staged.checksum},"layout":$LayoutVersion,"buckets":$buckets,"lineage":{$lineageJson}}"""
+      val stagedPath = s"$dir/_merge_tmp/manifest-$k.json"
+      atomicWrite(stagedPath, manifest, conf)
+      val live = new HPath(s"$dir/data/_bucket=$k")
+      val backup = new HPath(s"$dir/data/.premerge-$k")
+      val tmpBucket = new HPath(s"$tmpData/_bucket=$k")
+      if (fs.exists(live))
+        require(fs.rename(live, backup),
+          s"could not move $live aside for the merge swap")
+      if (fs.exists(tmpBucket)) // a bucket merged to zero rows has no dir
+        require(fs.rename(tmpBucket, live),
+          s"could not move merged bucket $k into place — original " +
+            s"preserved at $backup; re-running the merge repairs it")
+      atomicWrite(commitPath(dir, k), manifest, conf)
+      if (fs.exists(backup)) fs.delete(backup, true)
+      fs.delete(new HPath(stagedPath), false)
+      staged
+    }
+    fs.delete(new HPath(tmpData), true)
+    MergeReport(affected, rowsBefore, newCommits.map(_.rows).sum,
+      nUpserts, nDeleteKeys, nDeletedExisting, newCommits)
   }
 
   /** Committed-snapshot read — the consumer-side half of the resumable

@@ -719,4 +719,200 @@ object Ann {
       .select(col("vec_id"), col("cell"), col("embedding"))
     topK(index, probes, Seq("cell"), k, dedupe = false)
   }
+
+  // ===================================================================
+  // Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+  // 100-TB MEMORY story for embeddings: int8 (quantizeInt8) cuts 4×,
+  // PQ cuts dim·4 bytes → m SMALL CODES (m ints, byte-packable), e.g.
+  // 64-dim float32 = 256 B → 8 codes = 8 B, a 32× cut — and search
+  // never touches a float vector again: asymmetric distance (ADC) is m
+  // table lookups per candidate against a per-query lookup table.
+  // ===================================================================
+
+  /** A trained product quantizer: `codebooks(s)(c)` is centroid `c` of
+    * subspace `s` (m subspaces × k centroids × dSub dims). k ≤ 256 so a
+    * code is one byte in a packed layout; codes are surfaced as
+    * array<int> (parquet dictionary-encodes them to ~1 byte anyway and
+    * int keeps the SQL surface clean).
+    */
+  final case class PqModel(dSub: Int, codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def dim: Int = m * dSub
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "empty PQ codebooks")
+    require(codebooks.forall(_.forall(_.length == dSub)),
+      "ragged PQ codebook: every centroid must have dSub dims")
+    require(k <= 256, s"PQ k=$k > 256 — codes must stay byte-packable")
+  }
+
+  /** Train a product quantizer: the same deterministic bounded sample
+    * as [[ivfCentroids]] (smallest xxhash64(id), TakeOrdered — uniform
+    * and partitioning-independent), sliced into `m` subspaces, each
+    * k-means'd independently (kmeans++ seeding, `iters` Lloyd rounds)
+    * on the driver. Sample and model stay broadcast-sized at any
+    * corpus scale; training cost is O(sampleN · k · dim) driver work,
+    * once per corpus.
+    */
+  def pqTrain(vecs: DataFrame, idCol: String, embCol: String,
+              m: Int, k: Int, sampleN: Int = DefaultSampleN,
+              iters: Int = 5, seed: Long = 4321L): PqModel = {
+    require(m >= 1, s"m must be >= 1: $m")
+    require(k >= 1 && k <= 256, s"k must be in [1, 256]: $k")
+    val s = vecs.sparkSession
+    import s.implicits._
+    val sample = vecs
+      .where(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(embCol).as("embedding"),
+        xxhash64(col(idCol), lit(7)).as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(sampleN)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().map(_._2)
+    require(sample.nonEmpty, "empty vector table")
+    val dim = sample.head.length
+    require(dim % m == 0,
+      s"embedding dim $dim not divisible into $m subspaces")
+    val dSub = dim / m
+    val codebooks = Array.tabulate(m) { sub =>
+      val subSample = sample.map(_.slice(sub * dSub, (sub + 1) * dSub))
+      var cent = kppSeeds(subSample, math.min(k, subSample.length),
+        seed + sub)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cent.length)(new Array[Double](dSub))
+        val cnts = new Array[Int](cent.length)
+        subSample.foreach { v =>
+          val c = VecOps.nearestCell(cent, v)
+          cnts(c) += 1
+          var i = 0; while (i < dSub) { sums(c)(i) += v(i); i += 1 }
+        }
+        cent = Array.tabulate(cent.length) { c =>
+          if (cnts(c) == 0) cent(c)
+          else sums(c).map(x => (x / cnts(c)).toFloat)
+        }
+      }
+      cent
+    }
+    PqModel(dSub, codebooks)
+  }
+
+  /** Encode every vector to its m-code PQ representation: per subspace,
+    * the nearest codebook centroid by squared L2 (first-wins tie-break
+    * — the [[VecOps.nearestCell]] contract). Entirely scan-side native
+    * codegen: each subspace is a `slice` + `ner_nearest_cell` against
+    * that subspace's codebook — no UDF, no object round-trip, nothing
+    * shuffles. Output: (idCol, code array<int> of length m).
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, embCol: String,
+               model: PqModel): DataFrame =
+    vecs.where(col(embCol).isNotNull)
+      .select(col(idCol),
+        array((0 until model.m).map { sub =>
+          AnnFunctions.ner_nearest_cell(
+            slice(col(embCol), sub * model.dSub + 1, model.dSub),
+            model.codebooks(sub))
+        }: _*).as("code"))
+
+  /** Brute-force ADC top-k over PQ codes — the compressed-domain
+    * rendition of the q20 baseline: probes stay full-precision, the
+    * corpus is m-byte codes, and each candidate's (approximate) squared
+    * L2 distance is m lookup-table reads. The per-probe lookup table
+    * (`lut(s)(c)` = ||q_sub − codebook(s)(c)||²) is computed on the
+    * PROBE side only (bounded by the broadcast guard); the corpus-side
+    * distance is a STATIC sum of m `element_at` chains — plain codegen
+    * expressions, no interpreted lambda on the hot path (the
+    * ner_shingles lesson). Composes with IVF for candidate pruning
+    * (encode only what the probed cells contain); this entry point is
+    * the exhaustive-scan baseline that gates recall.
+    *
+    * Output: (q_id, rank, vec_id, adist) — rank by (ADC distance asc,
+    * vec_id asc), adist rounded to 6 for display.
+    */
+  def pqNeighbors(vecs: DataFrame, idCol: String, embCol: String,
+                  model: PqModel, probePred: Column, k: Int = 3,
+                  maxProbeBytes: Long = MaxProbeBroadcastBytes): DataFrame = {
+    guardProbeSize(vecs, probePred, embCol, model.dim, 1, maxProbeBytes)
+    val codes = pqEncode(vecs, idCol, embCol, model)
+      .select(col(idCol).as("vec_id"), col("code"))
+    // per-probe LUT: m × k partial squared distances. HOFs run
+    // interpreted, but ONLY over probe rows (broadcast-small by the
+    // guard above) — the corpus side never evaluates a lambda.
+    val cbLit = typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val lut = transform(sequence(lit(0), lit(model.m - 1)), sub =>
+      transform(element_at(cbLit, sub + 1), cent =>
+        aggregate(
+          zip_with(slice(col("q_emb"), sub * model.dSub + 1, lit(model.dSub)),
+            cent, (x, c) => {
+              // widen to double BEFORE subtracting — float-precision
+              // partial distances would drift from the driver kernel
+              val d = x.cast("double") - c.cast("double")
+              d * d
+            }),
+          lit(0.0d), (acc, d) => acc + d)))
+    val probes = vecs.where(probePred && col(embCol).isNotNull)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .withColumn("lut", lut)
+      .select(col("q_id"), col("lut"))
+    // ADC distance: a static chain of element_at lookups — codegen'd,
+    // no lambda per corpus row
+    val adist = (0 until model.m).map { sub =>
+      element_at(element_at(col("lut"), sub + 1),
+        element_at(col("code"), sub + 1) + 1)
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+    codes.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(adist, 6).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adist"))
+  }
+
+  /** Persist a PQ model — same contract as [[saveCentroids]]: IEEE-754
+    * bit-pattern hex (bit-exact across JVMs; a vector encoded under one
+    * codebook but searched under a last-ulp-different one silently
+    * bleeds recall), atomic write, loud corrupt-file failures on load.
+    */
+  def savePq(spark: SparkSession, model: PqModel, path: String): Unit = {
+    val body = model.codebooks.map(cb =>
+      cb.map(_.map(f =>
+        Integer.toHexString(java.lang.Float.floatToIntBits(f)))
+        .mkString("[\"", "\",\"", "\"]"))
+        .mkString("[", ",", "]"))
+      .mkString(",")
+    val json = s"""{"format":"graft-pq","version":1,""" +
+      s""""m":${model.m},"k":${model.k},"d_sub":${model.dSub},""" +
+      s""""codebooks":[$body]}"""
+    graft.io.TableIO.atomicWrite(path, json,
+      spark.sessionState.newHadoopConf())
+  }
+
+  /** Load a PQ model written by [[savePq]] — bit-exact roundtrip. */
+  def loadPq(spark: SparkSession, path: String): PqModel = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    val json = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    require(json.contains("\"format\":\"graft-pq\""),
+      s"$path is not a graft PQ model file")
+    val header = """"m":(\d+),"k":(\d+),"d_sub":(\d+)""".r
+    val (m, k, dSub) = header.findFirstMatchIn(json) match {
+      case Some(mm) => (mm.group(1).toInt, mm.group(2).toInt,
+        mm.group(3).toInt)
+      case None => throw new IllegalArgumentException(
+        s"$path: PQ header missing m/k/d_sub")
+    }
+    val cents = """\["[0-9a-f",]+"\]""".r.findAllIn(json).map { cell =>
+      cell.stripPrefix("[\"").stripSuffix("\"]").split("\",\"")
+        .map(h => java.lang.Float.intBitsToFloat(
+          java.lang.Integer.parseUnsignedInt(h, 16)))
+    }.toArray
+    require(cents.length == m * k && cents.forall(_.length == dSub),
+      s"$path: corrupt PQ model — header says ${m}x${k}x$dSub, body has " +
+        s"${cents.length} centroids of sizes " +
+        cents.map(_.length).distinct.mkString(","))
+    PqModel(dSub, Array.tabulate(m)(sub =>
+      Array.tabulate(k)(c => cents(sub * k + c))))
+  }
 }

@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the materialized knowledge graph.
+  *
+  * The flagship pipeline ([[KgPipeline]]) EMITS a graph — (subj, pred,
+  * obj) triples — and a KG-construction engine that cannot then query
+  * that graph (degree profiles for hub detection, triangles for
+  * alias-cluster sanity, k-hop neighborhoods for context harvesting,
+  * PageRank for entity salience) stops one step short of useful. These
+  * operators take a generic edge DataFrame (two long node columns), so
+  * they run over KG triples (`subj`/`obj` keyed by dictionary-encoded
+  * ids) and over any relational edge derivation alike.
+  *
+  * Scale shape shared by all four:
+  *   - nodes/edges only ever shuffle as LONG keys (no string rides an
+  *     exchange — encode entity uris to ids first, the q52 convention);
+  *   - every aggregation is partial-agg friendly (map-side combine);
+  *   - the only joins are long-keyed equi-joins; nothing is all-pairs.
+  *
+  * Methods: triangle enumeration is the degree-ordered wedge join of
+  * Suri & Vassilvitskii (WWW 2011) / Cohen (CiSE 2009) — orienting each
+  * edge from its lower-(degree, id) endpoint bounds oriented out-degree
+  * by O(sqrt(m)), so wedge volume is O(m^1.5) worst case instead of
+  * sum(deg^2) — the difference between a star graph costing O(m) and
+  * costing O(m^2). PageRank is Page et al. (1999) in the classic
+  * unnormalized Spark formulation (init 1.0, `(1-d) + d*in`), with
+  * dangling mass redistributed uniformly and per-iteration lineage
+  * truncation via [[Lineage.chk]] (40 iterations would otherwise nest
+  * 40 plans).
+  */
+object Graph {
+
+  private def canon(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges
+      .where(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst))
+      .select(least(col(src), col(dst)).as("a"),
+              greatest(col(src), col(dst)).as("b"))
+      .distinct()
+
+  /** Undirected degree per node: distinct-neighbor count over the
+    * de-duplicated, self-loop-free undirected closure of `edges`.
+    * Two shuffles (edge distinct, count), both keyed on longs.
+    */
+  def degrees(edges: DataFrame, src: String = "src", dst: String = "dst")
+      : DataFrame =
+    canon(edges, src, dst)
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("degree"))
+
+  /** Per-node triangle participation counts (nodes in ≥ 1 triangle).
+    *
+    * Degree-ordered enumeration: orient every undirected edge from its
+    * lower endpoint under the total order (degree asc, id asc). Each
+    * triangle {u < v < w} in that order is then generated exactly once,
+    * as the wedge (u→v, u→w) closed by the oriented edge v→w. The
+    * orientation join attaches degrees (node-sized frame, long-keyed);
+    * the wedge self-join is keyed on the wedge apex; the closing join
+    * is keyed on the (v, w) pair — all fixed-width.
+    */
+  def triangles(edges: DataFrame, src: String = "src", dst: String = "dst")
+      : DataFrame = {
+    val und = canon(edges, src, dst)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+
+    // Orient low → high under (degree, id); carry hi's (degree, id) rank
+    // so the wedge join can order v < w without re-joining degrees.
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+    val aIsLo = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aIsLo, col("a")).otherwise(col("b")).as("lo"),
+      when(aIsLo, col("b")).otherwise(col("a")).as("hi"),
+      when(aIsLo, struct(col("db").as("d"), col("b").as("i")))
+        .otherwise(struct(col("da").as("d"), col("a").as("i"))).as("hiRank"))
+
+    val w1 = oriented.select(col("lo").as("u"), col("hi").as("v"),
+      col("hiRank").as("vR"))
+    val w2 = oriented.select(col("lo").as("u"), col("hi").as("w"),
+      col("hiRank").as("wR"))
+    val wedges = w1.join(w2, Seq("u"))
+      .where(col("vR.d") < col("wR.d") ||
+        (col("vR.d") === col("wR.d") && col("vR.i") < col("wR.i")))
+      .select(col("u"), col("v"), col("w"))
+
+    val closing = oriented.select(col("lo").as("v"), col("hi").as("w"))
+    wedges.join(closing, Seq("v", "w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Count of nodes at undirected distance EXACTLY 2 per node (the
+    * co-occurrence neighborhood: reachable through a shared neighbor,
+    * not adjacent, not self). Adjacency expands once (m → 2m directed
+    * rows), the mid-join is keyed on the shared neighbor, and the
+    * exactly-2 discipline is one long-keyed anti-join back against
+    * adjacency. At web scale the distinct on (node, peer) is the
+    * dominant exchange — fixed-width, two longs.
+    */
+  def twoHopCounts(edges: DataFrame, src: String = "src", dst: String = "dst")
+      : DataFrame = {
+    val und = canon(edges, src, dst)
+    val adj = und.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("y")))
+    val nn = adj.select(col("x"), col("y").as("mid"))
+      .join(adj.select(col("x").as("mid2"), col("y").as("peer")),
+        col("mid") === col("mid2"))
+      .where(col("x") =!= col("peer"))
+      .select(col("x"), col("peer"))
+      .distinct()
+    nn.join(adj.select(col("x").as("ax"), col("y").as("ay")),
+        col("x") === col("ax") && col("peer") === col("ay"), "left_anti")
+      .groupBy(col("x").as("node"))
+      .agg(count(lit(1)).as("n_2hop"))
+      .select(col("node"), col("n_2hop"))
+  }
+
+  /** PageRank over a DIRECTED multigraph (callers dedupe if they mean a
+    * simple graph). Unnormalized classic formulation: rank init 1.0,
+    * `r'(v) = (1-d) + d * (sum_in r(u)/out(u) + danglingMass / |V|)`
+    * so ranks sum to |V| at every iteration. Dangling mass (nodes with
+    * no out-edges) is redistributed uniformly — dropping it instead
+    * deflates every rank and the fixpoint stops meaning anything.
+    *
+    * Per iteration: one long-keyed join (ranks ⋈ edges on src), one
+    * partial-agg groupBy(dst), one broadcast 1-row dangling aggregate;
+    * lineage truncated each round ([[Lineage.chk]]) and the superseded
+    * frame released, so iteration count never inflates the plan or
+    * pins unbounded storage.
+    *
+    * All arithmetic is join-order-independent WHEN the inputs make it
+    * exact (see q82: power-of-two out-degrees + dyadic damping give
+    * bit-identical ranks in any engine); otherwise it is standard
+    * floating-point PageRank, deterministic per plan but compared by
+    * tolerance (GraphSpec pins it against a driver recompute).
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               src: String = "src", dst: String = "dst"): DataFrame = {
+    require(iters >= 1 && iters <= 200, s"iters out of range: $iters")
+    require(damping >= 0.0 && damping <= 1.0, s"damping out of range: $damping")
+    val e = edges.select(col(src).as("s"), col(dst).as("t"))
+      .where(col("s").isNotNull && col("t").isNotNull)
+    val nodes = e.select(col("s").as("node"))
+      .unionByName(e.select(col("t").as("node"))).distinct()
+    val outDeg = e.groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    // node, out_deg (0 for dangling) — the loop's static side; cache it,
+    // it is node-sized and read twice per iteration.
+    val base = nodes.join(outDeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+      .cache()
+    val nNodes = base.count() // materializes the cache; |V| for dangling share
+    require(nNodes > 0, "pageRank on an empty graph")
+
+    var ranks = Lineage.chk(
+      base.select(col("node"), col("out_deg"), lit(1.0).as("pr")))
+    for (_ <- 1 to iters) {
+      val dangling = ranks.where(col("out_deg") === 0)
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dmass"))
+      val contribs = ranks.where(col("out_deg") > 0)
+        .join(e, col("node") === col("s"))
+        .select(col("t").as("node"), (col("pr") / col("out_deg")).as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("in_sum"))
+      val next = base
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("out_deg"),
+          (lit(1.0 - damping) + lit(damping) *
+            (coalesce(col("in_sum"), lit(0.0)) +
+              col("dmass") / lit(nNodes.toDouble))).as("pr"))
+      val prev = ranks
+      ranks = Lineage.chk(next)
+      Lineage.release(prev)
+    }
+    val out = ranks.select(col("node"), col("pr"))
+    base.unpersist() // `ranks` is checkpointed (materialized), base is dead
+    out
+  }
+}

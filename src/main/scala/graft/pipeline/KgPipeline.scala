@@ -474,6 +474,38 @@ object KgPipeline {
     Result(ments, linked, canon, triples(linked, canon))
   }
 
+  /** Incremental KG maintenance — merge a DELTA of repository files
+    * into a committed triples table ([[graft.KgMain]]'s layout:
+    * buckets on (src_repo, src_path)): changed files REPLACE every
+    * triple they previously contributed (file-level upsert — each
+    * triple row is owned by its provenance file), `deletedFiles`
+    * (src_repo, src_path) retract theirs. Runs the normal pipeline on
+    * the delta only — NER cost ∝ delta, not corpus — then
+    * [[graft.io.TableIO.mergeBuckets]] rewrites exactly the buckets
+    * the touched files route to; all other buckets stay byte-identical.
+    *
+    * Canonicalization scope: canon ids derive from the KB's alias
+    * edges plus the DELTA's observed surface↔entity edges — the same
+    * KB-driven mapping a full run uses, minus alias bridges only other
+    * files' mentions would contribute. The standard 100-TB regime:
+    * incremental merges keep the table fresh; a periodic full
+    * re-canonicalization (it reads `linked`, not raw text — cheap
+    * relative to NER) reconciles any cross-file alias drift.
+    * PipelineSpec pins merge-vs-full-rerun parity on the synthetic
+    * corpus, where KB-driven canonicalization makes the two coincide.
+    */
+  def mergeDelta(spark: SparkSession, triplesDir: String, buckets: Int,
+                 changed: Dataset[RepoFile], model: NerfModel,
+                 deletedFiles: Option[DataFrame] = None)
+      : graft.io.TableIO.MergeReport = {
+    val r = run(spark, changed, model)
+    try graft.io.TableIO.mergeBuckets(spark, triplesDir, buckets,
+      bucketCols = Seq("src_repo", "src_path"),
+      keyCols = Seq("src_repo", "src_path"),
+      upserts = r.triples, deleteKeys = deletedFiles)
+    finally release(spark, r)
+  }
+
   /** Synthesize the flagship input table as a Dataset, generated
     * *distributed* with per-row seeding (partitioning-independent;
     * BASELINE.md bench protocol step 1). No driver-side materialization —

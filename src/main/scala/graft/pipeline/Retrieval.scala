@@ -69,4 +69,40 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard way to combine the lexical (BM25) and embedding (ANN)
+    * rankings this library produces into one hybrid retrieval result:
+    * `rrf(d) = Σ_lists 1 / (k0 + rank_list(d))`, parameter-free beyond
+    * `k0` (60 in the paper) and famously robust to score-scale
+    * mismatch because it only reads RANKS.
+    *
+    * Inputs are (doc_id, rank) frames with rank ≥ 1 — top-k outputs,
+    * bounded by contract (fusing unbounded rankings is meaningless:
+    * RRF weight at rank 10⁶ is noise). The fold over a document's
+    * per-list terms is order-pinned (sort desc, then left fold), so the
+    * fused score is deterministic for ANY number of lists — a plain
+    * `sum` would re-associate FP addition differently across shuffles
+    * for ≥ 3 lists. One union + one groupBy on the id — nothing here
+    * can be a scale problem when the inputs honor the bounded contract.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60,
+              topK: Int = 0): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 >= 1, s"rrfFuse k0 must be >= 1: $k0")
+    val terms = rankings.map(_.select(col("doc_id"),
+      (lit(1.0) / (lit(k0).cast("double") + col("rank").cast("double")))
+        .as("term")))
+    val fused = terms.reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(
+        F.aggregate(sort_array(collect_list(col("term")), asc = false),
+          lit(0.0d), (acc, x) => acc + x).as("raw"),
+        count(lit(1)).as("n_lists"))
+      .select(col("doc_id"), round(col("raw"), 10).as("rrf"),
+        col("n_lists"))
+    if (topK > 0) fused.orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topK)
+    else fused
+  }
 }

@@ -277,6 +277,68 @@ object PipelineQueries {
       .groupBy(col("pred")).agg(count(lit(1)).as("n_triples"),
         countDistinct(col("obj")).as("n_distinct_objects"))
 
+  /** Entity salience — PageRank over the co-mention graph of CANONICAL
+    * entities (two entities are adjacent when linked in the same file):
+    * the "which entities matter" query a KG consumer runs first, over
+    * the graph the flagship just built. Entities are dictionary-encoded
+    * to 8-byte xxhash64 node ids before any shuffle (the q52
+    * fixed-width-key convention) and decoded back for display; per-file
+    * entity sets are capped at 32 so a pathological file cannot mint
+    * C(n,2) edges — the co-occurrence cap every production co-mention
+    * graph applies. Entities never co-mentioned with another entity
+    * have no edges and are excluded (salience is relational by
+    * definition). Rows-only: FP ranks aren't cross-engine-hashable, but
+    * the loop kernel has a bit-exact DuckDB oracle in q82 (dyadic
+    * rendition) and GraphSpec pins the general path (damping 0.85,
+    * dangling nodes) against a driver recompute.
+    */
+  def q83_entity_rank(s: SparkSession, dir: String): DataFrame = {
+    val r = pipelineFor(s, dir)
+    val ment = r.linked
+      .join(broadcast(r.canon), Seq("entity_id"), "left")
+      .select(concat_ws("#", col("repo"), col("path"), col("commit")).as("file"),
+        coalesce(col("canon_id"), col("entity_id")).as("ent"))
+    val perFile = ment.groupBy("file")
+      .agg(slice(sort_array(collect_set(col("ent"))), 1, 32).as("ents"))
+    val pairs = perFile
+      .select(explode(col("ents")).as("ea"), col("ents"))
+      .select(col("ea"), explode(col("ents")).as("eb"))
+      .where(col("ea") < col("eb"))
+    val edges = pairs.select(xxhash64(col("ea")).as("src"),
+      xxhash64(col("eb")).as("dst"))
+    val undirected = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val names = ment.select(col("ent")).distinct()
+      .select(xxhash64(col("ent")).as("node"), col("ent").as("entity"))
+    graft.pipeline.Graph.pageRank(undirected, iters = 8, damping = 0.85)
+      .join(names, "node")
+      .select(col("entity"), round(col("pr"), 6).as("salience"))
+      .orderBy(col("salience").desc, col("entity"))
+      .limit(50)
+  }
+
+  /** Product-quantized ANN — the compressed-domain search: train an
+    * (m=8, k=16) PQ on the corpus (driver-side over the bounded
+    * deterministic sample), encode every vector to 8 codes in the scan
+    * stage (native `ner_nearest_cell` per subspace), then asymmetric-
+    * distance top-3 for the probe set — each candidate costs 8 lookup-
+    * table reads; no float vector is ever read at query time. The
+    * memory story at 100 TB: 64-dim float32 = 256 B/vector → 8 codes,
+    * a 32× cut in what the search scans and caches. Rows-only (kmeans
+    * codebooks are engine-specific), gated in PqSpec: dyadic-lossless
+    * rendition equals brute-force L2 EXACTLY, clustered recall ≥ 0.8,
+    * encode equals a driver recompute; q84 oracles the encode kernel
+    * cross-engine with a fixed codebook.
+    */
+  def q85_pq_search(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = graft.pipeline.Ann.pqTrain(e, "vec_id", "embedding",
+      m = 8, k = 16)
+    graft.pipeline.Ann.pqNeighbors(e, "vec_id", "embedding", model,
+      probePred = col("vec_id") < 20, k = 3)
+  }
+
   private[queries] def nearestCell(cs: Array[Array[Float]], v: Array[Float]): Int =
     VecOps.nearestCell(cs, v)
 
@@ -291,7 +353,9 @@ object PipelineQueries {
     "q47_media_decode" -> (q47_media_decode _),
     "q48_media_frames" -> (q48_media_frames _),
     "q49_ann_ivf" -> (q49_ann_ivf _),
-    "q53_cosine_pairs" -> (q53_cosine_pairs _))
+    "q53_cosine_pairs" -> (q53_cosine_pairs _),
+    "q83_entity_rank" -> (q83_entity_rank _),
+    "q85_pq_search" -> (q85_pq_search _))
 }
 
 /** Pure vector math, free of any Spark or session state: executor

@@ -1683,6 +1683,277 @@ object RelationalQueries {
       |SELECT doc_id, n_grams, log_w, key FROM keyed
       |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin
 
+  // =================================================================
+  // Graph analytics over the materialized KG (§2.9 extension): the
+  // flagship EMITS a graph; these query it. Library: pipeline.Graph.
+  // =================================================================
+
+  /** Deterministic sparse test graph over the part-key domain (the
+    * q66/q67 planted-payload convention): two modular generators
+    * u→(7u+3)%N, u→(13u+5)%N for pseudo-random volume plus planted
+    * 3-cliques {u, u+1, u+2} at every u ≡ 0 (mod 97) so triangle-family
+    * queries always have guaranteed structure to find. Node domain is
+    * 0..N−1 (partkeys are 0-based contiguous); both generators are
+    * bijections (gcd(7,N)=gcd(13,N)=1 for the testdata Ns), so
+    * in-degree stays bounded — no hub skew by construction.
+    */
+  private def syntheticGraph(s: SparkSession, dir: String,
+                             planted: Boolean): DataFrame = {
+    val un = t(s, dir, "part").select(col("p_partkey").as("u"))
+      .crossJoin(broadcast(t(s, dir, "part").agg(count(lit(1)).as("n"))))
+    val g1 = un.select(col("u"), ((col("u") * 7 + 3) % col("n")).as("v"))
+    val g2 = un.select(col("u"), ((col("u") * 13 + 5) % col("n")).as("v"))
+    val gen = g1.unionByName(g2)
+    if (!planted) gen
+    else {
+      val c = un.where(col("u") % 97 === 0 && col("u") + 2 <= col("n") - 1)
+      gen
+        .unionByName(c.select(col("u"), (col("u") + 1).as("v")))
+        .unionByName(c.select(col("u"), (col("u") + 2).as("v")))
+        .unionByName(c.select((col("u") + 1).as("u"), (col("u") + 2).as("v")))
+    }
+  }
+
+  /** Shared SQL rendition of [[syntheticGraph]] + its canonical
+    * undirected closure (mirrors [[Graph.canon]]: self-loop-free,
+    * deduped, least/greatest-oriented).
+    */
+  private val graphEdgesSql: String =
+    """nn AS (SELECT count(*) AS n FROM part),
+      |gen AS (
+      |  SELECT p_partkey AS u, (p_partkey*7+3) % (SELECT n FROM nn) AS v FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, (p_partkey*13+5) % (SELECT n FROM nn) FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, p_partkey+1 FROM part
+      |    WHERE p_partkey % 97 = 0 AND p_partkey+2 <= (SELECT n FROM nn)-1
+      |  UNION ALL
+      |  SELECT p_partkey, p_partkey+2 FROM part
+      |    WHERE p_partkey % 97 = 0 AND p_partkey+2 <= (SELECT n FROM nn)-1
+      |  UNION ALL
+      |  SELECT p_partkey+1, p_partkey+2 FROM part
+      |    WHERE p_partkey % 97 = 0 AND p_partkey+2 <= (SELECT n FROM nn)-1
+      |),
+      |e AS (SELECT DISTINCT least(u,v) AS a, greatest(u,v) AS b
+      |      FROM gen WHERE u <> v)""".stripMargin
+
+  /** Degree profile of the REAL bipartite part–supplier graph (edge =
+    * "this supplier shipped this part" from lineitem) — the hub-
+    * detection pass a KG runs before choosing salt fan-outs. Supplier
+    * nodes are offset into a disjoint id space (the standard trick for
+    * typed nodes in one long domain). Two long-keyed shuffles.
+    */
+  def q79_graph_degree(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Graph.degrees(
+      t(s, dir, "lineitem").select(col("l_partkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst")))
+
+  val q79_sql: String =
+    """WITH e AS (SELECT DISTINCT l_partkey AS a, l_suppkey + 10000000 AS b
+      |           FROM lineitem),
+      |m AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |SELECT node, count(*) AS degree FROM m GROUP BY node""".stripMargin
+
+  /** Per-node triangle participation over the synthetic sparse graph —
+    * degree-ordered wedge enumeration (Suri & Vassilvitskii, WWW 2011)
+    * through [[graft.pipeline.Graph.triangles]]; the oracle is the
+    * naive id-ordered 3-way self-join (same count by symmetry — the
+    * orientation only changes WHICH join generates a triangle, never
+    * whether it is found), so this is a cross-check, not a mirror.
+    */
+  def q80_triangles(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Graph.triangles(
+      syntheticGraph(s, dir, planted = true)
+        .select(col("u").as("src"), col("v").as("dst")))
+
+  val q80_sql: String =
+    s"""WITH $graphEdgesSql,
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |m AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+      |      UNION ALL SELECT z FROM tri)
+      |SELECT node, count(*) AS n_triangles FROM m GROUP BY node""".stripMargin
+
+  /** Exactly-distance-2 neighborhood sizes over the synthetic graph
+    * (context harvesting: "entities two links away"). Long-keyed
+    * mid-join + one anti-join — see [[graft.pipeline.Graph.twoHopCounts]].
+    */
+  def q81_two_hop(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Graph.twoHopCounts(
+      syntheticGraph(s, dir, planted = true)
+        .select(col("u").as("src"), col("v").as("dst")))
+
+  val q81_sql: String =
+    s"""WITH $graphEdgesSql,
+      |adj AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+      |nn2 AS (SELECT DISTINCT l.x AS x, r.y AS peer
+      |        FROM adj l JOIN adj r ON l.y = r.x WHERE l.x <> r.y),
+      |ex AS (SELECT x, peer FROM nn2
+      |       WHERE NOT EXISTS (SELECT 1 FROM adj
+      |                         WHERE adj.x = nn2.x AND adj.y = nn2.peer))
+      |SELECT x AS node, count(*) AS n_2hop FROM ex GROUP BY x""".stripMargin
+
+  /** PageRank, cross-engine EXACT — the dyadic rendition (the
+    * q56/q59/q72 degenerate-rendition convention, adapted to floating
+    * point): on the generator-only graph every node's out-degree is 1
+    * or 2 (a power of two), damping is 1/2, and ranks start at 1.0, so
+    * every intermediate value is a dyadic rational with denominator
+    * ≤ 2^8 after 4 iterations and magnitude « 2^53 — all FP arithmetic
+    * is EXACT, hence order-independent, hence bit-identical across
+    * engines in any summation order. Runs through the REAL
+    * [[graft.pipeline.Graph.pageRank]] loop (dangling redistribution
+    * and all — the dangling term is exactly 0.0 here); GraphSpec pins
+    * the general (0.85, dangling-node) path against a driver recompute.
+    */
+  def q82_pagerank_dyadic(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Graph.pageRank(
+      syntheticGraph(s, dir, planted = false)
+        .select(col("u").as("src"), col("v").as("dst")).distinct(),
+      iters = 4, damping = 0.5)
+
+  val q82_sql: String = {
+    // one unrolled iteration: r_{k+1} = 0.5 + 0.5 * sum_in r_k(u)/od(u)
+    def iter(k: Int): String =
+      s"""r$k AS (SELECT b.node,
+        |  0.5 + 0.5 * coalesce(s.insum, CAST(0.0 AS DOUBLE)) AS pr
+        |  FROM base b LEFT JOIN (
+        |    SELECT de.v AS node, sum(r.pr / od.od) AS insum
+        |    FROM de JOIN od ON de.u = od.u JOIN r${k - 1} r ON r.node = de.u
+        |    GROUP BY de.v) s ON b.node = s.node)""".stripMargin
+    s"""WITH nn AS (SELECT count(*) AS n FROM part),
+      |gen AS (
+      |  SELECT p_partkey AS u, (p_partkey*7+3) % (SELECT n FROM nn) AS v FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, (p_partkey*13+5) % (SELECT n FROM nn) FROM part),
+      |de AS (SELECT DISTINCT u, v FROM gen),
+      |od AS (SELECT u, count(*) AS od FROM de GROUP BY u),
+      |base AS (SELECT p_partkey AS node FROM part),
+      |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM base),
+      |${iter(1)},
+      |${iter(2)},
+      |${iter(3)},
+      |${iter(4)}
+      |SELECT node, pr FROM r4""".stripMargin
+  }
+
+  /** Product-quantization encode, cross-engine EXACT through the REAL
+    * [[graft.pipeline.Ann.pqEncode]] path (the q56/q59/q72/q75
+    * fixed-model convention): 4 subspaces × 16 dims over the 64-dim
+    * embeddings, each with a FIXED k=2 codebook (c0 = 0⃗, c1 = 0.5 in
+    * the subspace's first dim). The DuckDB oracle mirrors the
+    * `ner_nearest_cell` kernel OPERATION BY OPERATION — float subtract,
+    * float square, double accumulation in index order (SQL `+` is
+    * left-associative, matching the kernel's running sum), strict `<`
+    * first-wins tie-break — so both engines compute bit-identical
+    * distances and the argmin can never flip on a last-ulp boundary.
+    */
+  def q84_pq_encode(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.pipeline.Ann.PqModel(16,
+      Array.tabulate(4)(_ => Array(
+        Array.fill(16)(0.0f),
+        Array.tabulate(16)(i => if (i == 0) 0.5f else 0.0f))))
+    graft.pipeline.Ann.pqEncode(t(s, dir, "embeddings"),
+        "vec_id", "embedding", model)
+      .select(col("vec_id"), posexplode(col("code")))
+      .toDF("vec_id", "sub", "code")
+  }
+
+  val q84_sql: String = {
+    // squared distance to a centroid that is `cFirst` at the subspace's
+    // first dim and 0 elsewhere — 16 index-ordered float-square terms,
+    // double-accumulated left to right (the kernel's exact walk)
+    def dist(sub: Int, cFirst: String): String =
+      (0 until 16).map { i =>
+        val j = sub * 16 + i + 1
+        val c = if (i == 0) cFirst else "CAST(0.0 AS FLOAT)"
+        s"CAST((($c - embedding[$j]) * ($c - embedding[$j])) AS DOUBLE)"
+      }.mkString("(", " + ", ")")
+    (0 until 4).map { sub =>
+      val d0 = dist(sub, "CAST(0.0 AS FLOAT)")
+      val d1 = dist(sub, "CAST(0.5 AS FLOAT)")
+      s"""SELECT vec_id, $sub AS sub,
+        |  CASE WHEN $d1 < $d0 THEN 1 ELSE 0 END AS code
+        |FROM embeddings""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    * top-25 (q64's scoring) with the embedding-cosine top-25 (q20's
+    * scoring, vec_id 0 as the query vector) through
+    * [[graft.pipeline.Retrieval.rrfFuse]]. Cross-engine exact: ranks
+    * are integers over deterministic (rounded-score, id) orderings,
+    * each RRF term `1/(60+rank)` is one correctly-rounded IEEE
+    * division, and a document's two terms sum commutatively — both
+    * engines produce bit-identical doubles. The windows ranking the two
+    * lists run over ≤ 25 rows each (top-k bounded by contract).
+    */
+  def q86_rrf_fusion(s: SparkSession, dir: String): DataFrame = {
+    val bm = graft.pipeline.Retrieval.bm25TopK(
+      t(s, dir, "documents"), "doc_id", "text",
+      Seq("hash", "join", "scan"), k = 25)
+    val wB = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val bmRanked = bm.select(col("doc_id"),
+      row_number().over(wB).as("rank"))
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cos = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("cos", round(graft.functions.VecFunctions.ner_cosine(
+        col("embedding"), col("qv")), 6))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(25)
+      .select(col("vec_id").as("doc_id"), col("cos"))
+    val wC = Window.orderBy(col("cos").desc, col("doc_id").asc)
+    val cosRanked = cos.select(col("doc_id"),
+      row_number().over(wC).as("rank"))
+    graft.pipeline.Retrieval.rrfFuse(Seq(bmRanked, cosRanked),
+      k0 = 60, topK = 20)
+  }
+
+  val q86_sql: String =
+    """WITH b AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |                  string_split(text, ' ') AS toks FROM documents),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b),
+      |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+      |       FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM b)
+      |       WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2, 3),
+      |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |              sum(ln((CAST(st.n_docs - dft.df AS DOUBLE) + 0.5) /
+      |                     (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+      |                  (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)) /
+      |                  (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+      |                   (CAST(1.0 AS DOUBLE) - 0.75 +
+      |                    0.75 * CAST(tf.dl AS DOUBLE) / st.avgdl))) AS s
+      |       FROM tf JOIN dft USING (tok), st GROUP BY 1),
+      |bmtop AS (SELECT doc_id, round(s, 6) AS score FROM sc
+      |          ORDER BY score DESC, doc_id ASC LIMIT 25),
+      |bm AS (SELECT doc_id,
+      |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+      |       FROM bmtop),
+      |cstop AS (SELECT e.vec_id AS doc_id,
+      |            round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+      |                  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |                   sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cos
+      |          FROM embeddings e,
+      |               (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |          WHERE e.vec_id <> 0
+      |          ORDER BY cos DESC, doc_id ASC LIMIT 25),
+      |cr AS (SELECT doc_id,
+      |         row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r
+      |       FROM cstop),
+      |u AS (SELECT doc_id,
+      |        CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r AS DOUBLE)) AS term
+      |      FROM bm
+      |      UNION ALL
+      |      SELECT doc_id,
+      |        CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r AS DOUBLE))
+      |      FROM cr),
+      |f AS (SELECT doc_id, round(sum(term), 10) AS rrf,
+      |             count(*) AS n_lists
+      |      FROM u GROUP BY doc_id)
+      |SELECT doc_id, rrf, n_lists FROM f
+      |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -1739,5 +2010,11 @@ object RelationalQueries {
     "q75_quality_score" -> ((q75_quality_score _, q75_sql)),
     "q76_bpe_encode" -> ((q76_bpe_encode _, q76_sql)),
     "q77_lm_perplexity" -> ((q77_lm_perplexity _, q77_sql)),
-    "q78_dsir_resample" -> ((q78_dsir_resample _, q78_sql)))
+    "q78_dsir_resample" -> ((q78_dsir_resample _, q78_sql)),
+    "q79_graph_degree" -> ((q79_graph_degree _, q79_sql)),
+    "q80_triangles" -> ((q80_triangles _, q80_sql)),
+    "q81_two_hop" -> ((q81_two_hop _, q81_sql)),
+    "q82_pagerank_dyadic" -> ((q82_pagerank_dyadic _, q82_sql)),
+    "q84_pq_encode" -> ((q84_pq_encode _, q84_sql)),
+    "q86_rrf_fusion" -> ((q86_rrf_fusion _, q86_sql)))
 }

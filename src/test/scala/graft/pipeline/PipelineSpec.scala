@@ -588,4 +588,53 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == want, "expect exact match against our own golden")
     }
   }
+
+  test("mergeDelta: changed files replace their triples, deletions retract; merged == full re-run") {
+    import spark.implicits._
+    val buckets = 8
+    val dir = java.nio.file.Files.createTempDirectory("kgmerge")
+      .toString + "/triples"
+    val n = 60L
+    def ident(i: Long) = Synth.repoRow(i, 8, seed = 42L)
+    val base = (0L until n).map { i =>
+      val r = ident(i)
+      KgPipeline.RepoFile(r.repo, r.path, r.commit, r.lang, r.content)
+    }
+    val r0 = KgPipeline.run(spark, spark.createDataset(base), model)
+    TableIO.writeResumable(r0.triples, dir, buckets,
+      Seq("src_repo", "src_path"))
+    KgPipeline.release(spark, r0)
+    // changed: files 10..19 keep their identity (repo/path) but get new
+    // content + commit; deleted: files 50..59
+    val changed = (10L until 20L).map { i =>
+      val id = ident(i)
+      val alt = Synth.repoRow(i, 8, seed = 43L)
+      KgPipeline.RepoFile(id.repo, id.path, "f" * 40, id.lang, alt.content)
+    }
+    val deletedKeys = (50L until 60L).map { i =>
+      val id = ident(i); (id.repo, id.path)
+    }
+    val report = KgPipeline.mergeDelta(spark, dir, buckets,
+      spark.createDataset(changed), model,
+      Some(deletedKeys.toDF("src_repo", "src_path")))
+    assert(report.nDeletedExisting > 0,
+      "deleted files had no committed triples — fixture broken")
+    // ground truth: a full pipeline run over the post-delta corpus
+    val corpus = base.take(10) ++ changed ++ base.slice(20, 50)
+    val rf = KgPipeline.run(spark, spark.createDataset(corpus), model)
+    val cols = Seq("subj", "pred", "obj", "src_repo", "src_path",
+      "src_commit")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(r => cols.indices.map(r.getString).mkString(""))
+        .toSet
+    val want = rows(rf.triples)
+    val got = rows(TableIO.readCommitted(spark, dir, buckets))
+    KgPipeline.release(spark, rf)
+    assert(got == want,
+      s"merged table diverges from the full re-run: merged=${got.size} " +
+        s"full=${want.size}, onlyMerged=${(got -- want).take(3)}, " +
+        s"onlyFull=${(want -- got).take(3)}")
+    assert(TableIO.verifyCommits(spark, dir, buckets).isEmpty)
+  }
 }

@@ -377,4 +377,65 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"q55: expected exactly 1 explode pass, found $explodes:\n" +
         s"${df.queryExecution.executedPlan}")
   }
+
+  test("q80 triangles: long-keyed equi-joins only — no cartesian, no string shuffle") {
+    assume(available)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.StringType
+    val df = graft.queries.RelationalQueries.q80_triangles(spark, dir)
+    df.collect() // gate the FINAL adaptive plan
+    val nodes = PlanInspector.allNodes(df.queryExecution.executedPlan)
+    // the wedge join is the O(m^1.5) step — it must stay an equi-join
+    // on node ids; a cartesian here is the all-pairs scale-killer
+    val cartesian = nodes.filter(
+      _.getClass.getSimpleName.startsWith("CartesianProduct"))
+    assert(cartesian.isEmpty,
+      s"q80: cartesian product in the triangle plan:\n${cartesian.mkString("\n")}")
+    // the only nested-loop joins allowed are the 1-row count-aggregate
+    // crossJoins the edge derivation uses (the established convention):
+    // structurally, one join side is exactly one long column (the count)
+    val bnlj = nodes.filter(
+      _.getClass.getSimpleName.startsWith("BroadcastNestedLoopJoin"))
+    import org.apache.spark.sql.types.LongType
+    bnlj.foreach { j =>
+      val oneRowSide = j.children.exists(c =>
+        c.output.size == 1 && c.output.head.dataType == LongType)
+      assert(oneRowSide,
+        s"q80: nested-loop join whose build side is not a 1-row count " +
+          s"aggregate:\n$j")
+    }
+    val strShuffles = nodes.collect {
+      case s: ShuffleExchangeLike
+          if s.output.exists(_.dataType == StringType) => s
+    }
+    assert(strShuffles.isEmpty,
+      s"q80: ${strShuffles.size} shuffle(s) carry strings — graph ops " +
+        s"move long node ids only:\n${strShuffles.mkString("\n")}")
+  }
+
+  test("q85 pq search: no embedding or code array rides an exchange; probes broadcast") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.ArrayType
+    val df = PipelineQueries.q85_pq_search(spark, dir)
+    df.collect() // gate the FINAL adaptive plan
+    val nodes = PlanInspector.allNodes(df.queryExecution.executedPlan)
+    // the compressed-domain contract: vectors die at the scan (encode),
+    // codes die at the ADC projection — the only exchange (the per-probe
+    // top-k window) carries (q_id, vec_id, adist) scalars
+    val arrayShuffles = nodes.collect {
+      case s: ShuffleExchangeLike
+          if s.output.exists(_.dataType.isInstanceOf[ArrayType]) => s
+    }
+    assert(arrayShuffles.isEmpty,
+      s"q85: ${arrayShuffles.size} shuffle(s) carry arrays (embedding or " +
+        s"PQ code) — ADC must reduce to scalars before any exchange:\n" +
+        arrayShuffles.mkString("\n"))
+    // the probe side (with its LUTs) comes in as a broadcast by contract
+    val bcast = nodes.filter(n =>
+      n.getClass.getSimpleName.startsWith("BroadcastNestedLoopJoin") ||
+        n.getClass.getSimpleName.startsWith("BroadcastHashJoin"))
+    assert(bcast.nonEmpty, s"q85: probe join is not a broadcast:\n" +
+      s"${df.queryExecution.executedPlan}")
+  }
 }

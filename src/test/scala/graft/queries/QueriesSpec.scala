@@ -1339,4 +1339,44 @@ class AnnSpec extends AnyFunSuite {
           "n/accuracy rank-error contract")
     }
   }
+
+  test("rrfFuse: closed-form fusion, disjoint lists, order-pinned >2-list fold") {
+    import spark.implicits._
+    // list A ranks docs 1,2,3; list B ranks 2,3,4 — hand-computed RRF
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2), (4L, 3)).toDF("doc_id", "rank")
+    val got = graft.pipeline.Retrieval.rrfFuse(Seq(a, b), k0 = 60)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    def t(r: Int) = 1.0 / (60.0 + r)
+    // Spark's round() is BigDecimal HALF_UP — mirror it exactly
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._2 == 1 && got(4L)._2 == 1)
+    assert(got(2L)._2 == 2 && got(3L)._2 == 2)
+    assert(got(1L)._1 == rd(t(1)))
+    assert(got(4L)._1 == rd(t(3)))
+    assert(got(2L)._1 == rd(t(2) + t(1)))
+    assert(got(3L)._1 == rd(t(3) + t(2)))
+    // symmetric ranks tie exactly — the doc_id tie-break decides topK
+    val sym1 = Seq((7L, 1), (8L, 5)).toDF("doc_id", "rank")
+    val sym2 = Seq((8L, 1), (7L, 5)).toDF("doc_id", "rank")
+    val top = graft.pipeline.Retrieval.rrfFuse(Seq(sym1, sym2), k0 = 60,
+      topK = 1).collect()
+    assert(top.length == 1 && top(0).getLong(0) == 7L)
+    // 3+ lists: the fold is order-pinned (sorted desc), so the fused
+    // score is identical no matter how the union lands in partitions
+    val c = Seq((2L, 7), (9L, 1)).toDF("doc_id", "rank")
+    val f1 = graft.pipeline.Retrieval.rrfFuse(Seq(a, b, c), k0 = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val f2 = graft.pipeline.Retrieval.rrfFuse(
+        Seq(c.repartition(7), b.repartition(3), a), k0 = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(f1 == f2, "fused scores depend on list/partition order")
+    assert(f1(2L) == rd({ val ts = Seq(t(2), t(1), t(7)).sorted.reverse
+      ts.foldLeft(0.0)(_ + _) }))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Retrieval.rrfFuse(Seq.empty)
+    }
+  }
 }
