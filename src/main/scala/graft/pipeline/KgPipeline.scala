@@ -282,16 +282,40 @@ object KgPipeline {
     */
   def canonicalize(spark: SparkSession, linked: DataFrame,
                    kbAliases: DataFrame,
-                   collectThreshold: Int = ccCollectThreshold): DataFrame = {
-    // KB-internal edges: every alias of an entity <-> the entity id
+                   collectThreshold: Int = ccCollectThreshold): DataFrame =
+    canonFromEdges(spark, aliasEdges(linked, kbAliases), kbAliases,
+      collectThreshold)
+
+  /** The distinct alias-edge evidence set a `linked` frame contributes:
+    * KB-internal (entity ↔ each KB alias) plus observed
+    * (entity ↔ linked surface). Bounded by the alias VOCABULARY, not
+    * the corpus — repeat mentions collapse in the map-side partial
+    * distinct. This pre-bridgeability set is what [[CanonState]]
+    * persists: bridgeability must be re-decided over the UNION (a
+    * previously unambiguous alias can become ambiguous when later
+    * batches attach a second entity to it), so filtering before
+    * persisting would bake stale decisions into the state.
+    */
+  def aliasEdges(linked: DataFrame, kbAliases: DataFrame): DataFrame = {
     val kbEdges = kbAliases.select(
       col("entity_id").as("src"),
       concat(lit("alias:"), col("alias_norm")).as("dst"))
-    // mention-derived edges: observed surface <-> linked entity
     val obsEdges = linked.select(
       col("entity_id").as("src"),
       concat(lit("alias:"), col("surface_norm")).as("dst"))
-    val allEdges = kbEdges.union(obsEdges).distinct()
+    kbEdges.union(obsEdges).distinct()
+  }
+
+  /** Canonical map from a distinct alias-edge set: bridgeability filter,
+    * connected components, min-entity representative. See
+    * [[canonicalize]] for the ambiguity-guard semantics.
+    */
+  def canonFromEdges(spark: SparkSession, allEdges0: DataFrame,
+                     kbAliases: DataFrame,
+                     collectThreshold: Int = ccCollectThreshold): DataFrame = {
+    // consumed twice (ambiguity stats + the bridgeable join)
+    val allEdges = allEdges0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Per-alias ambiguity stats, with each source joined (broadcast,
     // KB-sized) to its canonical name; nil:* sources have no canonical.
     val srcCanon = kbAliases.select(col("entity_id").as("src"),
@@ -340,6 +364,7 @@ object KgPipeline {
     val pinned = chk(out0)
     dropCheckpoint(spark, checkpointFileOf(comps))
     edges.unpersist()
+    allEdges.unpersist()
     pinned
   }
 
@@ -443,21 +468,8 @@ object KgPipeline {
   def release(spark: SparkSession, r: Result,
               blocking: Boolean = false): Unit = {
     r.triples.unpersist(blocking)
-    r.canon.unpersist(blocking)
     r.linked.unpersist(blocking)
-    r.canon.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.getCheckpointFile match {
-          case some @ Some(_) => dropCheckpoint(spark, some)
-          case None =>
-            // Unpersisting a locally-checkpointed RDD makes Spark WARN
-            // that it "can no longer be recomputed" — which is this
-            // method's documented CONTRACT (release = the frames are
-            // dead), not an incident (VERDICT r5). Shared quiet path.
-            Lineage.quietUnpersist(lr.rdd, blocking)
-        }
-      case _ => ()
-    }
+    releaseCanon(spark, r.canon, blocking)
   }
 
   def run(spark: SparkSession, files: Dataset[RepoFile],
@@ -504,6 +516,191 @@ object KgPipeline {
       keyCols = Seq("src_repo", "src_path"),
       upserts = r.triples, deleteKeys = deletedFiles)
     finally release(spark, r)
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental canonicalization (persisted evidence -> exact parity)
+  // ------------------------------------------------------------------
+
+  /** Incremental canonicalization output: the canonical map over ALL
+    * evidence ever ingested, the canon-id remap the table must be
+    * reconciled with (`old_id -> new_id`, empty on the first batch or
+    * when nothing drifted), and the merged edge set to persist once the
+    * table is consistent.
+    */
+  final case class CanonDelta(canon: DataFrame, remap: DataFrame,
+                              edges: DataFrame)
+
+  /** Canonicalize a DELTA's linked mentions against persisted evidence
+    * ([[CanonState]]): union the delta's alias edges with the stored
+    * set, re-decide bridgeability and components over the union. Exact
+    * by construction — distinct edge-set union is associative, so the
+    * result equals a full canonicalization over every batch ever
+    * ingested, at KB-scale cost (the edge set never grows with the
+    * corpus, only with the alias vocabulary).
+    *
+    * Fails LOUD on a canonical SPLIT (entities sharing an old canon id
+    * diverging under new evidence — an alias crossing the ambiguity
+    * threshold can sever a bridge): written triples carry only the
+    * canon id, not the originating entity, so a split cannot be
+    * reconciled from the table alone; re-materialize triples for the
+    * affected files (the periodic-full-rebuild path). Splits need an
+    * evidence RETRACTION or an ambiguity flip — merges, the common
+    * case as a corpus grows, reconcile exactly via [[reconcileCanon]].
+    *
+    * The caller persists `edges`+`canon` via [[CanonState.save]] only
+    * AFTER the table is reconciled ([[mergeDeltaCanonical]] ordering):
+    * a crash mid-maintenance then re-runs from the OLD state, and every
+    * step is idempotent (edge union, keyed upsert, remap join).
+    */
+  def canonicalizeWithState(spark: SparkSession, linked: DataFrame,
+                            kbAliases: DataFrame, stateDir: String,
+                            collectThreshold: Int = ccCollectThreshold)
+      : CanonDelta = {
+    val deltaEdges = aliasEdges(linked, kbAliases)
+    val merged = CanonState.loadEdges(spark, stateDir) match {
+      case Some(prior) => prior.unionByName(deltaEdges).distinct()
+      case None => deltaEdges
+    }
+    // consumed by canonFromEdges AND persisted by the caller afterwards
+    val edges = merged
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = canonFromEdges(spark, edges, kbAliases, collectThreshold)
+    val remap = CanonState.loadCanon(spark, stateDir) match {
+      case Some(oldCanon) =>
+        val j = oldCanon.select(col("entity_id"),
+            col("canon_id").as("old_id"))
+          .join(canon.select(col("entity_id"),
+            col("canon_id").as("new_id")), Seq("entity_id"))
+        val drift = j.where(col("old_id") =!= col("new_id"))
+          .select("old_id", "new_id").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // split detection must see UNCHANGED members too: a cluster
+        // where one entity keeps old_id as its canon while another
+        // moves away is a split even though only one row drifts
+        val split = j.groupBy("old_id")
+          .agg(countDistinct(col("new_id")).as("n"))
+          .where(col("n") > 1).limit(3).collect()
+        if (split.nonEmpty) {
+          drift.unpersist()
+          throw new IllegalStateException(
+            "canonical SPLIT under new evidence (old canon ids " +
+              split.map(_.getString(0)).mkString(", ") +
+              " now map to multiple representatives) — written triples " +
+              "cannot be reconciled in place; re-materialize triples " +
+              "for the affected files (full rebuild path)")
+        }
+        drift
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, String)].toDF("old_id", "new_id")
+    }
+    CanonDelta(canon, remap, edges)
+  }
+
+  /** Rewrite a committed triples table under a canon-id remap
+    * (`old_id -> new_id`, a function — [[canonicalizeWithState]]
+    * refuses splits). One read of the table, two broadcast hash joins
+    * (the remap is KB-scale) to find drifted rows, then a keyed upsert
+    * that rewrites ONLY the buckets of affected files; everything else
+    * stays byte-identical. `hasType` rows re-dedupe within the upsert —
+    * two entities merging can collapse their type triples into one row,
+    * matching what a full re-run emits.
+    */
+  def reconcileCanon(spark: SparkSession, triplesDir: String, buckets: Int,
+                     remap: DataFrame): graft.io.TableIO.MergeReport = {
+    val t = graft.io.TableIO.readCommitted(spark, triplesDir, buckets)
+    val objMap = remap.select(col("old_id").as("obj"),
+      col("new_id").as("obj_new"))
+    val subjMap = remap.select(col("old_id").as("subj"),
+      col("new_id").as("subj_new"))
+    val mapped = t
+      .join(broadcast(objMap), Seq("obj"), "left")
+      .join(broadcast(subjMap), Seq("subj"), "left")
+      .withColumn("obj2", when(col("pred") === "hasEntity",
+        coalesce(col("obj_new"), col("obj"))).otherwise(col("obj")))
+      .withColumn("subj2", when(col("pred") === "hasType",
+        coalesce(col("subj_new"), col("subj"))).otherwise(col("subj")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affectedFiles = mapped
+        .where(col("obj2") =!= col("obj") || col("subj2") =!= col("subj"))
+        .select("src_repo", "src_path").distinct()
+      val upserts = mapped
+        .join(affectedFiles, Seq("src_repo", "src_path"), "left_semi")
+        .select(col("subj2").as("subj"), col("pred"), col("obj2").as("obj"),
+          col("src_repo"), col("src_path"), col("src_commit"))
+        .distinct()
+      graft.io.TableIO.mergeBuckets(spark, triplesDir, buckets,
+        bucketCols = Seq("src_repo", "src_path"),
+        keyCols = Seq("src_repo", "src_path"),
+        upserts = upserts)
+    } finally mapped.unpersist()
+  }
+
+  /** [[mergeDelta]] with persisted canonicalization ([[CanonState]]):
+    * the delta's triples are materialized under the GLOBAL canonical
+    * map (all evidence ever ingested, not just this batch's), and
+    * previously-written triples whose canon ids drifted are reconciled
+    * in place — the committed table always equals a full pipeline
+    * re-run over the union of every batch's files (deletions retract
+    * triples but not alias evidence; see [[CanonState]]).
+    *
+    * Crash ordering: delta merge, then reconcile, then state save —
+    * each idempotent, so re-running after a crash at any boundary
+    * converges to the same table and state.
+    *
+    * Returns (delta merge report, reconcile report): `reconcile` is
+    * a no-op report when nothing drifted.
+    */
+  def mergeDeltaCanonical(spark: SparkSession, triplesDir: String,
+                          buckets: Int, changed: Dataset[RepoFile],
+                          model: NerfModel, stateDir: String,
+                          deletedFiles: Option[DataFrame] = None)
+      : (graft.io.TableIO.MergeReport, graft.io.TableIO.MergeReport) = {
+    val ments = detectMentions(spark, changed, model)
+    val kb = kbAliasDf(spark, Synth.knowledgeBase)
+    val linked = linkMentions(spark, ments, kb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cd = canonicalizeWithState(spark, linked, kb, stateDir)
+    try {
+      val trip = triples(linked, cd.canon)
+      val deltaReport = graft.io.TableIO.mergeBuckets(spark, triplesDir,
+        buckets, bucketCols = Seq("src_repo", "src_path"),
+        keyCols = Seq("src_repo", "src_path"),
+        upserts = trip, deleteKeys = deletedFiles)
+      val hasDrift = !cd.remap.isEmpty
+      val reconcileReport =
+        if (hasDrift) reconcileCanon(spark, triplesDir, buckets, cd.remap)
+        else graft.io.TableIO.MergeReport(Seq.empty, 0L, 0L, 0L, 0L, 0L,
+          Seq.empty)
+      CanonState.save(spark, stateDir, cd.edges, cd.canon)
+      (deltaReport, reconcileReport)
+    } finally {
+      cd.remap.unpersist()
+      cd.edges.unpersist()
+      releaseCanon(spark, cd.canon)
+      linked.unpersist()
+    }
+  }
+
+  /** Free a canonical map returned by [[canonFromEdges]]: cache blocks
+    * plus the backing checkpoint — reliable-checkpoint files dropped,
+    * localCheckpoint blocks released on the quiet path (its "can no
+    * longer be recomputed" WARN is this method's contract, not an
+    * incident — same as [[release]]).
+    */
+  def releaseCanon(spark: SparkSession, canon: DataFrame,
+                   blocking: Boolean = false): Unit = {
+    canon.unpersist(blocking)
+    canon.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile match {
+          case some @ Some(_) => dropCheckpoint(spark, some)
+          case None => Lineage.quietUnpersist(lr.rdd, blocking)
+        }
+      case _ => ()
+    }
   }
 
   /** Synthesize the flagship input table as a Dataset, generated

@@ -637,4 +637,181 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"onlyFull=${(want -- got).take(3)}")
     assert(TableIO.verifyCommits(spark, dir, buckets).isEmpty)
   }
+
+  // ---- incremental canonicalization (CanonState) ----
+
+  private def linkedOf(pairs: (String, String)*) = {
+    import spark.implicits._
+    pairs.toSeq.toDF("entity_id", "surface_norm")
+  }
+
+  private def canonMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("canonicalizeWithState: incremental == full over all batches; remap captures the merge") {
+    val kb = KgPipeline.kbAliasDf(spark, Seq(
+      Synth.KbEntity("org:a", "orgName", "Acme Corp", Vector("acme corp")),
+      Synth.KbEntity("orgdup:a", "orgName", "Acme Corp", Vector("acmecorp")),
+      Synth.KbEntity("org:z", "orgName", "Zeta Ltd", Vector("zeta ltd"))))
+    val stateDir = java.nio.file.Files.createTempDirectory("canonstate")
+      .toString + "/state"
+    // batch 1: only org:a observed — no bridge between the duplicates
+    val b1 = linkedOf("org:a" -> "acme corp")
+    val cd1 = KgPipeline.canonicalizeWithState(spark, b1, kb, stateDir)
+    assert(cd1.remap.isEmpty, "first batch has nothing to remap against")
+    val m1 = canonMap(cd1.canon)
+    assert(m1("org:a") == "org:a" && m1("orgdup:a") == "orgdup:a",
+      s"duplicates must stay separate before shared evidence: $m1")
+    assert(CanonState.save(spark, stateDir, cd1.edges, cd1.canon) == 1L)
+    KgPipeline.releaseCanon(spark, cd1.canon); cd1.edges.unpersist()
+    // batch 2: a NEW surface observed for BOTH duplicates (same
+    // canonical, no nil) — bridges them; org:z stays apart
+    val b2 = linkedOf("org:a" -> "acme co", "orgdup:a" -> "acme co")
+    val cd2 = KgPipeline.canonicalizeWithState(spark, b2, kb, stateDir)
+    val m2 = canonMap(cd2.canon)
+    assert(m2("org:a") == "org:a" && m2("orgdup:a") == "org:a" &&
+      m2("org:z") == "org:z", s"expected the duplicates to merge: $m2")
+    val remap = canonMap(cd2.remap.select("old_id", "new_id"))
+    assert(remap == Map("orgdup:a" -> "org:a"),
+      s"remap must carry exactly the drifted id: $remap")
+    // exactness: equals a full canonicalization over BOTH batches
+    val full = KgPipeline.canonicalize(spark, b1.unionByName(b2), kb)
+    assert(m2 == canonMap(full), "incremental diverges from full")
+    KgPipeline.releaseCanon(spark, full)
+    assert(CanonState.save(spark, stateDir, cd2.edges, cd2.canon) == 2L)
+    KgPipeline.releaseCanon(spark, cd2.canon); cd2.edges.unpersist()
+    cd2.remap.unpersist()
+    // state round-trip: what load returns is what the next batch unions
+    val edges = CanonState.loadEdges(spark, stateDir).get
+    // 3 KB alias edges + 2 new observed edges (batch 1's observation
+    // duplicates org:a's own KB alias and collapses in the distinct)
+    assert(edges.count() == 5,
+      "expected 5 distinct evidence edges; got " +
+        edges.collect().mkString(", "))
+  }
+
+  test("canonicalizeWithState fails LOUD on a canonical split") {
+    val kb = KgPipeline.kbAliasDf(spark, Seq(
+      Synth.KbEntity("org:a", "orgName", "Acme Corp", Vector("acme corp")),
+      Synth.KbEntity("orgdup:a", "orgName", "Acme Corp", Vector("acmecorp")),
+      Synth.KbEntity("org:o", "orgName", "Other Org", Vector("other org"))))
+    val stateDir = java.nio.file.Files.createTempDirectory("canonsplit")
+      .toString + "/state"
+    // batch 1 bridges the duplicates through a shared surface
+    val b1 = linkedOf("org:a" -> "acme co", "orgdup:a" -> "acme co")
+    val cd1 = KgPipeline.canonicalizeWithState(spark, b1, kb, stateDir)
+    assert(canonMap(cd1.canon)("orgdup:a") == "org:a")
+    CanonState.save(spark, stateDir, cd1.edges, cd1.canon)
+    KgPipeline.releaseCanon(spark, cd1.canon); cd1.edges.unpersist()
+    // batch 2 attaches a THIRD entity (different canonical) to the
+    // bridging surface — ambiguity guard severs the bridge, the old
+    // component splits, and in-place reconcile is impossible
+    val b2 = linkedOf("org:o" -> "acme co")
+    val ex = intercept[IllegalStateException] {
+      KgPipeline.canonicalizeWithState(spark, b2, kb, stateDir)
+    }
+    assert(ex.getMessage.contains("SPLIT"), ex.getMessage)
+  }
+
+  test("reconcileCanon rewrites only drifted files' buckets; merged type triples collapse") {
+    import spark.implicits._
+    val buckets = 8
+    val dir = java.nio.file.Files.createTempDirectory("reconcile")
+      .toString + "/triples"
+    val rows = Seq(
+      // f1 carries drifted ids: a mention of the duplicate org + both
+      // duplicates' type rows (which must collapse after the remap)
+      ("r1/f1#0:0-2", "hasEntity", "orgdup:a", "r1", "f1", "c1"),
+      ("orgdup:a", "hasType", "orgName", "r1", "f1", "c1"),
+      ("org:a", "hasType", "orgName", "r1", "f1", "c1"),
+      // f2 references only stable ids — its bucket must not be touched
+      ("r1/f2#0:0-2", "hasEntity", "org:z", "r1", "f2", "c1"),
+      ("org:z", "hasType", "orgName", "r1", "f2", "c1"))
+      .toDF("subj", "pred", "obj", "src_repo", "src_path", "src_commit")
+    TableIO.writeResumable(rows, dir, buckets, Seq("src_repo", "src_path"))
+    val bucketOf = rows.select(col("src_path"),
+      pmod(hash(col("src_repo"), col("src_path")), lit(buckets)).as("b"))
+      .distinct().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assume(bucketOf("f1") != bucketOf("f2"),
+      "fixture needs the two files in different buckets")
+    val remap = Seq(("orgdup:a", "org:a")).toDF("old_id", "new_id")
+    val report = KgPipeline.reconcileCanon(spark, dir, buckets, remap)
+    assert(report.affectedBuckets == Seq(bucketOf("f1")),
+      s"only f1's bucket may be rewritten: ${report.affectedBuckets}")
+    val got = TableIO.readCommitted(spark, dir, buckets)
+      .select("subj", "pred", "obj", "src_repo", "src_path", "src_commit")
+      .collect().map(_.toSeq).toSet
+    val want = Set(
+      Seq("r1/f1#0:0-2", "hasEntity", "org:a", "r1", "f1", "c1"),
+      Seq("org:a", "hasType", "orgName", "r1", "f1", "c1"),
+      Seq("r1/f2#0:0-2", "hasEntity", "org:z", "r1", "f2", "c1"),
+      Seq("org:z", "hasType", "orgName", "r1", "f2", "c1"))
+    assert(got == want, s"reconciled table wrong: $got")
+    assert(TableIO.verifyCommits(spark, dir, buckets).isEmpty)
+    // idempotent: a second reconcile with the same remap is a no-op
+    val again = KgPipeline.reconcileCanon(spark, dir, buckets, remap)
+    assert(again.affectedBuckets.isEmpty,
+      s"re-running the same remap must find nothing: $again")
+  }
+
+  test("mergeDeltaCanonical: two deltas with persisted state == full re-run; replay idempotent") {
+    import spark.implicits._
+    val buckets = 8
+    val base0 = java.nio.file.Files.createTempDirectory("kgcanon").toString
+    val dir = base0 + "/triples"
+    val stateDir = base0 + "/canon_state"
+    val n = 40L
+    def ident(i: Long) = Synth.repoRow(i, 8, seed = 42L)
+    def fileOf(r: Synth.RepoRow) =
+      KgPipeline.RepoFile(r.repo, r.path, r.commit, r.lang, r.content)
+    val base = (0L until n).map(i => fileOf(ident(i)))
+    // bootstrap: full run writes the table; state initialized from the
+    // same linked evidence (the canonical-state onboarding path)
+    val r0 = KgPipeline.run(spark, spark.createDataset(base), model)
+    TableIO.writeResumable(r0.triples, dir, buckets,
+      Seq("src_repo", "src_path"))
+    val kb = KgPipeline.kbAliasDf(spark, Synth.knowledgeBase)
+    val cd0 = KgPipeline.canonicalizeWithState(spark, r0.linked, kb, stateDir)
+    CanonState.save(spark, stateDir, cd0.edges, cd0.canon)
+    KgPipeline.releaseCanon(spark, cd0.canon); cd0.edges.unpersist()
+    KgPipeline.release(spark, r0)
+    // delta 1: files 5..9 change content; delta 2: files 30..34 change
+    def altFiles(lo: Long, hi: Long, seed: Long) = (lo until hi).map { i =>
+      val id = ident(i)
+      val alt = Synth.repoRow(i, 8, seed = seed)
+      KgPipeline.RepoFile(id.repo, id.path, "e" * 40, id.lang, alt.content)
+    }
+    val d1 = altFiles(5, 10, 43L); val d2 = altFiles(30, 35, 44L)
+    KgPipeline.mergeDeltaCanonical(spark, dir, buckets,
+      spark.createDataset(d1), model, stateDir)
+    KgPipeline.mergeDeltaCanonical(spark, dir, buckets,
+      spark.createDataset(d2), model, stateDir)
+    // replay delta 2 (crash-recovery path): must be byte-idempotent
+    KgPipeline.mergeDeltaCanonical(spark, dir, buckets,
+      spark.createDataset(d2), model, stateDir)
+    val corpus = base.take(5) ++ d1 ++ base.slice(10, 30) ++ d2 ++
+      base.slice(35, 40)
+    val rf = KgPipeline.run(spark, spark.createDataset(corpus), model)
+    val cols = Seq("subj", "pred", "obj", "src_repo", "src_path",
+      "src_commit")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*)
+        .collect().map(r => cols.indices.map(r.getString).mkString(""))
+        .toSet
+    val want = rows(rf.triples)
+    KgPipeline.release(spark, rf)
+    val got = rows(TableIO.readCommitted(spark, dir, buckets))
+    assert(got == want,
+      s"canonical merge diverges from full re-run: got=${got.size} " +
+        s"want=${want.size}, onlyGot=${(got -- want).take(3)}, " +
+        s"onlyWant=${(want -- got).take(3)}")
+    assert(TableIO.verifyCommits(spark, dir, buckets).isEmpty)
+    // state advanced once per merge call (bootstrap + 3 merges)
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = new org.apache.hadoop.fs.Path(stateDir + "/_current")
+    val in = cur.getFileSystem(conf).open(cur)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    assert(txt.contains("\"version\":4"), txt)
+  }
 }
