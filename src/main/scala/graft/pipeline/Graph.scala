@@ -145,8 +145,14 @@ object Graph {
                src: String = "src", dst: String = "dst"): DataFrame = {
     require(iters >= 1 && iters <= 200, s"iters out of range: $iters")
     require(damping >= 0.0 && damping <= 1.0, s"damping out of range: $damping")
+    // The edge frame is read by nodes, outDeg, and EVERY iteration's
+    // contribs join — uncached, each of those re-executes the caller's
+    // whole edge derivation (for the co-mention graph: the per-file
+    // explode + distinct, 10× for 8 iterations). Edge-sized, two longs:
+    // the standard iterative-graph working set (GraphX caches the same).
     val e = edges.select(col(src).as("s"), col(dst).as("t"))
       .where(col("s").isNotNull && col("t").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("s").as("node"))
       .unionByName(e.select(col("t").as("node"))).distinct()
     val outDeg = e.groupBy(col("s").as("node"))
@@ -182,6 +188,7 @@ object Graph {
     }
     val out = ranks.select(col("node"), col("pr"))
     base.unpersist() // `ranks` is checkpointed (materialized), base is dead
+    e.unpersist()
     out
   }
 }
