@@ -789,7 +789,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // replay delta 2 (crash-recovery path): must be byte-idempotent
     KgPipeline.mergeDeltaCanonical(spark, dir, buckets,
       spark.createDataset(d2), model, stateDir)
-    val corpus = base.take(5) ++ d1 ++ base.slice(10, 30) ++ d2 ++
+    // delta 3: pure deletion (files 0..2, no changed files) — triples
+    // retract, alias EVIDENCE stays (CanonState is append-only by
+    // design); on this corpus linking is deterministic so the retained
+    // evidence changes no canonical decision and table parity holds
+    val deleted = (0L until 3L).map { i =>
+      val id = ident(i); (id.repo, id.path)
+    }
+    KgPipeline.mergeDeltaCanonical(spark, dir, buckets,
+      spark.createDataset(Seq.empty[KgPipeline.RepoFile]), model, stateDir,
+      deletedFiles = Some(deleted.toDF("src_repo", "src_path")))
+    val corpus = base.slice(3, 5) ++ d1 ++ base.slice(10, 30) ++ d2 ++
       base.slice(35, 40)
     val rf = KgPipeline.run(spark, spark.createDataset(corpus), model)
     val cols = Seq("subj", "pred", "obj", "src_repo", "src_path",
@@ -806,12 +816,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"want=${want.size}, onlyGot=${(got -- want).take(3)}, " +
         s"onlyWant=${(want -- got).take(3)}")
     assert(TableIO.verifyCommits(spark, dir, buckets).isEmpty)
-    // state advanced once per merge call (bootstrap + 3 merges)
+    // state advanced once per merge call (bootstrap + 4 merges)
     val conf = spark.sessionState.newHadoopConf()
     val cur = new org.apache.hadoop.fs.Path(stateDir + "/_current")
     val in = cur.getFileSystem(conf).open(cur)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
               finally in.close()
-    assert(txt.contains("\"version\":4"), txt)
+    assert(txt.contains("\"version\":5"), txt)
   }
 }
