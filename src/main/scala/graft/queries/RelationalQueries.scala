@@ -1888,13 +1888,32 @@ object RelationalQueries {
     * engines produce bit-identical doubles. The windows ranking the two
     * lists run over ≤ 25 rows each (top-k bounded by contract).
     */
+  /** `row_number()` over (score desc, doc_id asc) for a TINY frame
+    * (≤ 25 rows by top-k contract) as a broadcast self-join count —
+    * rank = 1 + how many rows sort strictly before it. Semantically
+    * identical to the unpartitioned window (doc_id breaks ties), but
+    * an empty-partition WindowExec WARNs "No Partition Defined" on
+    * every plan init (the optimizer folds a constant partition key
+    * right back to empty), flooding bench/verify tails with the r5
+    * WARN-noise class for a single-partition pass that is the INTENT
+    * here; on ≤ k rows the O(k²) broadcast join is free and the
+    * warning is structurally impossible.
+    */
+  private def tinyRank(df: DataFrame, score: Column): DataFrame = {
+    val x = df.select(col("doc_id"), score.as("s"))
+    val y = x.select(col("doc_id").as("y_id"), col("s").as("y_s"))
+    x.join(broadcast(y),
+        col("y_s") > col("s") ||
+          (col("y_s") === col("s") && col("y_id") < col("doc_id")), "left")
+      .groupBy("doc_id")
+      .agg((count(col("y_id")) + 1).cast("int").as("rank"))
+  }
+
   def q86_rrf_fusion(s: SparkSession, dir: String): DataFrame = {
     val bm = graft.pipeline.Retrieval.bm25TopK(
       t(s, dir, "documents"), "doc_id", "text",
       Seq("hash", "join", "scan"), k = 25)
-    val wB = Window.orderBy(col("score").desc, col("doc_id").asc)
-    val bmRanked = bm.select(col("doc_id"),
-      row_number().over(wB).as("rank"))
+    val bmRanked = tinyRank(bm, col("score"))
     val e = t(s, dir, "embeddings")
     val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
     val cos = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
@@ -1902,9 +1921,7 @@ object RelationalQueries {
         col("embedding"), col("qv")), 6))
       .orderBy(col("cos").desc, col("vec_id").asc).limit(25)
       .select(col("vec_id").as("doc_id"), col("cos"))
-    val wC = Window.orderBy(col("cos").desc, col("doc_id").asc)
-    val cosRanked = cos.select(col("doc_id"),
-      row_number().over(wC).as("rank"))
+    val cosRanked = tinyRank(cos, col("cos"))
     graft.pipeline.Retrieval.rrfFuse(Seq(bmRanked, cosRanked),
       k0 = 60, topK = 20)
   }
