@@ -690,6 +690,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         edges.collect().mkString(", "))
   }
 
+  test("CanonState load fails LOUD on corrupt or tampered state") {
+    val kb = KgPipeline.kbAliasDf(spark, Seq(
+      Synth.KbEntity("org:a", "orgName", "Acme Corp", Vector("acme corp"))))
+    val stateDir = java.nio.file.Files.createTempDirectory("canoncorrupt")
+      .toString + "/state"
+    val cd = KgPipeline.canonicalizeWithState(spark,
+      linkedOf("org:a" -> "acme corp"), kb, stateDir)
+    CanonState.save(spark, stateDir, cd.edges, cd.canon)
+    KgPipeline.releaseCanon(spark, cd.canon); cd.edges.unpersist()
+    // tamper: flip the recorded edge checksum — data that no longer
+    // matches its meta (a truncated/concurrent write) must refuse to
+    // load; a silently smaller evidence set would silently fork
+    // canonical ids
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_current")
+    val in = cur.getFileSystem(conf).open(cur)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val xor = """"edges_xor":(-?\d+)""".r.findFirstMatchIn(txt).get.group(1)
+    graft.io.TableIO.atomicWrite(s"$stateDir/_current",
+      txt.replace(s""""edges_xor":$xor""",
+        s""""edges_xor":${xor.toLong + 1}"""), conf)
+    val ex = intercept[IllegalArgumentException] {
+      CanonState.loadEdges(spark, stateDir).get.count()
+    }
+    assert(ex.getMessage.contains("integrity"), ex.getMessage)
+    // a garbled _current pointer is equally loud
+    graft.io.TableIO.atomicWrite(s"$stateDir/_current",
+      """{"version":1,"edges_rows":"not-a-number"}""", conf)
+    val ex2 = intercept[IllegalArgumentException] {
+      CanonState.loadEdges(spark, stateDir)
+    }
+    assert(ex2.getMessage.contains("corrupt"), ex2.getMessage)
+  }
+
   test("canonicalizeWithState fails LOUD on a canonical split") {
     val kb = KgPipeline.kbAliasDf(spark, Seq(
       Synth.KbEntity("org:a", "orgName", "Acme Corp", Vector("acme corp")),
