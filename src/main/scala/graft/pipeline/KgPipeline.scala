@@ -514,8 +514,30 @@ object KgPipeline {
     try graft.io.TableIO.mergeBuckets(spark, triplesDir, buckets,
       bucketCols = Seq("src_repo", "src_path"),
       keyCols = Seq("src_repo", "src_path"),
-      upserts = r.triples, deleteKeys = deletedFiles)
+      upserts = r.triples,
+      deleteKeys = withVacatedFiles(changed, r.triples, deletedFiles))
     finally release(spark, r)
+  }
+
+  /** Changed files whose NEW content yields ZERO triples (an edit that
+    * removed every entity mention) contribute no upsert keys — without
+    * an explicit delete their STALE triples would survive the merge.
+    * Return `deletedFiles` plus those vacated keys (anti-join keeps the
+    * result disjoint from the upsert keys, as mergeBuckets' ambiguity
+    * fail-fast requires; delta-sized frames throughout).
+    */
+  private def withVacatedFiles(changed: Dataset[RepoFile],
+                               trip: DataFrame,
+                               deletedFiles: Option[DataFrame])
+      : Option[DataFrame] = {
+    val vacated = changed.toDF()
+      .select(col("repo").as("src_repo"), col("path").as("src_path"))
+      .distinct()
+      .join(trip.select("src_repo", "src_path").distinct(),
+        Seq("src_repo", "src_path"), "left_anti")
+    Some(deletedFiles.fold(vacated)(_
+      .select(col("src_repo"), col("src_path")).unionByName(vacated)
+      .distinct()))
   }
 
   // ------------------------------------------------------------------
@@ -668,7 +690,8 @@ object KgPipeline {
       val deltaReport = graft.io.TableIO.mergeBuckets(spark, triplesDir,
         buckets, bucketCols = Seq("src_repo", "src_path"),
         keyCols = Seq("src_repo", "src_path"),
-        upserts = trip, deleteKeys = deletedFiles)
+        upserts = trip,
+        deleteKeys = withVacatedFiles(changed, trip, deletedFiles))
       val hasDrift = !cd.remap.isEmpty
       val reconcileReport =
         if (hasDrift) reconcileCanon(spark, triplesDir, buckets, cd.remap)

@@ -638,6 +638,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TableIO.verifyCommits(spark, dir, buckets).isEmpty)
   }
 
+  test("mergeDelta retracts a changed file whose new content has no mentions") {
+    import spark.implicits._
+    val buckets = 8
+    val dir = java.nio.file.Files.createTempDirectory("kgvacate")
+      .toString + "/triples"
+    def ident(i: Long) = Synth.repoRow(i, 8, seed = 42L)
+    val base = (0L until 20L).map { i =>
+      val r = ident(i)
+      KgPipeline.RepoFile(r.repo, r.path, r.commit, r.lang, r.content)
+    }
+    val r0 = KgPipeline.run(spark, spark.createDataset(base), model)
+    TableIO.writeResumable(r0.triples, dir, buckets,
+      Seq("src_repo", "src_path"))
+    KgPipeline.release(spark, r0)
+    // the edit empties the file — zero sentences under every lang's
+    // segmentation, so the new content yields ZERO triples; without the
+    // vacated-key delete the file's stale triples would survive
+    val id5 = ident(5L)
+    val gutted = KgPipeline.RepoFile(id5.repo, id5.path, "e" * 40,
+      id5.lang, "")
+    val report = KgPipeline.mergeDelta(spark, dir, buckets,
+      spark.createDataset(Seq(gutted)), model)
+    assert(report.nDeleteKeys == 1 && report.nDeletedExisting > 0,
+      s"expected the vacated file's stale triples to be deleted: $report")
+    val left = TableIO.readCommitted(spark, dir, buckets)
+      .where(col("src_repo") === id5.repo && col("src_path") === id5.path)
+      .count()
+    assert(left == 0, s"stale triples survived the vacating edit: $left")
+    assert(TableIO.verifyCommits(spark, dir, buckets).isEmpty)
+  }
+
   // ---- incremental canonicalization (CanonState) ----
 
   private def linkedOf(pairs: (String, String)*) = {
