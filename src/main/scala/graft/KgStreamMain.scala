@@ -28,6 +28,11 @@ object KgStreamMain {
       "usage: KgStreamMain <outDir> <incomingDir> [once|continuous] [cpus]")
     val outDir = args(0)
     val incomingDir = args(1)
+    // strict: a typo ("continous") or a misplaced cpus value silently
+    // selecting once-mode would leave the intended always-on
+    // maintenance job simply not running
+    args.lift(2).foreach(m => require(m == "once" || m == "continuous",
+      s"mode must be 'once' or 'continuous', got '$m'"))
     val once = !args.lift(2).contains("continuous")
     val cpus = args.lift(3).orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("8")
     val spark = KgMain.session(cpus)

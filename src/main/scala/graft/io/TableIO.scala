@@ -659,10 +659,23 @@ object TableIO {
     require(hExists(s"$dir/_commits", conf),
       s"$dir is not a committed resumable table (no _commits)")
     // canonical data-column order = the table's parquet order; the
-    // checksum convention hashes columns in this order
+    // checksum convention hashes columns in this order. A committed
+    // table can hold ZERO visible bucket dirs (every row deleted by a
+    // prior merge — a state mergeBuckets itself produces — or the only
+    // data-bearing bucket parked in a .premerge backup by a crash this
+    // call repairs below): a raw parquet read would then fail schema
+    // inference and brick a valid table, so fall back to the upserts'
+    // own schema as canonical (they are contract-bound to carry the
+    // full table schema; a type mismatch against repaired data still
+    // fails loudly at the union).
     require(hExists(s"$dir/data", conf),
       s"$dir has no data directory — merge needs a written table")
-    val tableSchema = spark.read.parquet(s"$dir/data").schema
+    val anyVisible = (0 until buckets)
+      .exists(k => hExists(s"$dir/data/_bucket=$k", conf))
+    val tableSchema =
+      if (anyVisible) spark.read.parquet(s"$dir/data").schema
+      else org.apache.spark.sql.types.StructType(
+        upserts.schema.fields.filterNot(_.name == "_bucket"))
     val dataCols = tableSchema.fields.map(_.name).filterNot(_ == "_bucket")
     keyCols.foreach(kc => require(dataCols.contains(kc),
       s"key column $kc is not a table column (${dataCols.mkString(",")})"))
@@ -707,6 +720,42 @@ object TableIO {
         s"bucket $k committed under a different bucket count — refusing " +
           "to merge")
     }
+    // MERGES SERIALIZE TABLE-WIDE: the staging area ($dir/_merge_tmp/
+    // data + manifests) is one per table, so two concurrent merges —
+    // even on disjoint buckets — would clobber each other's staged
+    // data (one's pre-write cleanup deletes the other's freshly
+    // written tmp, which then recomputes as a rows=0 bucket and
+    // silently destroys it). The table lock rules that out before any
+    // per-bucket work; per-bucket locks below still serialize merge
+    // against COMPACTION, which is genuinely per-bucket.
+    fs.mkdirs(new HPath(s"$dir/_merge_tmp"))
+    val tableLock = new HPath(s"$dir/_merge_tmp/_merge.lock")
+    val tableOut =
+      try fs.create(tableLock, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"$dir is already under merge maintenance (lock file " +
+              s"$tableLock exists) — merges are single-process per " +
+              "table (they share one staging area); if nothing is " +
+              "running, delete the stale lock and re-run")
+      }
+    tableOut.close()
+    try mergeAllLocked(spark, dir, buckets, affected, commits, dataCols.toSeq,
+      keyCols, up, del, bExpr, nUpserts, nDeleteKeys, conf, fs)
+    finally fs.delete(tableLock, false)
+  }
+
+  private def mergeAllLocked(spark: SparkSession, dir: String, buckets: Int,
+                             affected: Seq[Int],
+                             commits: Map[Int, BucketCommit],
+                             dataCols: Seq[String], keyCols: Seq[String],
+                             up: DataFrame, del: Option[DataFrame],
+                             bExpr: org.apache.spark.sql.Column,
+                             nUpserts: Long, nDeleteKeys: Long,
+                             conf: Configuration,
+                             fs: org.apache.hadoop.fs.FileSystem)
+      : MergeReport = {
     // take every affected bucket's maintenance lock for the whole merge
     // (sorted order), repair crashed swaps FIRST — a bucket whose live
     // dir sits in a crashed backup would otherwise read as empty
@@ -738,11 +787,24 @@ object TableIO {
   }
 
   /** Repair a crashed MERGE swap for bucket `k` (under the lock). The
-    * staged manifest is the discriminator: if the committed manifest
-    * already equals it, the swap completed — roll forward (reclaim
-    * backup + staged). Otherwise roll back: discard any half-installed
-    * new data, restore the backup, discard staged state; the merge that
-    * crashed simply re-runs.
+    * staged manifest is the primary discriminator: if the committed
+    * manifest already equals it, the swap (usually) completed — roll
+    * forward (reclaim backup + staged). Otherwise roll back: discard
+    * any half-installed new data, restore the backup, discard staged
+    * state; the merge that crashed simply re-runs.
+    *
+    * Manifest equality alone is NOT sufficient for a content-no-op
+    * merge (an at-least-once replay of an already-applied delta — the
+    * StreamingKg contract): its staged manifest is byte-identical to
+    * the committed one (same rows, order-independent checksum,
+    * preserved lineage), so a crash BETWEEN the two renames would
+    * read as "completed" and the roll-forward would delete the backup
+    * — the only copy of the bucket. Tie-break with the live dir: a
+    * rows>0 swap is complete only once the merged data was renamed
+    * in; live missing means the crash sat between the renames — roll
+    * back. (rows=0 staged manifests need no tie-break: a backup only
+    * exists if the OLD bucket had data, and then the old manifest —
+    * rows>0 — cannot equal the rows=0 staged one until installed.)
     */
   private def repairMergeCrash(fs: org.apache.hadoop.fs.FileSystem,
                                dir: String, k: Int,
@@ -753,7 +815,11 @@ object TableIO {
     if (fs.exists(backup)) {
       val stagedTxt = hRead(staged, conf)
       val installed = hRead(commitPath(dir, k), conf)
-      if (stagedTxt.isDefined && installed == stagedTxt) {
+      val stagedRows = stagedTxt.flatMap(t =>
+        """"rows"\s*:\s*(\d+)""".r.findFirstMatchIn(t).map(_.group(1).toLong))
+      val swapDone = stagedTxt.isDefined && installed == stagedTxt &&
+        (stagedRows.contains(0L) || fs.exists(live))
+      if (swapDone) {
         System.err.println(s"[TableIO] bucket $k: merge swap had " +
           s"completed — reclaiming backup $backup")
         fs.delete(backup, true)
@@ -791,8 +857,15 @@ object TableIO {
           s"bucket $k commits ${commits(k).rows} rows but its directory " +
             "is missing — data loss, not a merge target")
     }
-    val old = spark.read.parquet(s"$dir/data")
-      .where(col("_bucket").isin(affected.map(Int.box): _*))
+    // all affected buckets empty (rows=0 manifests, no dirs — the
+    // require above vouched) → nothing old to read, and a raw read of
+    // a dir-less data/ would fail schema inference
+    val old =
+      if (affected.exists(k =>
+          fs.exists(new HPath(s"$dir/data/_bucket=$k"))))
+        spark.read.parquet(s"$dir/data")
+          .where(col("_bucket").isin(affected.map(Int.box): _*))
+      else up.withColumn("_bucket", lit(0).cast("int")).limit(0)
     val touchedKeys = {
       val upK = up.select(keyCols.map(col): _*)
       del.map(d => upK.unionByName(d)).getOrElse(upK).distinct()

@@ -32,8 +32,9 @@ import graft.io.TableIO
   * }}}
   * `_current` is written atomically ([[TableIO.atomicWrite]]) AFTER the
   * new version's data is fully written and read back, so a reader never
-  * observes a half-written version; stale version dirs are best-effort
-  * deleted after the pointer moves. Integrity: row count + order- and
+  * observes a half-written version; the immediately superseded version
+  * is retained for ONE generation (a lazily-loaded frame survives one
+  * concurrent save — see [[save]]), older dirs are best-effort deleted. Integrity: row count + order- and
   * split-independent XOR of `xxhash64(columns)` per frame (the
   * compactBucket checksum convention) — a corrupt or truncated state
   * fails LOUD on load, it never silently yields a smaller edge set
@@ -106,8 +107,16 @@ object CanonState {
         m.canonRows, m.canonXor, "canon")
     }
 
-  /** Write edges + canon as version current+1, swap the pointer, delete
-    * the superseded version dir. Returns the new version number.
+  /** Write edges + canon as version current+1, swap the pointer, then
+    * delete versions OLDER than the superseded one. The immediately
+    * superseded version is RETAINED for one generation: a load returns
+    * a lazy DataFrame over that version's files, and deleting them the
+    * moment the pointer moves would yank the files out from under any
+    * frame resolved just before the save (FileNotFound mid-job — or,
+    * under ignoreMissingFiles, the silently smaller edge set the
+    * checksums exist to prevent). One generation is the contract:
+    * consume a loaded frame before the SECOND subsequent save.
+    * Returns the new version number.
     */
   def save(spark: SparkSession, dir: String,
            edges: DataFrame, canon: DataFrame): Long = {
@@ -128,10 +137,18 @@ object CanonState {
       s"""{"version":${meta.version},"edges_rows":${meta.edgesRows},""" +
         s""""edges_xor":${meta.edgesXor},"canon_rows":${meta.canonRows},""" +
         s""""canon_xor":${meta.canonXor}}""", conf)
+    // keep v and v-1 (see scaladoc); reap everything older
     prior.foreach { old =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/v${old.version}")
-      val fs = p.getFileSystem(conf)
-      try fs.delete(p, true) catch { case scala.util.control.NonFatal(_) => () }
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(conf)
+      try {
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+              n.drop(1).toLong < old.version)
+            fs.delete(st.getPath, true)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     v
   }

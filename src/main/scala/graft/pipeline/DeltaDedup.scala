@@ -105,7 +105,12 @@ object DeltaDedup {
     val oldBands = spark.read.parquet(s"$dir/bands")
     val oldToks = spark.read.parquet(s"$dir/shingles")
     val oldSizes = spark.read.parquet(s"$dir/sizes")
+    // the delta's shingle pass (split + k-gram explode + distinct — the
+    // dominant text cost) feeds three consumers: banding, the verify
+    // join, and the sz_new denominators. Persist it and pin the (delta-
+    // bounded) result so it runs ONCE, not three times per call.
     val newToks = TextDedup.shingleHashes(newDocs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBanded = TextDedup.minhashBands(newToks, numHashes, bands)
     val cand = newBanded
       .select(col("doc_id").as("new_id"), col("band"), col("bk"))
@@ -117,7 +122,7 @@ object DeltaDedup {
       .join(oldToks.select(col("doc_id").as("old_id"), col("gh")),
         Seq("old_id", "gh"))
       .groupBy("new_id", "old_id").agg(count(lit(1)).as("shared"))
-    shared
+    val out = shared
       .join(newToks.groupBy("doc_id").agg(count(lit(1)).as("sz_new"))
         .withColumnRenamed("doc_id", "new_id"), "new_id")
       .join(oldSizes.select(col("doc_id").as("old_id"),
@@ -127,6 +132,13 @@ object DeltaDedup {
       .where(col("shared").cast("double") >= lit(minJaccard) *
         (col("sz_new") + col("sz_old") - col("shared")))
       .select(col("new_id"), col("old_id"), col("shared"), col("jaccard"))
+    // eager by design: the decision pairs are delta-bounded (tiny), and
+    // pinning them is what lets the shingle cache be released before
+    // returning — a lazy return would either leak the cache or silently
+    // recompute the pass per downstream action
+    val pinned = Lineage.chk(out)
+    newToks.unpersist()
+    pinned
   }
 
   /** Append a (deduplicated) new batch's rows to the index so the NEXT
@@ -135,11 +147,22 @@ object DeltaDedup {
     * banded differently from the resident corpus. Caller contract:
     * `newDocs` ids are disjoint from the indexed ids (append, not
     * upsert — the same contract as `TableIO.writeResumable`'s caller).
+    *
+    * Crash safety = the save's meta-drop-first convention: the meta is
+    * deleted before the first append and restored after the last, so an
+    * interrupted append leaves an UNLOADABLE index (rebuild via
+    * [[saveMinhashIndex]]) — never three tables that silently disagree
+    * about a doc (shingle rows without band rows would make the doc
+    * invisible to candidate generation while still inflating Jaccard
+    * denominators, and a blind retry would double-append).
     */
   def appendToIndex(newDocs: DataFrame, idCol: String, textCol: String,
                     dir: String): Unit = {
     val spark = newDocs.sparkSession
     val (k, numHashes, bands) = readMeta(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = new org.apache.hadoop.fs.Path(metaPath(dir))
+    meta.getFileSystem(conf).delete(meta, false)
     val toks = TextDedup.shingleHashes(newDocs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -148,6 +171,10 @@ object DeltaDedup {
         .write.mode("append").parquet(s"$dir/sizes")
       TextDedup.minhashBands(toks, numHashes, bands)
         .write.mode("append").parquet(s"$dir/bands")
+      // all three landed — the index is consistent again
+      graft.io.TableIO.atomicWrite(metaPath(dir),
+        s"""{"format":"graft-minhash-index","version":1,"k":$k,""" +
+          s""""num_hashes":$numHashes,"bands":$bands}""", conf)
     } finally toks.unpersist(blocking = false)
   }
 }

@@ -313,9 +313,17 @@ object KgPipeline {
   def canonFromEdges(spark: SparkSession, allEdges0: DataFrame,
                      kbAliases: DataFrame,
                      collectThreshold: Int = ccCollectThreshold): DataFrame = {
-    // consumed twice (ambiguity stats + the bridgeable join)
-    val allEdges = allEdges0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consumed twice (ambiguity stats + the bridgeable join). persist()
+    // returns the SAME Dataset, so blindly unpersisting at the end
+    // would also drop a cache the CALLER owns (canonicalizeWithState
+    // persists the merged edge set for CanonState.save to reuse) —
+    // only manage the cache here when the caller didn't.
+    val callerCached =
+      allEdges0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val allEdges =
+      if (callerCached) allEdges0
+      else allEdges0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Per-alias ambiguity stats, with each source joined (broadcast,
     // KB-sized) to its canonical name; nil:* sources have no canonical.
     val srcCanon = kbAliases.select(col("entity_id").as("src"),
@@ -364,7 +372,7 @@ object KgPipeline {
     val pinned = chk(out0)
     dropCheckpoint(spark, checkpointFileOf(comps))
     edges.unpersist()
-    allEdges.unpersist()
+    if (!callerCached) allEdges.unpersist()
     pinned
   }
 

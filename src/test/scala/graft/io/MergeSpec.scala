@@ -169,6 +169,76 @@ class MergeSpec extends AnyFunSuite {
     assert(readBack(dir) == want)
   }
 
+  test("no-op replay crash between renames rolls BACK (manifest equality alone must not reclaim the backup)") {
+    val base = baseRows(100)
+    val dir = freshTable(base)
+    val key = 7L
+    val k = bucketOf(key)
+    // simulate an at-least-once REPLAY of an already-applied merge
+    // crashing between the two renames: live parked in the backup, and
+    // the staged manifest BYTE-IDENTICAL to the committed one (a
+    // content-no-op merge re-stages exactly what is installed). The old
+    // discriminator (installed == staged ⇒ roll forward) would delete
+    // the backup — the only copy of the bucket.
+    val live = new java.io.File(s"$dir/data/_bucket=$k")
+    val backup = new java.io.File(s"$dir/data/.premerge-$k")
+    assert(live.exists())
+    assert(live.renameTo(backup))
+    new java.io.File(s"$dir/_merge_tmp").mkdirs()
+    val installed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_commits/bucket-$k.json")), "UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_merge_tmp/manifest-$k.json"),
+      installed.getBytes("UTF-8"))
+    // the next merge must restore the backup, then apply its delta —
+    // nothing lost
+    val report = TableIO.mergeBuckets(spark, dir, Buckets, Seq("k"),
+      Seq("k"), df(Seq((key, "tag-replay", 1L))), None)
+    assert(report.affectedBuckets.contains(k))
+    assert(!backup.exists())
+    val want = base.filterNot(_._1 == key).toSet + ((key, "tag-replay", 1L))
+    assert(readBack(dir) == want)
+    assert(TableIO.verifyCommits(spark, dir, Buckets).isEmpty)
+  }
+
+  test("merges serialize on the table lock (shared staging area)") {
+    val dir = freshTable(baseRows(40))
+    new java.io.File(s"$dir/_merge_tmp").mkdirs()
+    val lock = new java.io.File(s"$dir/_merge_tmp/_merge.lock")
+    assert(lock.createNewFile())
+    val ex = intercept[IllegalStateException] {
+      TableIO.mergeBuckets(spark, dir, Buckets, Seq("k"), Seq("k"),
+        df(Seq((1L, "tag-x", 1L))), None)
+    }
+    assert(ex.getMessage.contains("single-process per table"),
+      ex.getMessage)
+    assert(lock.delete())
+    // lock released → merge proceeds, and releases its own lock after
+    TableIO.mergeBuckets(spark, dir, Buckets, Seq("k"), Seq("k"),
+      df(Seq((1L, "tag-x", 1L))), None)
+    assert(!lock.exists(), "merge leaked its table lock")
+  }
+
+  test("a table merged down to zero rows accepts a later merge") {
+    import spark.implicits._
+    val base = baseRows(30)
+    val dir = freshTable(base)
+    // merge 1: delete EVERY row — all bucket dirs vanish (committed
+    // rows=0 buckets), and a raw parquet read of data/ can no longer
+    // infer a schema
+    TableIO.mergeBuckets(spark, dir, Buckets, Seq("k"), Seq("k"),
+      df(Seq.empty[(Long, String, Long)]),
+      Some(base.map(_._1).toDF("k")))
+    assert(TableIO.readCommits(dir, Buckets,
+      spark.sessionState.newHadoopConf()).map(_.rows).sum == 0L)
+    // merge 2: the table must accept new rows (schema from the upserts)
+    val report = TableIO.mergeBuckets(spark, dir, Buckets, Seq("k"),
+      Seq("k"), df(Seq((3L, "tag-back", 33L))), None)
+    assert(report.rowsAfter == 1L)
+    assert(readBack(dir) == Set((3L, "tag-back", 33L)))
+    assert(TableIO.verifyCommits(spark, dir, Buckets).isEmpty)
+  }
+
   test("deleting every row of a bucket leaves a committed rows=0 bucket") {
     val base = baseRows(120)
     val dir = freshTable(base)
