@@ -59,6 +59,41 @@ class DeltaDedupSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a graft MinHash index"))
   }
 
+  test("a crash mid-append leaves an UNLOADABLE index; a successful append restores the meta") {
+    assume(available)
+    import spark.implicits._
+    val (old, _) = fixture()
+    val base = java.nio.file.Files.createTempDirectory("graft_mhidx3")
+      .toString + "/idx"
+    DeltaDedup.saveMinhashIndex(old, "doc_id", "text", base)
+    val meta = new java.io.File(s"$base/_minhash_meta.json")
+    assert(meta.exists())
+    // simulate the crash window: appendToIndex drops the meta FIRST,
+    // then appends shingles/sizes/bands, then restores the meta — a
+    // crash anywhere between leaves exactly this state. Both the probe
+    // and a blind retry must refuse (a retry would double-append the
+    // doc's shingle rows, corrupting every future Jaccard denominator).
+    assert(meta.delete())
+    val batch = (0 until 5).map(i => (40000L + i,
+      (0 until 40).map(j => s"xw${i}v$j").mkString(" "))).toDF("doc_id", "text")
+    val exProbe = intercept[IllegalArgumentException] {
+      DeltaDedup.nearDupsAgainstIndex(batch, "doc_id", "text", base)
+    }
+    assert(exProbe.getMessage.contains("not a graft MinHash index"))
+    val exRetry = intercept[IllegalArgumentException] {
+      DeltaDedup.appendToIndex(batch, "doc_id", "text", base)
+    }
+    assert(exRetry.getMessage.contains("not a graft MinHash index"))
+    // recovery path: rebuild, then a clean append restores the meta
+    DeltaDedup.saveMinhashIndex(old, "doc_id", "text", base)
+    DeltaDedup.appendToIndex(batch, "doc_id", "text", base)
+    assert(meta.exists(), "append must restore the meta it dropped")
+    assert(DeltaDedup.nearDupsAgainstIndex(
+      batch.where(col("doc_id") === 40001L)
+        .select((col("doc_id") + 100L).as("doc_id"), col("text")),
+      "doc_id", "text", base).count() == 1L)
+  }
+
   test("appended batches are visible to the next probe") {
     assume(available)
     import spark.implicits._

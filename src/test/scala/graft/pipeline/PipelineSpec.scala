@@ -721,6 +721,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         edges.collect().mkString(", "))
   }
 
+  test("CanonState.save retains the superseded version for one generation") {
+    val kb = KgPipeline.kbAliasDf(spark, Seq(
+      Synth.KbEntity("org:a", "orgName", "Acme Corp", Vector("acme corp"))))
+    val stateDir = java.nio.file.Files.createTempDirectory("canonretain")
+      .toString + "/state"
+    def saveBatch(surface: String): Long = {
+      val cd = KgPipeline.canonicalizeWithState(spark,
+        linkedOf("org:a" -> surface), kb, stateDir)
+      val v = CanonState.save(spark, stateDir, cd.edges, cd.canon)
+      KgPipeline.releaseCanon(spark, cd.canon)
+      cd.edges.unpersist(); cd.remap.unpersist()
+      v
+    }
+    assert(saveBatch("acme corp") == 1L)
+    // a frame loaded at v1 and consumed only AFTER the next save — the
+    // one-generation retention contract: deleting v1 the moment v2's
+    // pointer lands would yank the files out from under this frame
+    val v1Edges = CanonState.loadEdges(spark, stateDir).get
+    assert(saveBatch("acme co") == 2L)
+    assert(new java.io.File(s"$stateDir/v1").exists(),
+      "superseded version reaped too early — a loaded frame would die")
+    assert(v1Edges.count() >= 1L, "the v1 frame must still be consumable")
+    assert(saveBatch("acme inc") == 3L)
+    assert(!new java.io.File(s"$stateDir/v1").exists(),
+      "versions older than the superseded one must be reaped")
+    assert(new java.io.File(s"$stateDir/v2").exists())
+    assert(CanonState.loadEdges(spark, stateDir).get.count() >= 1L)
+  }
+
   test("CanonState load fails LOUD on corrupt or tampered state") {
     val kb = KgPipeline.kbAliasDf(spark, Seq(
       Synth.KbEntity("org:a", "orgName", "Acme Corp", Vector("acme corp"))))
