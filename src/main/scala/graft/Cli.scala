@@ -204,10 +204,18 @@ object Cli {
       val rest2 = rest.filterNot(f => f == "redact" || f == "semantic" ||
         f.startsWith("quality=") || f.startsWith("lm="))
       require(rest2.length <= 2, s"unrecognized curate args: $rest2")
-      val minCos = rest2.headOption.map(_.toDouble).getOrElse(0.95)
+      // [minCos] and [greedy|cluster] are INDEPENDENT optionals (the
+      // usage string's contract): tell them apart by shape, so
+      // `curate in out cluster` picks the policy instead of dying in
+      // toDouble with an unhelpful NumberFormatException
+      val (cosArgs, policyArgs) =
+        rest2.partition(a => scala.util.Try(a.toDouble).isSuccess)
+      require(cosArgs.length <= 1 && policyArgs.length <= 1,
+        s"unrecognized curate args: $rest2 (expected [minCos] [greedy|cluster])")
+      val minCos = cosArgs.headOption.map(_.toDouble).getOrElse(0.95)
       // optional policy: "cluster" switches stage 3 from greedy drop-d2
       // to CC dup-clusters with canonical-exemplar keep
-      val policy = rest2.drop(1).headOption.getOrElse("greedy")
+      val policy = policyArgs.headOption.getOrElse("greedy")
       require(policy == "greedy" || policy == "cluster",
         s"unknown near-dup policy '$policy' (greedy|cluster)")
       // stage checkpoints under the output dir: a crashed CLI run

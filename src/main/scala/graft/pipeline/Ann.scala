@@ -257,7 +257,21 @@ object Ann {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
     val nn = vecs.where(col(embCol).isNotNull)
     val cents = centroids.getOrElse {
-      val k = if (nCells > 0) nCells else ivfAutoGeometry(nn.count())._1
+      val n = nn.count()
+      if (n == 0L) {
+        // no vectors → no clusters and no geometry to derive; the
+        // contract is "output for every non-null-embedding row", which
+        // here is the EMPTY frame (the greedy lshCosinePairs path
+        // no-ops the same way) — Curate's semantic stage must survive
+        // a survivor set with no embedding rows, not crash in
+        // ivfAutoGeometry
+        return nn
+          .select(col(idCol).as("vec_id"), lit(0).as("cell"),
+            lit(0.0).as("centroid_cos"), col(idCol).as("cluster_id"),
+            lit(0).as("is_kept"))
+          .where(lit(false))
+      }
+      val k = if (nCells > 0) nCells else ivfAutoGeometry(n)._1
       ivfCentroids(vecs, idCol, embCol, k, seed = seed)
     }
     require(cents.nonEmpty, "semDedup needs >= 1 centroid")

@@ -301,9 +301,24 @@ object Curate {
     val stageLineage = Map("recipe" -> "curate-stage",
       "n_input" -> nInput.toString,
       "minhash_policy" -> (if (clusterKeep) "cluster" else "greedy"),
-      "embedding_policy" -> (if (semanticKeep) "semantic" else "greedy")) ++
+      "embedding_policy" -> (if (semanticKeep) "semantic" else "greedy"),
+      // every threshold that picks a survivor set rides the lineage —
+      // a checkpoint computed at share=0.8 must not restore into a
+      // share=0.99 run (same invariant the optional stages enforce)
+      "boilerplate" -> s"share=$maxDupSpanShare,n=$spanN") ++
+      embeddings.map(_ => "neardup" -> s"min_cos=$minCos") ++
       (if (redactPii) Map("scrub" -> "on") else Map.empty) ++
-      evalSet.map(_ => "decontam" -> s"n=$decontamN") ++
+      // the decontam entry carries the eval set's CONTENT (row count +
+      // order-free xor of text hashes, CanonState's convention), not
+      // just the shingle width: swapping benchmark A for B must
+      // invalidate the checkpoint, or docs contaminated by B restore
+      // as "clean" — the exact leak this stage exists to stop
+      evalSet.map { ev =>
+        val r = ev
+          .select(xxhash64(col(evalTextCol)).as("h"))
+          .agg(count(lit(1)), coalesce(bit_xor(col("h")), lit(0L))).head()
+        "decontam" -> s"n=$decontamN,eval=${r.getLong(0)}:${r.getLong(1)}"
+      } ++
       (if (repetitionOn)
          Map("repetition" ->
            s"n=$repetitionN,top=$maxTopGramShare,dup=$maxDupGramFrac")

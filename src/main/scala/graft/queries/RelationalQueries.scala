@@ -1409,9 +1409,13 @@ object RelationalQueries {
     require(percentiles.nonEmpty &&
       percentiles.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must be in [0, 1]: $percentiles")
-    val maxDistinct = df.groupBy(col(groupCol))
+    // max over ZERO groups is NULL (empty input): route to the exact
+    // path, whose groupBy returns the empty frame the old unguarded
+    // operator did — not an NPE out of getLong
+    val maxRow = df.groupBy(col(groupCol))
       .agg(approx_count_distinct(col(valueCol)).as("nd"))
-      .agg(max(col("nd"))).head().getLong(0)
+      .agg(max(col("nd"))).head()
+    val maxDistinct = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val exact = maxDistinct <= maxDistinctPerGroup
     val aggs = percentiles.map { p =>
       val label = "p" + BigDecimal(p * 100).underlying

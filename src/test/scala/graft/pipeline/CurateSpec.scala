@@ -200,6 +200,22 @@ class CurateSpec extends AnyFunSuite {
         stageDir = Some(s"$base/stages"))
     }
     assert(ex.getMessage.contains("lineage"), ex.getMessage)
+
+    // swapping the eval set's CONTENT (same row count, same decontamN)
+    // must also invalidate the checkpoint: the lineage fingerprints the
+    // eval texts, not just the shingle width — or docs contaminated by
+    // benchmark B would restore as "clean" from a benchmark-A run
+    val evalSwapped = docs.where(col("doc_id") % 10 === 1).select("text")
+    assert(evalSwapped.count() == evalSet.count(),
+      "fixture drifted: swapped eval set must match the original's size " +
+        "so only the content fingerprint can tell them apart")
+    val ex2 = intercept[IllegalArgumentException] {
+      Curate.run(spark, docs, "doc_id", "text", None, "vec_id",
+        "embedding", s"$base/out4", hotKeyCol = "source",
+        stageDir = Some(s"$base/stages"),
+        evalSet = Some(evalSwapped), decontamN = 8, maxTopGramShare = 0.5)
+    }
+    assert(ex2.getMessage.contains("lineage"), ex2.getMessage)
   }
 
   test("curate clusterKeep: stage 3 keeps exactly each cluster's canonical doc") {

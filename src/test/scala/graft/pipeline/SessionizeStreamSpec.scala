@@ -163,4 +163,50 @@ class SessionizeStreamSpec extends AnyFunSuite {
         s"shuffled arrival diverged: missing=${expected -- got} extra=${got -- expected}")
     } finally q.stop()
   }
+
+  test("cross-batch late event merges into a session an eager close would have emitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the adversarial arrival the watermark ADMITS but an eager in-batch
+    // close gets wrong: batch 1 carries ts=1000 and ts=1150 (gap 100
+    // split), batch 2 delivers ts=1080 — admitted (watermark is
+    // 1150-100=1050 and 1080 > 1050), it
+    // belongs to the "closed" {1000} session AND bridges it to {1150};
+    // the batch operator on {1000, 1080, 1150} yields ONE 3-event
+    // session, so the stream must too (this is the review regression:
+    // the old code emitted {1000} in batch 1 and could never take it
+    // back). Timestamps sit off the epoch boundary because the engine's
+    // late filter drops ts <= watermark and the initial watermark is 0.
+    val gap = 100L
+    val input = MemoryStream[(Long, Long)]
+    val out = graft.streaming.StreamingSessionize
+      .sessionStream(spark, input.toDS(), gap, watermarkDelayMs = gap,
+        ordinalTtl = Some(1.hour))
+      .toDF("user_id", "session_id", "n_events", "sess_start_ms")
+    val q = out.writeStream.format("memory").queryName("sess_stream_late")
+      .outputMode("append").start()
+    try {
+      val q0 = spark.sql("SELECT * FROM sess_stream_late")
+      input.addData((1L, 1000L), (1L, 1150L)); q.processAllAvailable()
+      assert(q0.count() == 0L,
+        "nothing is watermark-sealed after batch 1 — eager close regressed")
+      input.addData((1L, 1080L)); q.processAllAvailable()
+      // flush: advance the watermark far past last+gap, then fire timeouts
+      input.addData((9999L, 100000L)); q.processAllAvailable()
+      input.addData((9999L, 100001L)); q.processAllAvailable()
+      val got = q0.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 != 9999L).toSet
+      val expected = Sessionize.sessions(
+          Seq((1L, 1000L, 1L), (1L, 1080L, 2L), (1L, 1150L, 3L))
+            .toDF("user_id", "ms", "event_id"),
+          "user_id", "ms", "event_id", gap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(expected == Set((1L, 1L, 3L, 1000L)), s"fixture drifted: $expected")
+      assert(got == expected,
+        s"late admitted event diverged: missing=${expected -- got} extra=${got -- expected}")
+    } finally q.stop()
+  }
 }

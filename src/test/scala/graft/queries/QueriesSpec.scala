@@ -1090,6 +1090,34 @@ class AnnSpec extends AnyFunSuite {
       "guard misfired: a 40-distinct-value column routed to t-digest")
   }
 
+  test("groupedPercentiles and semDedup survive empty input") {
+    import spark.implicits._
+    // the HLL probe's max over ZERO groups is NULL — the guard must
+    // route to the exact path and return the empty frame, not NPE out
+    // of getLong (review regression)
+    val empty = Seq.empty[(String, Double)].toDF("grp", "value")
+    val out = RelationalQueries.groupedPercentiles(
+      empty, "grp", "value", Seq(0.5))
+    assert(out.collect().isEmpty, "empty input must yield empty output")
+    assert(out.columns.toSeq == Seq("grp", "p50", "n"), out.columns.toSeq)
+    // semDedup with zero non-null embeddings: no geometry to derive —
+    // the contract is the empty frame in the operator's 5-column shape
+    // (Curate's semantic stage must survive a survivor set with no
+    // embedding rows)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val sem = graft.pipeline.Ann.semDedup(
+      noVecs, "vec_id", "embedding", tau = 0.9)
+    assert(sem.collect().isEmpty, "no vectors must yield no rows")
+    assert(sem.columns.toSeq ==
+      Seq("vec_id", "cell", "centroid_cos", "cluster_id", "is_kept"),
+      sem.columns.toSeq)
+    // all-NULL embeddings are the same empty case, not a crash
+    val nulls = Seq((1L, null: Array[Float]), (2L, null: Array[Float]))
+      .toDF("vec_id", "embedding")
+    assert(graft.pipeline.Ann.semDedup(nulls, "vec_id", "embedding",
+      tau = 0.9).collect().isEmpty, "all-null embeddings must yield no rows")
+  }
+
   test("two-pass sessionization matches single-pass on a Zipf-hot fixture") {
     import spark.implicits._
     import graft.pipeline.Sessionize
