@@ -125,8 +125,20 @@ object Bench {
         val names = SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (n, _) =>
             only.forall(_.exists(p => n.startsWith(p))) }
+        // an empty or typo'd filter (SPARK_GRAFT_ONLY="" / "q38" for
+        // q83) would otherwise time zero queries and report a run that
+        // measured nothing — same failure the qTrials guard catches
+        require(names.nonEmpty,
+          s"SPARK_GRAFT_ONLY=${only.map(_.mkString(",")).getOrElse("")} " +
+            "matches no query names — nothing to measure (check the " +
+            "prefixes against SparkEntry.queries)")
         val perTrial: Seq[Seq[(String, Double)]] = (1 to qTrials).map { t =>
-          if (t > 1) graft.queries.PipelineQueries.releaseAll(spark)
+          if (t > 1) {
+            graft.queries.PipelineQueries.releaseAll(spark)
+            // pageRank (q82/q83) checkpoints its result; drop the
+            // previous trial's blocks so trials don't accumulate pins
+            graft.pipeline.Graph.releaseAllRanks(spark)
+          }
           names.map { case (name, fn) =>
             val t0 = System.nanoTime()
             val ok = try { force(fn(spark, sfDir)); true }
@@ -149,6 +161,7 @@ object Bench {
         // session goes away (stop() would reclaim the blocks anyway, but
         // the cache map entry keyed on this session must not outlive it)
         graft.queries.PipelineQueries.releaseAll(spark)
+        graft.pipeline.Graph.releaseAllRanks(spark)
         spark.stop()
         (best, totals)
       }

@@ -687,8 +687,17 @@ object TableIO {
         s"upserts column $c: expected $want, got ${got.orNull}")
     }
     val bExpr = pmod(hash(bucketCols.map(col): _*), lit(buckets))
+    // The delta frames are evaluated by several bounded jobs below
+    // (ambiguity check, counts, bucket image, deleted-existing count,
+    // and the merged write itself) — persist them once so the caller's
+    // plan (often a join + wide distinct, e.g. the KG triple build on
+    // every streaming micro-batch) runs once per merge, not per job.
+    // Delta-bounded by contract, so the footprint is small.
     val up = upserts.select(dataCols.map(col): _*)
-    val del = deleteKeys.map(_.select(keyCols.map(col): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val del = deleteKeys.map(_.select(keyCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
     // ambiguity fail-fast: a key cannot be both upserted and deleted
     del.foreach { d =>
       val both = up.select(keyCols.map(col): _*).join(d, keyCols, "semi")
@@ -744,6 +753,10 @@ object TableIO {
     try mergeAllLocked(spark, dir, buckets, affected, commits, dataCols.toSeq,
       keyCols, up, del, bExpr, nUpserts, nDeleteKeys, conf, fs)
     finally fs.delete(tableLock, false)
+    } finally {
+      up.unpersist()
+      del.foreach(_.unpersist())
+    }
   }
 
   private def mergeAllLocked(spark: SparkSession, dir: String, buckets: Int,
@@ -832,11 +845,34 @@ object TableIO {
           s"could not restore $backup to $live")
         if (stagedTxt.isDefined) fs.delete(new HPath(staged), false)
       }
-    } else if (hRead(staged, conf).isDefined) {
-      // staged manifest without a backup: crash BEFORE the swap began —
-      // staged state is dead weight from a run whose tmp data this run
-      // overwrites anyway
-      fs.delete(new HPath(staged), false)
+    } else {
+      val stagedTxt = hRead(staged, conf)
+      if (stagedTxt.isDefined) {
+        // Staged manifest without a backup: USUALLY a crash before the
+        // swap began (staged state is dead weight this run overwrites
+        // anyway) — but a bucket whose committed state is EMPTY never
+        // gets a backup (rows=0 manifests have no live dir, so the
+        // rename-aside is skipped), so a crash AFTER the tmp→live
+        // rename and BEFORE the manifest install lands here too, with
+        // the crashed merge's UNCOMMITTED rows sitting live under a
+        // rows=0 manifest. Left in place, a later merge's raw read of
+        // dir/data would resurrect those phantom rows as committed
+        // data. Discriminate with the committed manifest: equal to
+        // staged ⇒ the swap fully completed (just reclaim staged);
+        // rows=0 committed + live dir present ⇒ that dir can only be
+        // the crashed merge's output — roll it back.
+        val installed = hRead(commitPath(dir, k), conf)
+        val committedRows = installed.flatMap(t =>
+          """"rows"\s*:\s*(\d+)""".r.findFirstMatchIn(t).map(_.group(1).toLong))
+        if (installed != stagedTxt && committedRows.contains(0L) &&
+            fs.exists(live)) {
+          System.err.println(s"[TableIO] bucket $k: rolling back " +
+            "interrupted merge into a previously-empty bucket — " +
+            s"deleting uncommitted $live")
+          fs.delete(live, true)
+        }
+        fs.delete(new HPath(staged), false)
+      }
     }
   }
 

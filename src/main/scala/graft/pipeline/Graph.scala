@@ -189,6 +189,72 @@ object Graph {
     val out = ranks.select(col("node"), col("pr"))
     base.unpersist() // `ranks` is checkpointed (materialized), base is dead
     e.unpersist()
-    out
+    track(out)
+  }
+
+  /** Rank frames whose backing checkpoint is not yet released, per
+    * session. [[pageRank]]'s output is backed by a checkpoint —
+    * reliable-checkpoint FILES when a checkpoint dir is configured,
+    * pinned localCheckpoint blocks otherwise — that Spark never
+    * reclaims on its own, so without a public release every pageRank
+    * call (every q82/q83 bench trial, every library invocation) leaks
+    * one node-sized block set for the life of the session. Weak session
+    * keys: a stopped, dereferenced session drops its entries.
+    */
+  private val outstandingRanks =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.ArrayBuffer[
+        java.lang.ref.WeakReference[DataFrame]]]
+
+  // WEAK frame refs: a strong value→frame→session chain would defeat
+  // the weak session key AND pin frames the caller already dropped —
+  // a GC'd frame's blocks are reclaimed by Spark's ContextCleaner, so
+  // the registry must not keep it alive just to re-release it.
+  private def track(df: DataFrame): DataFrame = {
+    outstandingRanks.synchronized {
+      val buf = Option(outstandingRanks.get(df.sparkSession)).getOrElse {
+        val b = scala.collection.mutable.ArrayBuffer
+          .empty[java.lang.ref.WeakReference[DataFrame]]
+        outstandingRanks.put(df.sparkSession, b)
+        b
+      }
+      buf.filterInPlace(_.get != null)
+      buf += new java.lang.ref.WeakReference(df)
+    }
+    df
+  }
+
+  /** Free the checkpoint backing a [[pageRank]] result (and any frame
+    * derived from one): reliable checkpoints drop their files, local
+    * checkpoints quietly unpersist their blocks. The frame is NOT
+    * recomputable afterwards — release means "done with it".
+    */
+  def releaseRanks(ranks: DataFrame, blocking: Boolean = false): Unit = {
+    ranks.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr
+    }.foreach { lr =>
+      lr.rdd.getCheckpointFile match {
+        case some @ Some(_) =>
+          Lineage.dropCheckpointFiles(ranks.sparkSession, some)
+        case None => Lineage.quietUnpersist(lr.rdd, blocking)
+      }
+    }
+    outstandingRanks.synchronized {
+      Option(outstandingRanks.get(ranks.sparkSession))
+        .foreach(_.filterInPlace(r => (r.get ne null) && (r.get ne ranks)))
+    }
+  }
+
+  /** Release every outstanding [[pageRank]] checkpoint of this session —
+    * bench-trial / session teardown (the [[graft.queries.PipelineQueries]]
+    * `releaseAll` convention).
+    */
+  def releaseAllRanks(spark: org.apache.spark.sql.SparkSession,
+                      blocking: Boolean = false): Unit = {
+    val frames = outstandingRanks.synchronized {
+      Option(outstandingRanks.get(spark)).toSeq
+        .flatMap(_.flatMap(r => Option(r.get)))
+    }
+    frames.foreach(releaseRanks(_, blocking))
   }
 }

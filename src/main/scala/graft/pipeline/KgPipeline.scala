@@ -592,11 +592,18 @@ object KgPipeline {
       case Some(prior) => prior.unionByName(deltaEdges).distinct()
       case None => deltaEdges
     }
-    // consumed by canonFromEdges AND persisted by the caller afterwards
+    // consumed by canonFromEdges AND persisted by the caller afterwards;
+    // on ANY abort below (the split refusal is an expected, recoverable
+    // failure whose full-rebuild recovery runs in the same session) the
+    // persisted edges and the canon checkpoint are released before the
+    // throw — a long-lived caller (StreamingKg) must not accumulate
+    // pinned blocks or durable checkpoint files per refused batch
     val edges = merged
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val canon = canonFromEdges(spark, edges, kbAliases, collectThreshold)
-    val remap = CanonState.loadCanon(spark, stateDir) match {
+    val canon =
+      try canonFromEdges(spark, edges, kbAliases, collectThreshold)
+      catch { case t: Throwable => edges.unpersist(); throw t }
+    val remap = try { CanonState.loadCanon(spark, stateDir) match {
       case Some(oldCanon) =>
         val j = oldCanon.select(col("entity_id"),
             col("canon_id").as("old_id"))
@@ -624,6 +631,10 @@ object KgPipeline {
       case None =>
         import spark.implicits._
         Seq.empty[(String, String)].toDF("old_id", "new_id")
+    } } catch { case t: Throwable =>
+      edges.unpersist()
+      releaseCanon(spark, canon)
+      throw t
     }
     CanonDelta(canon, remap, edges)
   }
@@ -692,27 +703,30 @@ object KgPipeline {
     val kb = kbAliasDf(spark, Synth.knowledgeBase)
     val linked = linkMentions(spark, ments, kb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cd = canonicalizeWithState(spark, linked, kb, stateDir)
+    // canonicalizeWithState releases its own frames if it aborts (e.g.
+    // the split refusal), so only `linked` needs guarding around it
     try {
-      val trip = triples(linked, cd.canon)
-      val deltaReport = graft.io.TableIO.mergeBuckets(spark, triplesDir,
-        buckets, bucketCols = Seq("src_repo", "src_path"),
-        keyCols = Seq("src_repo", "src_path"),
-        upserts = trip,
-        deleteKeys = withVacatedFiles(changed, trip, deletedFiles))
-      val hasDrift = !cd.remap.isEmpty
-      val reconcileReport =
-        if (hasDrift) reconcileCanon(spark, triplesDir, buckets, cd.remap)
-        else graft.io.TableIO.MergeReport(Seq.empty, 0L, 0L, 0L, 0L, 0L,
-          Seq.empty)
-      CanonState.save(spark, stateDir, cd.edges, cd.canon)
-      (deltaReport, reconcileReport)
-    } finally {
-      cd.remap.unpersist()
-      cd.edges.unpersist()
-      releaseCanon(spark, cd.canon)
-      linked.unpersist()
-    }
+      val cd = canonicalizeWithState(spark, linked, kb, stateDir)
+      try {
+        val trip = triples(linked, cd.canon)
+        val deltaReport = graft.io.TableIO.mergeBuckets(spark, triplesDir,
+          buckets, bucketCols = Seq("src_repo", "src_path"),
+          keyCols = Seq("src_repo", "src_path"),
+          upserts = trip,
+          deleteKeys = withVacatedFiles(changed, trip, deletedFiles))
+        val hasDrift = !cd.remap.isEmpty
+        val reconcileReport =
+          if (hasDrift) reconcileCanon(spark, triplesDir, buckets, cd.remap)
+          else graft.io.TableIO.MergeReport(Seq.empty, 0L, 0L, 0L, 0L, 0L,
+            Seq.empty)
+        CanonState.save(spark, stateDir, cd.edges, cd.canon)
+        (deltaReport, reconcileReport)
+      } finally {
+        cd.remap.unpersist()
+        cd.edges.unpersist()
+        releaseCanon(spark, cd.canon)
+      }
+    } finally linked.unpersist()
   }
 
   /** Free a canonical map returned by [[canonFromEdges]]: cache blocks

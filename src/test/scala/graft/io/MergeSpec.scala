@@ -201,6 +201,45 @@ class MergeSpec extends AnyFunSuite {
     assert(TableIO.verifyCommits(spark, dir, Buckets).isEmpty)
   }
 
+  test("crash after tmp→live rename into a previously-EMPTY bucket: uncommitted rows rolled back, never resurrected") {
+    // all base keys routed to ONE bucket leave the rest committed-empty
+    // (rows=0 manifest, no dir — writeResumable's contract)
+    val k0 = bucketOf(0L)
+    val base = (0L until 1000L).filter(bucketOf(_) == k0).take(20)
+      .map(i => (i, s"tag-old-$i", i * 10))
+    val dir = freshTable(base)
+    val kEmpty = (0 until Buckets).find(_ != k0).get
+    val keyNew = (0L until 1000L).find(bucketOf(_) == kEmpty).get
+    val live = new java.io.File(s"$dir/data/_bucket=$kEmpty")
+    assert(!live.exists(), "fixture bucket must start empty")
+    // simulate the crash window an empty-origin merge leaves: tmp data
+    // renamed into place (live dir holds the dead merge's UNCOMMITTED
+    // rows), staged manifest present, committed manifest still rows=0,
+    // and NO backup (live never existed, so no rename-aside happened)
+    val tmp = java.nio.file.Files.createTempDirectory("phantom").toString
+    df(Seq((keyNew, "tag-phantom", 1L))).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    assert(new java.io.File(tmp).renameTo(live))
+    new java.io.File(s"$dir/_merge_tmp").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_merge_tmp/manifest-$kEmpty.json"),
+      s"""{"bucket":$kEmpty,"rows":1,"checksum":42,"layout":2,"buckets":$Buckets,"lineage":{}}"""
+        .getBytes("UTF-8"))
+    // the next merge must DISCARD the phantom rows (they never
+    // committed), then apply its own delta — the pre-fix repair kept
+    // the live dir, and the merge read "tag-phantom" as committed old
+    // data and silently committed it
+    val report = TableIO.mergeBuckets(spark, dir, Buckets, Seq("k"),
+      Seq("k"), df(Seq((keyNew, "tag-new", 2L))), None)
+    assert(report.affectedBuckets.contains(kEmpty))
+    assert(!new java.io.File(s"$dir/_merge_tmp/manifest-$kEmpty.json").exists())
+    val got = readBack(dir)
+    assert(!got.exists(_._2 == "tag-phantom"),
+      "a crashed merge's uncommitted rows were resurrected as committed data")
+    assert(got == base.toSet + ((keyNew, "tag-new", 2L)))
+    assert(TableIO.verifyCommits(spark, dir, Buckets).isEmpty)
+  }
+
   test("merges serialize on the table lock (shared staging area)") {
     val dir = freshTable(baseRows(40))
     new java.io.File(s"$dir/_merge_tmp").mkdirs()

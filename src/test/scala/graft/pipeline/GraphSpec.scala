@@ -126,6 +126,28 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("releaseRanks/releaseAllRanks free the checkpoint pins behind pageRank results") {
+    val sc = spark.sparkContext
+    val before = sc.getRDDStorageInfo.map(_.id).toSet
+    val r1 = Graph.pageRank(edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 1L))),
+      iters = 3)
+    r1.count()
+    val pinned = sc.getRDDStorageInfo.map(_.id).toSet -- before
+    assert(pinned.nonEmpty, "pageRank's result should be checkpoint-pinned")
+    Graph.releaseRanks(r1, blocking = true)
+    assert((sc.getRDDStorageInfo.map(_.id).toSet & pinned).isEmpty,
+      "releaseRanks left the result's checkpoint blocks pinned")
+    // the session sweep covers frames the caller lost track of (the
+    // bench-teardown path); it must catch a frame never released 1-by-1
+    val r2 = Graph.pageRank(edgeDf(Seq((1L, 2L), (2L, 1L))), iters = 2)
+    r2.count()
+    val pinned2 = sc.getRDDStorageInfo.map(_.id).toSet -- before
+    assert(pinned2.nonEmpty)
+    Graph.releaseAllRanks(spark, blocking = true)
+    assert((sc.getRDDStorageInfo.map(_.id).toSet & pinned2).isEmpty,
+      "releaseAllRanks left checkpoint pins behind")
+  }
+
   test("pageRank: guards reject empty graphs and bad parameters") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(edgeDf(Seq((1L, 2L))), iters = 0)

@@ -802,10 +802,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bridging surface — ambiguity guard severs the bridge, the old
     // component splits, and in-place reconcile is impossible
     val b2 = linkedOf("org:o" -> "acme co")
+    val pinsBefore = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
     val ex = intercept[IllegalStateException] {
       KgPipeline.canonicalizeWithState(spark, b2, kb, stateDir)
     }
     assert(ex.getMessage.contains("SPLIT"), ex.getMessage)
+    // the refusal is an expected, recoverable failure a long-lived
+    // caller (StreamingKg) hits repeatedly — it must not pin the merged
+    // edge set or the canon checkpoint. unpersist is async; poll.
+    def leakedNow = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet --
+      pinsBefore
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (leakedNow.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(200)
+    assert(leakedNow.isEmpty,
+      s"split abort leaked storage pins: $leakedNow")
   }
 
   test("reconcileCanon rewrites only drifted files' buckets; merged type triples collapse") {
