@@ -227,6 +227,35 @@ object Cli {
         redactPii = redact, qualityModel = qualityModel, lm = lmModel)
       utf8Out.println(report.json)
       spark.stop()
+    case "kg-audit" :: tableDir :: rest if rest.length <= 1 =>
+      // Semantic integrity audit of a committed triples table (the
+      // KgMain layout) — KgPipeline.kgAudit's nine metrics as one JSON
+      // line on stdout. Exit 3 when any defect metric (dangling /
+      // orphan / duplicate) is nonzero: the publish gate, scriptable.
+      val buckets = rest.headOption.map(_.toInt).getOrElse(16)
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .appName("graft-kg-audit")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val t = graft.io.TableIO.readCommitted(spark, tableDir, buckets)
+      val audit = graft.pipeline.KgPipeline.kgAudit(spark, t)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val order = Seq("triples_total", "mention_triples", "type_triples",
+        "entities_referenced", "entities_typed", "dangling_entities",
+        "orphan_typed_entities", "multi_typed_entities",
+        "duplicate_triples", "null_key_triples")
+      utf8Out.println(order.map(m => s""""$m":${audit(m)}""")
+        .mkString("{", ",", "}"))
+      val defects = audit("dangling_entities") +
+        audit("orphan_typed_entities") + audit("duplicate_triples") +
+        audit("null_key_triples")
+      spark.stop()
+      if (defects > 0) sys.exit(3)
+
     case "synth" :: out :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(500)
       val seed = rest.drop(1).headOption.map(_.toLong).getOrElse(42L)
@@ -235,7 +264,7 @@ object Cli {
       System.err.println(s"[cli] $n sentences written to $out")
     case _ =>
       System.err.println(
-        "usage: train|train-file|train-dist|ner|ner-xces|ox|compare|synth|cv|serve|client|curate ... (see scaladoc)")
+        "usage: train|train-file|train-dist|ner|ner-xces|ox|compare|synth|cv|serve|client|curate|kg-audit ... (see scaladoc)")
       sys.exit(2)
   }
 }

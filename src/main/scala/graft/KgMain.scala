@@ -98,8 +98,20 @@ object KgMain {
       val bad2 = TableIO.verifyCommits(spark, s"$outDir/triples", 16)
       require(bad2.isEmpty,
         s"post-compaction audit FAILED: buckets $bad2 disagree")
+      // semantic publish gate on top of the physical manifest audit:
+      // the emitted graph must be internally consistent (no dangling
+      // or orphan entities, no duplicate rows) — KgPipeline.kgAudit
+      val audit = graft.pipeline.KgPipeline.kgAudit(spark,
+        TableIO.readCommitted(spark, s"$outDir/triples", 16))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Seq("dangling_entities", "orphan_typed_entities",
+        "duplicate_triples", "null_key_triples").foreach { m =>
+        require(audit(m) == 0L, s"KG semantic audit FAILED: $m=" +
+          s"${audit(m)} (full audit: $audit)")
+      }
       println(s"""{"verify":"ok","buckets_audited":16,""" +
-        s""""files_after_compaction":$filesAfter}""")
+        s""""files_after_compaction":$filesAfter,""" +
+        s""""kg_audit_defects":0}""")
     }
 
     // lineage + stage counters persisted beside the commit manifests

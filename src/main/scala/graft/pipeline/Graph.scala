@@ -192,6 +192,61 @@ object Graph {
     track(out)
   }
 
+  /** Co-occurrence association over (context, item) rows — the
+    * "related entities" enrichment a KG serves next to salience (q83):
+    * for every item pair sharing a context (entities co-mentioned in a
+    * file, products in an order), the pair count and its LIFT
+    * `P(x,y) / (P(x)·P(y)) = c_xy·N / (c_x·c_y)` plus PMI (= ln lift).
+    * Lift/PMI normalize away item popularity — raw pair counts only
+    * ever surface the globally-frequent items.
+    *
+    * Per-context item sets are DEDUPED, sorted, and capped at
+    * `maxPerCtx` (the q83 co-mention cap): a pathological hub context
+    * would otherwise mint C(n,2) pairs — the quadratic blowup every
+    * production co-occurrence job guards first. Counts and pairs both
+    * come from the SAME capped view, so the probabilities stay
+    * consistent under the cap. `minPairCount` prunes the long noise
+    * tail BEFORE the join that attaches marginals.
+    *
+    * Scale shape: one distinct + one groupBy(ctx) aggregate feed every
+    * downstream consumer (Catalyst reuses the exchange — the scan and
+    * the ctx shuffle run once), the pair explosion is bounded by
+    * maxPerCtx² per context, marginals attach via two item-keyed joins
+    * after the minPairCount prune, and N is a broadcast 1-row
+    * aggregate. Lift is EXACT in doubles (integer counts < 2^53, one
+    * IEEE division) and therefore cross-engine hashable; PMI's `ln`
+    * may differ in the last ulp across libm implementations — rank by
+    * either (they are monotone in each other), hash only lift.
+    */
+  def coOccurrence(rows: DataFrame, ctxCol: String, itemCol: String,
+                   maxPerCtx: Int = 64, minPairCount: Long = 1): DataFrame = {
+    require(maxPerCtx >= 2, s"maxPerCtx must be >= 2: $maxPerCtx")
+    require(minPairCount >= 1, s"minPairCount must be >= 1: $minPairCount")
+    val di = rows.select(col(ctxCol).as("ctx"), col(itemCol).as("item"))
+      .where(col("ctx").isNotNull && col("item").isNotNull)
+      .distinct()
+    val sets = di.groupBy("ctx")
+      .agg(slice(sort_array(collect_set(col("item"))), 1, maxPerCtx)
+        .as("items"))
+    val nCtx = sets.agg(count(lit(1)).as("n_ctx"))
+    val capped = sets.select(explode(col("items")).as("item"))
+    val cx = capped.groupBy("item").agg(count(lit(1)).as("c"))
+    val pairCounts = sets
+      .select(explode(col("items")).as("x"), col("items"))
+      .select(col("x"), explode(col("items")).as("y"))
+      .where(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("pair_count"))
+      .where(col("pair_count") >= minPairCount)
+    pairCounts
+      .join(cx.select(col("item").as("x"), col("c").as("cx")), Seq("x"))
+      .join(cx.select(col("item").as("y"), col("c").as("cy")), Seq("y"))
+      .crossJoin(broadcast(nCtx))
+      .select(col("x"), col("y"), col("pair_count"),
+        (col("pair_count").cast("double") * col("n_ctx").cast("double") /
+          (col("cx").cast("double") * col("cy").cast("double"))).as("lift"))
+      .withColumn("pmi", log(col("lift")))
+  }
+
   /** Rank frames whose backing checkpoint is not yet released, per
     * session. [[pageRank]]'s output is backed by a checkpoint —
     * reliable-checkpoint FILES when a checkpoint dir is configured,

@@ -458,6 +458,83 @@ object KgPipeline {
   // standalone pre-shuffle here was removed — the writer's own
   // repartition discarded it, doubling the biggest shuffle in the job.
 
+  /** KG integrity audit — the QA pass a construction pipeline runs over
+    * its OWN output before publishing a table (and the first thing a
+    * consumer runs over a table it didn't build). Ten metrics over any
+    * frame carrying (`subj`, `pred`, `obj`) in the [[triples]]
+    * convention (`hasEntity` mention→canon-id, `hasType`
+    * canon-id→type):
+    *
+    *   - `triples_total` / `mention_triples` / `type_triples` — volume;
+    *   - `entities_referenced` / `entities_typed` — vocabulary sizes;
+    *   - `dangling_entities` — canon ids referenced by a mention but
+    *     never typed (broken by partial rebuilds / bad retractions; a
+    *     correct [[run]] emits ZERO, which PipelineSpec gates);
+    *   - `orphan_typed_entities` — typed but never referenced (stale
+    *     type rows a retraction should have removed);
+    *   - `multi_typed_entities` — canon ids carrying >1 distinct type
+    *     (alias-bridge damage: two real-world entities merged);
+    *   - `duplicate_triples` — exact duplicate ROWS over every column
+    *     of the given frame (idempotence violations in the writer);
+    *   - `null_key_triples` — rows with a NULL subj/pred/obj. Counted
+    *     explicitly AND excluded from every id set: a NULL id is
+    *     malformed, and leaving it in would also make the set metrics
+    *     engine-dependent (SQL `NOT IN` drops NULL probes, a Spark
+    *     anti-join keeps them).
+    *
+    * EAGER: metrics are computed here (the two derived id sets are
+    * persisted for the duration and released before returning — they
+    * are entity-vocabulary-sized, never corpus-sized) and returned as a
+    * 10-row local frame. Scale shape: two column-pruned scans of the
+    * table (one conditional-count aggregate, one full-row distinct for
+    * the duplicate check — the only wide op, and it is what the metric
+    * MEANS), anti-joins and the >1-type count on id-set-sized inputs,
+    * everything partial-agg friendly.
+    */
+  def kgAudit(spark: SparkSession, triples: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val nullKey = col("subj").isNull || col("pred").isNull ||
+      col("obj").isNull
+    val referenced = triples.where(col("pred") === "hasEntity" && !nullKey)
+      .select(col("obj").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val typedPairs = triples.where(col("pred") === "hasType" && !nullKey)
+      .select(col("subj").as("id"), col("obj").as("tp")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val typedIds = typedPairs.select("id").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val c = triples.agg(
+          count(lit(1)).as("total"),
+          count(when(col("pred") === "hasEntity", 1)).as("mentions"),
+          count(when(col("pred") === "hasType", 1)).as("types"),
+          count(when(nullKey, 1)).as("nullkeys"))
+          .collect()(0)
+        val metrics = Seq(
+          "triples_total" -> c.getLong(0),
+          "mention_triples" -> c.getLong(1),
+          "type_triples" -> c.getLong(2),
+          "entities_referenced" -> referenced.count(),
+          "entities_typed" -> typedIds.count(),
+          "dangling_entities" ->
+            referenced.join(typedIds, Seq("id"), "left_anti").count(),
+          "orphan_typed_entities" ->
+            typedIds.join(referenced, Seq("id"), "left_anti").count(),
+          "multi_typed_entities" ->
+            typedPairs.groupBy("id").agg(count(lit(1)).as("n"))
+              .where(col("n") > 1).count(),
+          "duplicate_triples" -> (c.getLong(0) - triples.distinct().count()),
+          "null_key_triples" -> c.getLong(3))
+        import spark.implicits._
+        metrics.toDF("metric", "value")
+      } finally typedIds.unpersist()
+    } finally {
+      referenced.unpersist()
+      typedPairs.unpersist()
+    }
+  }
+
   // ------------------------------------------------------------------
   // End-to-end
   // ------------------------------------------------------------------

@@ -1975,6 +1975,109 @@ object RelationalQueries {
       |SELECT doc_id, rrf, n_lists FROM f
       |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** KG integrity audit ([[graft.pipeline.KgPipeline.kgAudit]]) over a
+    * synthetic triple set derived deterministically from `events`, with
+    * every defect class PLANTED so the audit has something to find:
+    * uids ≥ 10 are referenced but never typed (dangling), `x:` ids are
+    * typed but never referenced (orphans), uids < 3 carry two types
+    * (multi-typed), and every 500th event's mention row is emitted
+    * twice (exact duplicates). The flagship pipeline's own output is
+    * separately gated CLEAN on all three defect metrics in
+    * PipelineSpec — this query cross-checks the audit arithmetic
+    * itself against DuckDB.
+    */
+  def q87_kg_audit(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), (col("user_id") % 50).as("uid"))
+    def ment(e: DataFrame) = e.select(
+      concat(lit("m:"), col("event_id")).as("subj"),
+      lit("hasEntity").as("pred"),
+      concat(lit("e:"), col("uid")).as("obj"))
+    val typed = ev.where(col("uid") < 10)
+      .select(concat(lit("e:"), col("uid")).as("subj"),
+        lit("hasType").as("pred"), lit("person").as("obj")).distinct()
+    val typed2 = ev.where(col("uid") < 3)
+      .select(concat(lit("e:"), col("uid")).as("subj"),
+        lit("hasType").as("pred"), lit("org").as("obj")).distinct()
+    val orphan = ev.where(col("uid") < 5)
+      .select(concat(lit("x:"), col("uid")).as("subj"),
+        lit("hasType").as("pred"), lit("person").as("obj")).distinct()
+    val trip = ment(ev)
+      .unionByName(ment(ev.where(col("event_id") % 500 === 0)))
+      .unionByName(typed).unionByName(typed2).unionByName(orphan)
+    graft.pipeline.KgPipeline.kgAudit(s, trip)
+  }
+
+  val q87_sql: String =
+    """WITH ev AS (SELECT event_id, user_id % 50 AS uid FROM events),
+      |ment AS (SELECT concat('m:', event_id) AS subj, 'hasEntity' AS pred,
+      |                concat('e:', uid) AS obj FROM ev),
+      |dup AS (SELECT concat('m:', event_id), 'hasEntity', concat('e:', uid)
+      |        FROM ev WHERE event_id % 500 = 0),
+      |typed AS (SELECT DISTINCT concat('e:', uid) AS subj, 'hasType' AS pred,
+      |                 'person' AS obj FROM ev WHERE uid < 10),
+      |typed2 AS (SELECT DISTINCT concat('e:', uid), 'hasType', 'org'
+      |           FROM ev WHERE uid < 3),
+      |orph AS (SELECT DISTINCT concat('x:', uid), 'hasType', 'person'
+      |         FROM ev WHERE uid < 5),
+      |trip AS (SELECT * FROM ment UNION ALL SELECT * FROM dup
+      |         UNION ALL SELECT * FROM typed UNION ALL SELECT * FROM typed2
+      |         UNION ALL SELECT * FROM orph),
+      |refd AS (SELECT DISTINCT obj AS id FROM trip WHERE pred = 'hasEntity'),
+      |tpairs AS (SELECT DISTINCT subj AS id, obj AS tp FROM trip
+      |           WHERE pred = 'hasType'),
+      |tids AS (SELECT DISTINCT id FROM tpairs)
+      |SELECT 'triples_total' AS metric, count(*) AS value FROM trip
+      |UNION ALL SELECT 'mention_triples', count(*) FROM trip
+      |  WHERE pred = 'hasEntity'
+      |UNION ALL SELECT 'type_triples', count(*) FROM trip
+      |  WHERE pred = 'hasType'
+      |UNION ALL SELECT 'entities_referenced', count(*) FROM refd
+      |UNION ALL SELECT 'entities_typed', count(*) FROM tids
+      |UNION ALL SELECT 'dangling_entities', count(*) FROM refd
+      |  WHERE id NOT IN (SELECT id FROM tids)
+      |UNION ALL SELECT 'orphan_typed_entities', count(*) FROM tids
+      |  WHERE id NOT IN (SELECT id FROM refd)
+      |UNION ALL SELECT 'multi_typed_entities', count(*) FROM
+      |  (SELECT id FROM tpairs GROUP BY id HAVING count(*) > 1)
+      |UNION ALL SELECT 'duplicate_triples',
+      |  (SELECT count(*) FROM trip) -
+      |  (SELECT count(*) FROM (SELECT DISTINCT * FROM trip))
+      |UNION ALL SELECT 'null_key_triples', count(*) FROM trip
+      |  WHERE subj IS NULL OR pred IS NULL OR obj IS NULL""".stripMargin
+
+  /** Co-occurrence lift over the order→part bipartite data
+    * ([[graft.pipeline.Graph.coOccurrence]]): parts bought together,
+    * normalized for part popularity — the "related entities" table a
+    * KG serves next to q83's salience ranking. The cap (64) is vacuous
+    * on TPC-H-ish orders (≤ 7 lines), so the capped operator equals
+    * the uncapped SQL mirror; the hashable column is LIFT (exact
+    * integer-count arithmetic + one IEEE division — bit-identical
+    * cross-engine), with `pmi = ln(lift)` deliberately excluded (libm
+    * last-ulp drift; GraphSpec pins it instead).
+    */
+  def q88_comention_lift(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Graph.coOccurrence(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ctx"), col("l_partkey").as("item")),
+      "ctx", "item", maxPerCtx = 64, minPairCount = 2)
+      .select(col("x"), col("y"), col("pair_count"), col("lift"))
+
+  val q88_sql: String =
+    """WITH di AS (SELECT DISTINCT l_orderkey AS ctx, l_partkey AS item
+      |            FROM lineitem),
+      |n AS (SELECT count(DISTINCT ctx) AS n_ctx FROM di),
+      |cx AS (SELECT item, count(*) AS c FROM di GROUP BY item),
+      |cxy AS (SELECT a.item AS x, b.item AS y, count(*) AS pair_count
+      |        FROM di a JOIN di b ON a.ctx = b.ctx AND a.item < b.item
+      |        GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT cxy.x, cxy.y, cxy.pair_count,
+      |       CAST(cxy.pair_count AS DOUBLE) *
+      |       CAST((SELECT n_ctx FROM n) AS DOUBLE) /
+      |       (CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)) AS lift
+      |FROM cxy JOIN cx c1 ON cxy.x = c1.item
+      |         JOIN cx c2 ON cxy.y = c2.item""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -2037,5 +2140,7 @@ object RelationalQueries {
     "q81_two_hop" -> ((q81_two_hop _, q81_sql)),
     "q82_pagerank_dyadic" -> ((q82_pagerank_dyadic _, q82_sql)),
     "q84_pq_encode" -> ((q84_pq_encode _, q84_sql)),
-    "q86_rrf_fusion" -> ((q86_rrf_fusion _, q86_sql)))
+    "q86_rrf_fusion" -> ((q86_rrf_fusion _, q86_sql)),
+    "q87_kg_audit" -> ((q87_kg_audit _, q87_sql)),
+    "q88_comention_lift" -> ((q88_comention_lift _, q88_sql)))
 }

@@ -126,6 +126,46 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("coOccurrence: closed-form lift/PMI, input dedup, minPairCount prune") {
+    import spark.implicits._
+    // c1:{a,b,c}, c2:{a,b}, c3:{a}; (c1,a) duplicated — must not count
+    // twice. N=3, c_a=3, c_b=2, c_c=1; pairs (a,b):2, (a,c):1, (b,c):1.
+    val rows = Seq(("c1", "a"), ("c1", "a"), ("c1", "b"), ("c1", "c"),
+      ("c2", "a"), ("c2", "b"), ("c3", "a")).toDF("ctx", "item")
+    val got = Graph.coOccurrence(rows, "ctx", "item")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got(("a", "b")) == ((2L, 2.0 * 3 / (3 * 2),
+      math.log(2.0 * 3 / (3 * 2)))))
+    assert(got(("a", "c")) == ((1L, 1.0 * 3 / (3 * 1),
+      math.log(1.0 * 3 / (3 * 1)))))
+    assert(got(("b", "c")) == ((1L, 1.0 * 3 / (2 * 1),
+      math.log(1.0 * 3 / (2 * 1)))))
+    // the prune drops singleton pairs before marginals attach
+    val pruned = Graph.coOccurrence(rows, "ctx", "item", minPairCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned == Set(("a", "b")))
+  }
+
+  test("coOccurrence: the cap bounds a hub context AND keeps marginals consistent") {
+    import spark.implicits._
+    // cap c1 to its first 2 sorted items {a,b}: c is dropped from the
+    // capped membership entirely, so c_a=3, c_b=2 and ONLY (a,b) pairs
+    val rows = Seq(("c1", "a"), ("c1", "b"), ("c1", "c"),
+      ("c2", "a"), ("c2", "b"), ("c3", "a")).toDF("ctx", "item")
+    val got = Graph.coOccurrence(rows, "ctx", "item", maxPerCtx = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(("a", "b")))
+    assert(got(("a", "b")) == ((2L, 2.0 * 3 / (3 * 2))))
+    intercept[IllegalArgumentException] {
+      Graph.coOccurrence(rows, "ctx", "item", maxPerCtx = 1)
+    }
+  }
+
   test("releaseRanks/releaseAllRanks free the checkpoint pins behind pageRank results") {
     val sc = spark.sparkContext
     val before = sc.getRDDStorageInfo.map(_.id).toSet

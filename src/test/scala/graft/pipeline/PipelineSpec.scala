@@ -103,6 +103,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val typed = t.filter(_.getAs[String]("pred") == "hasType")
       .map(_.getAs[String]("subj")).toSet
     assert(canonIds.subsetOf(typed))
+    // the pipeline's own output audits CLEAN on every defect metric —
+    // the publish gate a production run holds its table to
+    val audit = KgPipeline.kgAudit(spark, result.triples)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit("dangling_entities") == 0L, audit.toString)
+    assert(audit("orphan_typed_entities") == 0L, audit.toString)
+    assert(audit("duplicate_triples") == 0L, audit.toString)
+    assert(audit("null_key_triples") == 0L, audit.toString)
+    assert(audit("triples_total") == t.length.toLong)
+    assert(audit("entities_referenced") == canonIds.size.toLong)
+    assert(audit("entities_typed") == typed.size.toLong)
+  }
+
+  test("kgAudit: every metric exact on a frame with planted defects") {
+    import spark.implicits._
+    val trip = Seq(
+      // e:1 referenced + typed; e:2 referenced, NEVER typed (dangling);
+      // e:3 typed twice (multi-typed) but never referenced (orphan);
+      // one exact duplicate mention row (m:a appears twice); one
+      // NULL-obj mention — counted as malformed, EXCLUDED from the id
+      // sets (it must not read as a dangling reference to NULL)
+      ("m:a", "hasEntity", "e:1"),
+      ("m:a", "hasEntity", "e:1"),
+      ("m:b", "hasEntity", "e:2"),
+      ("m:z", "hasEntity", null),
+      ("e:1", "hasType", "person"),
+      ("e:3", "hasType", "person"),
+      ("e:3", "hasType", "org")
+    ).toDF("subj", "pred", "obj")
+    val got = KgPipeline.kgAudit(spark, trip)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "triples_total" -> 7L,
+      "mention_triples" -> 4L,       // raw pred count incl. the null row
+      "type_triples" -> 3L,
+      "entities_referenced" -> 2L,
+      "entities_typed" -> 2L,
+      "dangling_entities" -> 1L,   // e:2 — NOT the null obj
+      "orphan_typed_entities" -> 1L, // e:3
+      "multi_typed_entities" -> 1L,  // e:3
+      "duplicate_triples" -> 1L,     // the repeated m:a row
+      "null_key_triples" -> 1L))     // m:z
   }
 
   test("canonicalize: distributed CC path agrees with driver union-find") {

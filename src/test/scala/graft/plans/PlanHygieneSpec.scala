@@ -121,6 +121,21 @@ class PlanHygieneSpec extends AnyFunSuite {
         offenders.mkString("\n"))
   }
 
+  test("q88 co-occurrence: the ctx aggregate is computed once (exchange reused) and N broadcasts") {
+    assume(available)
+    val df = RelationalQueries.q88_comention_lift(spark, dir)
+    df.collect() // gate the FINAL adaptive plan
+    val p = planString(df)
+    // the per-context item-set aggregate feeds THREE consumers (N,
+    // marginals, pairs); without ReuseExchange the scan + distinct +
+    // ctx shuffle would run three times
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"q88: the shared ctx aggregate is not reused across its " +
+        s"consumers:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q88: the 1-row N attach must broadcast, not go cartesian:\n$p")
+  }
+
   test("q64 bm25: token arrays never shuffle; df and stats join broadcast") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
