@@ -256,6 +256,26 @@ object Cli {
       spark.stop()
       if (defects > 0) sys.exit(3)
 
+    case "kg-export" :: tableDir :: outDir :: rest if rest.length <= 1 =>
+      // W3C N-Triples export of a committed triples table
+      // (KgPipeline.ntriples): outDir gets .text part files a standard
+      // RDF toolchain can load. One JSON line: distinct triples written.
+      val buckets = rest.headOption.map(_.toInt).getOrElse(16)
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .appName("graft-kg-export")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val t = graft.io.TableIO.readCommitted(spark, tableDir, buckets)
+      val lines = graft.pipeline.KgPipeline.ntriples(t)
+      lines.write.mode("overwrite").text(outDir)
+      val n = spark.read.text(outDir).count()
+      utf8Out.println(s"""{"ntriples_written":$n,"out":"$outDir"}""")
+      spark.stop()
+
     case "synth" :: out :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(500)
       val seed = rest.drop(1).headOption.map(_.toLong).getOrElse(42L)
@@ -264,7 +284,7 @@ object Cli {
       System.err.println(s"[cli] $n sentences written to $out")
     case _ =>
       System.err.println(
-        "usage: train|train-file|train-dist|ner|ner-xces|ox|compare|synth|cv|serve|client|curate|kg-audit ... (see scaladoc)")
+        "usage: train|train-file|train-dist|ner|ner-xces|ox|compare|synth|cv|serve|client|curate|kg-audit|kg-export ... (see scaladoc)")
       sys.exit(2)
   }
 }

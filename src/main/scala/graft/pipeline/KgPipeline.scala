@@ -535,6 +535,70 @@ object KgPipeline {
     }
   }
 
+  /** Percent-encode the characters an IRI cannot carry (RFC 3987 via
+    * the N-Triples grammar's IRIREF exclusions): '%' FIRST so the
+    * escapes themselves are never re-escaped, then space, `<>"{}|^`,
+    * backtick, backslash, and the three nameable control chars. A
+    * remaining C0 control character has no representation — refuse
+    * loudly rather than emit a line no RDF parser will accept. All
+    * static `replace` calls: whole-stage codegen, no lambda.
+    */
+  private def ntIriEscaped(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val esc = Seq(
+      "%" -> "%25", " " -> "%20", "<" -> "%3C", ">" -> "%3E",
+      "\"" -> "%22", "{" -> "%7B", "}" -> "%7D", "|" -> "%7C",
+      "^" -> "%5E", "`" -> "%60", "\\" -> "%5C",
+      "\n" -> "%0A", "\r" -> "%0D", "\t" -> "%09")
+      .foldLeft(c) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to)) }
+    when(esc.rlike("[\\x00-\\x1f]"),
+      raise_error(concat(
+        lit("ntriples: unencodable control character in id: "), esc)))
+      .otherwise(esc)
+  }
+
+  /** N-Triples STRING_LITERAL_QUOTE escaping: backslash FIRST (the
+    * other escapes introduce backslashes), then quote, LF, CR, tab.
+    * Remaining raw control characters are invalid in the grammar —
+    * loud refusal, same contract as [[ntIriEscaped]].
+    */
+  private def ntLiteralEscaped(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val esc = Seq(
+      "\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n",
+      "\r" -> "\\r", "\t" -> "\\t")
+      .foldLeft(c) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to)) }
+    when(esc.rlike("[\\x00-\\x1f]"),
+      raise_error(concat(
+        lit("ntriples: unencodable control character in literal: "), esc)))
+      .otherwise(esc)
+  }
+
+  /** W3C N-Triples (RDF 1.1) serialization of the LOGICAL triple set —
+    * the standards-interoperable export next to the parquet sink (O5):
+    * one `line` per distinct (subj, pred, obj), subjects and entity
+    * objects as `<urn:graft:…>` IRIs, `hasType` objects as string
+    * literals. An RDF graph is a SET, so provenance columns are
+    * dropped and rows deduped — the one wide op, and it is what the
+    * format means; write with `.text(dir)` for spec-compliant `.nt`
+    * part files. Escaping is total for everything UTF-8 can carry
+    * except raw C0 controls, which fail loudly (tested); the common
+    * case (ids over ordinary repo/path/commit values) escapes to
+    * itself.
+    */
+  def ntriples(triples: DataFrame): DataFrame =
+    triples.select(col("subj"), col("pred"), col("obj")).distinct()
+      .select(concat(
+        lit("<urn:graft:"), ntIriEscaped(col("subj")), lit("> "),
+        lit("<urn:graft:pred:"), ntIriEscaped(col("pred")), lit("> "),
+        when(col("pred") === "hasType",
+          concat(lit("\""), ntLiteralEscaped(col("obj")), lit("\"")))
+          .otherwise(
+            concat(lit("<urn:graft:"), ntIriEscaped(col("obj")), lit(">"))),
+        lit(" .")).as("line"))
+
   // ------------------------------------------------------------------
   // End-to-end
   // ------------------------------------------------------------------

@@ -1986,7 +1986,11 @@ object RelationalQueries {
     * PipelineSpec — this query cross-checks the audit arithmetic
     * itself against DuckDB.
     */
-  def q87_kg_audit(s: SparkSession, dir: String): DataFrame = {
+  /** The q87/q89 shared synthetic triple set (see [[q87_kg_audit]] for
+    * the planted-defect design); [[syntheticTripCte]] is its SQL
+    * mirror, ending in a `trip` CTE.
+    */
+  private def syntheticTriples(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("event_id"), (col("user_id") % 50).as("uid"))
     def ment(e: DataFrame) = e.select(
@@ -2002,14 +2006,13 @@ object RelationalQueries {
     val orphan = ev.where(col("uid") < 5)
       .select(concat(lit("x:"), col("uid")).as("subj"),
         lit("hasType").as("pred"), lit("person").as("obj")).distinct()
-    val trip = ment(ev)
+    ment(ev)
       .unionByName(ment(ev.where(col("event_id") % 500 === 0)))
       .unionByName(typed).unionByName(typed2).unionByName(orphan)
-    graft.pipeline.KgPipeline.kgAudit(s, trip)
   }
 
-  val q87_sql: String =
-    """WITH ev AS (SELECT event_id, user_id % 50 AS uid FROM events),
+  private val syntheticTripCte: String =
+    """ev AS (SELECT event_id, user_id % 50 AS uid FROM events),
       |ment AS (SELECT concat('m:', event_id) AS subj, 'hasEntity' AS pred,
       |                concat('e:', uid) AS obj FROM ev),
       |dup AS (SELECT concat('m:', event_id), 'hasEntity', concat('e:', uid)
@@ -2022,7 +2025,13 @@ object RelationalQueries {
       |         FROM ev WHERE uid < 5),
       |trip AS (SELECT * FROM ment UNION ALL SELECT * FROM dup
       |         UNION ALL SELECT * FROM typed UNION ALL SELECT * FROM typed2
-      |         UNION ALL SELECT * FROM orph),
+      |         UNION ALL SELECT * FROM orph)""".stripMargin
+
+  def q87_kg_audit(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.KgPipeline.kgAudit(s, syntheticTriples(s, dir))
+
+  val q87_sql: String =
+    s"""WITH $syntheticTripCte,
       |refd AS (SELECT DISTINCT obj AS id FROM trip WHERE pred = 'hasEntity'),
       |tpairs AS (SELECT DISTINCT subj AS id, obj AS tp FROM trip
       |           WHERE pred = 'hasType'),
@@ -2077,6 +2086,29 @@ object RelationalQueries {
       |       (CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)) AS lift
       |FROM cxy JOIN cx c1 ON cxy.x = c1.item
       |         JOIN cx c2 ON cxy.y = c2.item""".stripMargin
+
+  /** N-Triples export ([[graft.pipeline.KgPipeline.ntriples]]) of the
+    * q87 synthetic triple set: distinct-set semantics (the planted
+    * duplicate rows collapse), IRIs for subjects/entity objects,
+    * string literals for types. The synthetic ids are `[a-z0-9:.]` so
+    * escaping is the identity and the SQL mirror is plain concat —
+    * the escaping branches themselves (percent-encoding, literal
+    * backslash escapes, loud control-char refusal) are pinned by
+    * PipelineSpec, the q51/q52 "oracle the friendly rendition, spec
+    * the hard branches" convention.
+    */
+  def q89_ntriples(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.KgPipeline.ntriples(syntheticTriples(s, dir))
+
+  val q89_sql: String =
+    s"""WITH $syntheticTripCte
+      |SELECT concat('<urn:graft:', subj, '> <urn:graft:pred:', pred,
+      |              '> ',
+      |              CASE WHEN pred = 'hasType'
+      |                   THEN concat('"', obj, '"')
+      |                   ELSE concat('<urn:graft:', obj, '>') END,
+      |              ' .') AS line
+      |FROM (SELECT DISTINCT * FROM trip)""".stripMargin
 
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -2142,5 +2174,6 @@ object RelationalQueries {
     "q84_pq_encode" -> ((q84_pq_encode _, q84_sql)),
     "q86_rrf_fusion" -> ((q86_rrf_fusion _, q86_sql)),
     "q87_kg_audit" -> ((q87_kg_audit _, q87_sql)),
-    "q88_comention_lift" -> ((q88_comention_lift _, q88_sql)))
+    "q88_comention_lift" -> ((q88_comention_lift _, q88_sql)),
+    "q89_ntriples" -> ((q89_ntriples _, q89_sql)))
 }

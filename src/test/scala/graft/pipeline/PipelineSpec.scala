@@ -116,6 +116,75 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(audit("entities_typed") == typed.size.toLong)
   }
 
+  test("ntriples: RDF escaping, distinct-set semantics, loud control-char refusal") {
+    import spark.implicits._
+    val trip = Seq(
+      ("m:a", "hasEntity", "e:1"),
+      ("m:a", "hasEntity", "e:1"), // duplicate row collapses (RDF = set)
+      ("we ird%id", "hasEntity", "e<2>"), // IRI percent-encoding
+      ("e:1", "hasType", "per\"son\\x\nend") // literal escapes
+    ).toDF("subj", "pred", "obj")
+    val lines = KgPipeline.ntriples(trip).collect().map(_.getString(0)).toSet
+    assert(lines == Set(
+      "<urn:graft:m:a> <urn:graft:pred:hasEntity> <urn:graft:e:1> .",
+      "<urn:graft:we%20ird%25id> <urn:graft:pred:hasEntity> " +
+        "<urn:graft:e%3C2%3E> .",
+      "<urn:graft:e:1> <urn:graft:pred:hasType> " +
+        "\"per\\\"son\\\\x\\nend\" ."))
+    // a raw C0 control char has no N-Triples representation: refuse,
+    // never emit a line no RDF parser will accept
+    val ex = intercept[Exception] {
+      KgPipeline.ntriples(
+        Seq(("a\u0001b", "hasType", "t")).toDF("subj", "pred", "obj"))
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("ntriples: seeded property roundtrip — every escaped line parses back to its triple") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // every escapable special, plus multi-byte unicode that must pass
+    // through untouched
+    val alphabet = ("abcXYZ09:._-" + "%<>\"{}|^`\\ \n\r\t" + "łü€").toVector
+    def randId() = (0 to rnd.nextInt(12))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val trips = (1 to 300).map { i =>
+      (randId(), if (i % 2 == 0) "hasEntity" else "hasType", randId())
+    }.distinct
+    val lines = KgPipeline.ntriples(trips.toDF("subj", "pred", "obj"))
+      .collect().map(_.getString(0))
+    assert(lines.length == trips.size)
+    def unIri(s: String): String =
+      "%([0-9A-F]{2})".r.replaceAllIn(s, m => scala.util.matching.Regex
+        .quoteReplacement(Integer.parseInt(m.group(1), 16).toChar.toString))
+    def unLit(s: String): String = {
+      val b = new StringBuilder; var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case 'n' => b += '\n'
+            case 'r' => b += '\r'
+            case 't' => b += '\t'
+            case c => b += c
+          }
+          i += 2
+        } else { b += s(i); i += 1 }
+      }
+      b.toString
+    }
+    // escaped IRIs contain no '>'/space and literals no raw quote or
+    // newline, so this grammar-faithful regex is unambiguous
+    val Line =
+      """^<urn:graft:([^>]*)> <urn:graft:pred:([^>]*)> (?:<urn:graft:([^>]*)>|"(.*)") \.$""".r
+    val parsed = lines.map {
+      case Line(s, p, o, l) =>
+        (unIri(s), unIri(p), if (o != null) unIri(o) else unLit(l))
+      case other => fail(s"unparseable N-Triples line: $other")
+    }.toSet
+    assert(parsed == trips.toSet)
+  }
+
   test("kgAudit: every metric exact on a frame with planted defects") {
     import spark.implicits._
     val trip = Seq(
