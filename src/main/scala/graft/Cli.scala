@@ -45,6 +45,24 @@ object Cli {
   }
   private val utf8Out = new java.io.PrintStream(System.out, true, "UTF-8")
 
+  /** The local SparkSession every Spark-backed CLI mode uses:
+    * parallelism AND shuffle partitions from SPARK_GRAFT_CPUS (default
+    * 8 — 200 shuffle partitions on a laptop-sized run is pure task
+    * overhead), UI off, WARN logs so the mode's one-line JSON output
+    * stays findable.
+    */
+  private def localSession(appName: String): org.apache.spark.sql.SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     // stable number formatting in compare/cv tables and JSON regardless
     // of platform locale (a comma decimal separator breaks consumers)
@@ -80,12 +98,7 @@ object Cli {
     case "train-dist" :: in :: out :: rest if rest.length <= 1 =>
       // corpus-scale path: the ENAMEX corpus never reaches the driver —
       // flatten/codec/gradient all run distributed (Train.trainDistributed)
-      val spark = org.apache.spark.sql.SparkSession.builder()
-        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-        .appName("graft-train-dist")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = localSession("graft-train-dist")
       val cfg = rest.headOption.map(e => Sgd.Config(iterNum = e.toInt))
         .getOrElse(Sgd.Config())
       val model = graft.pipeline.Train.trainDistributed(
@@ -132,12 +145,7 @@ object Cli {
     case "cv" :: in :: kStr :: rest if rest.length <= 1 =>
       // reference `nerf cv` (/root/reference/app/Main.hs:74-85,251-271):
       // partition the corpus, train per fold, report + optionally save
-      val spark = org.apache.spark.sql.SparkSession.builder()
-        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-        .appName("graft-cv")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = localSession("graft-cv")
       import spark.implicits._
       val lines = spark.read.textFile(in)
       val stats = graft.pipeline.Train.crossValidate(
@@ -166,14 +174,7 @@ object Cli {
       // exact dedup -> boilerplate drop -> MinHash near-dup -> embedding
       // near-dup -> hot-key detection -> salted resumable write. One
       // JSON report line on stdout; see graft.pipeline.Curate.
-      val spark = org.apache.spark.sql.SparkSession.builder()
-        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-        .appName("graft-curate")
-        .config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = localSession("graft-curate")
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       // existence via the Hadoop FS API, NOT java.nio: sfDir may be any
       // scheme Spark can read (hdfs://, s3a://) — a local-only check
@@ -229,18 +230,12 @@ object Cli {
       spark.stop()
     case "kg-audit" :: tableDir :: rest if rest.length <= 1 =>
       // Semantic integrity audit of a committed triples table (the
-      // KgMain layout) — KgPipeline.kgAudit's nine metrics as one JSON
+      // KgMain layout) — KgPipeline.kgAudit's ten metrics as one JSON
       // line on stdout. Exit 3 when any defect metric (dangling /
-      // orphan / duplicate) is nonzero: the publish gate, scriptable.
+      // orphan / duplicate / null-key) is nonzero: the publish gate,
+      // scriptable.
       val buckets = rest.headOption.map(_.toInt).getOrElse(16)
-      val spark = org.apache.spark.sql.SparkSession.builder()
-        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-        .appName("graft-kg-audit")
-        .config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = localSession("graft-kg-audit")
       val t = graft.io.TableIO.readCommitted(spark, tableDir, buckets)
       val audit = graft.pipeline.KgPipeline.kgAudit(spark, t)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -261,19 +256,15 @@ object Cli {
       // (KgPipeline.ntriples): outDir gets .text part files a standard
       // RDF toolchain can load. One JSON line: distinct triples written.
       val buckets = rest.headOption.map(_.toInt).getOrElse(16)
-      val spark = org.apache.spark.sql.SparkSession.builder()
-        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-        .appName("graft-kg-export")
-        .config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = localSession("graft-kg-export")
       val t = graft.io.TableIO.readCommitted(spark, tableDir, buckets)
       val lines = graft.pipeline.KgPipeline.ntriples(t)
       lines.write.mode("overwrite").text(outDir)
       val n = spark.read.text(outDir).count()
-      utf8Out.println(s"""{"ntriples_written":$n,"out":"$outDir"}""")
+      // the path is user input — escape it or a quote/backslash in the
+      // path breaks the one-JSON-line contract scripted consumers parse
+      val safeOut = outDir.replace("\\", "\\\\").replace("\"", "\\\"")
+      utf8Out.println(s"""{"ntriples_written":$n,"out":"$safeOut"}""")
       spark.stop()
 
     case "synth" :: out :: rest =>

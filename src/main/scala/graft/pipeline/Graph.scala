@@ -256,25 +256,54 @@ object Graph {
     * one node-sized block set for the life of the session. Weak session
     * keys: a stopped, dereferenced session drops its entries.
     */
-  private val outstandingRanks =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.ArrayBuffer[
-        java.lang.ref.WeakReference[DataFrame]]]
-
   // WEAK frame refs: a strong value→frame→session chain would defeat
   // the weak session key AND pin frames the caller already dropped —
-  // a GC'd frame's blocks are reclaimed by Spark's ContextCleaner, so
-  // the registry must not keep it alive just to re-release it.
+  // a GC'd frame's LOCAL checkpoint blocks are reclaimed by Spark's
+  // ContextCleaner. Reliable-checkpoint FILES are not (Spark never
+  // deletes them unless cleanCheckpoints is set), so those paths are
+  // held STRONGLY alongside the weak frame ref: a frame that was GC'd
+  // before release still gets its durable directory reclaimed by the
+  // next sweep.
+  private final case class TrackedRanks(
+      ref: java.lang.ref.WeakReference[DataFrame],
+      checkpointFiles: Seq[String])
+
+  private val outstandingRanks =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.ArrayBuffer[TrackedRanks]]
+
+  private def checkpointFilesOf(df: DataFrame): Seq[String] =
+    df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile
+    }.flatten
+
+  /** Drop entries whose frame was GC'd, reclaiming their durable
+    * checkpoint files (local blocks are ContextCleaner's job). Caller
+    * holds the registry lock.
+    */
+  private def sweepDead(spark: org.apache.spark.sql.SparkSession,
+                        buf: scala.collection.mutable.ArrayBuffer[TrackedRanks])
+      : Unit =
+    buf.filterInPlace { t =>
+      if (t.ref.get ne null) true
+      else {
+        t.checkpointFiles.foreach(f =>
+          Lineage.dropCheckpointFiles(spark, Some(f)))
+        false
+      }
+    }
+
   private def track(df: DataFrame): DataFrame = {
     outstandingRanks.synchronized {
       val buf = Option(outstandingRanks.get(df.sparkSession)).getOrElse {
-        val b = scala.collection.mutable.ArrayBuffer
-          .empty[java.lang.ref.WeakReference[DataFrame]]
+        val b = scala.collection.mutable.ArrayBuffer.empty[TrackedRanks]
         outstandingRanks.put(df.sparkSession, b)
         b
       }
-      buf.filterInPlace(_.get != null)
-      buf += new java.lang.ref.WeakReference(df)
+      sweepDead(df.sparkSession, buf)
+      buf += TrackedRanks(new java.lang.ref.WeakReference(df),
+        checkpointFilesOf(df))
     }
     df
   }
@@ -295,20 +324,24 @@ object Graph {
       }
     }
     outstandingRanks.synchronized {
-      Option(outstandingRanks.get(ranks.sparkSession))
-        .foreach(_.filterInPlace(r => (r.get ne null) && (r.get ne ranks)))
+      Option(outstandingRanks.get(ranks.sparkSession)).foreach { buf =>
+        buf.filterInPlace(t => t.ref.get ne ranks)
+        sweepDead(ranks.sparkSession, buf)
+      }
     }
   }
 
   /** Release every outstanding [[pageRank]] checkpoint of this session —
     * bench-trial / session teardown (the [[graft.queries.PipelineQueries]]
-    * `releaseAll` convention).
+    * `releaseAll` convention). Frames already GC'd have their durable
+    * checkpoint files reclaimed here too.
     */
   def releaseAllRanks(spark: org.apache.spark.sql.SparkSession,
                       blocking: Boolean = false): Unit = {
     val frames = outstandingRanks.synchronized {
-      Option(outstandingRanks.get(spark)).toSeq
-        .flatMap(_.flatMap(r => Option(r.get)))
+      val buf = Option(outstandingRanks.get(spark))
+      buf.foreach(sweepDead(spark, _))
+      buf.toSeq.flatMap(_.flatMap(t => Option(t.ref.get)))
     }
     frames.foreach(releaseRanks(_, blocking))
   }

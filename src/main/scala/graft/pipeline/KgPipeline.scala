@@ -482,25 +482,34 @@ object KgPipeline {
     *     engine-dependent (SQL `NOT IN` drops NULL probes, a Spark
     *     anti-join keeps them).
     *
-    * EAGER: metrics are computed here (the two derived id sets are
+    * EAGER: metrics are computed here (the derived id sets are
     * persisted for the duration and released before returning — they
     * are entity-vocabulary-sized, never corpus-sized) and returned as a
-    * 10-row local frame. Scale shape: two column-pruned scans of the
-    * table (one conditional-count aggregate, one full-row distinct for
-    * the duplicate check — the only wide op, and it is what the metric
-    * MEANS), anti-joins and the >1-type count on id-set-sized inputs,
-    * everything partial-agg friendly.
+    * 10-row local frame. Scale shape: THREE scans of the table — one
+    * conditional-count aggregate, one pruned pass that derives both id
+    * sets together, and one full-row distinct for the duplicate check
+    * (the only full-width op, and it is what that metric MEANS);
+    * anti-joins and the >1-type count run on the persisted
+    * id-set-sized frames, everything partial-agg friendly.
     */
   def kgAudit(spark: SparkSession, triples: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val nullKey = col("subj").isNull || col("pred").isNull ||
       col("obj").isNull
-    val referenced = triples.where(col("pred") === "hasEntity" && !nullKey)
-      .select(col("obj").as("id")).distinct()
+    // both id sets from ONE pruned scan: hasEntity contributes its
+    // object (tp null), hasType its subject + type — the distinct is
+    // then (pred, id[, tp]), exactly the two sets stacked
+    val ids = triples
+      .where((col("pred") === "hasEntity" || col("pred") === "hasType") &&
+        !nullKey)
+      .select(col("pred"),
+        when(col("pred") === "hasEntity", col("obj"))
+          .otherwise(col("subj")).as("id"),
+        when(col("pred") === "hasType", col("obj")).as("tp"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val typedPairs = triples.where(col("pred") === "hasType" && !nullKey)
-      .select(col("subj").as("id"), col("obj").as("tp")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val referenced = ids.where(col("pred") === "hasEntity").select("id")
+    val typedPairs = ids.where(col("pred") === "hasType").select("id", "tp")
     try {
       val typedIds = typedPairs.select("id").distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -529,10 +538,7 @@ object KgPipeline {
         import spark.implicits._
         metrics.toDF("metric", "value")
       } finally typedIds.unpersist()
-    } finally {
-      referenced.unpersist()
-      typedPairs.unpersist()
-    }
+    } finally ids.unpersist()
   }
 
   /** Percent-encode the characters an IRI cannot carry (RFC 3987 via
@@ -552,9 +558,15 @@ object KgPipeline {
       "\n" -> "%0A", "\r" -> "%0D", "\t" -> "%09")
       .foldLeft(c) { case (acc, (from, to)) =>
         replace(acc, lit(from), lit(to)) }
-    when(esc.rlike("[\\x00-\\x1f]"),
-      raise_error(concat(
-        lit("ntriples: unencodable control character in id: "), esc)))
+    // NULL must refuse like the control chars do — concat would
+    // otherwise null the whole line and the text writer would emit a
+    // silent blank line (data loss an exporter must never hide)
+    when(c.isNull,
+      raise_error(lit("ntriples: NULL id component — run kgAudit; " +
+        "null-key triples cannot be serialized")))
+      .when(esc.rlike("[\\x00-\\x1f]"),
+        raise_error(concat(
+          lit("ntriples: unencodable control character in id: "), esc)))
       .otherwise(esc)
   }
 
@@ -570,9 +582,12 @@ object KgPipeline {
       "\r" -> "\\r", "\t" -> "\\t")
       .foldLeft(c) { case (acc, (from, to)) =>
         replace(acc, lit(from), lit(to)) }
-    when(esc.rlike("[\\x00-\\x1f]"),
-      raise_error(concat(
-        lit("ntriples: unencodable control character in literal: "), esc)))
+    when(c.isNull,
+      raise_error(lit("ntriples: NULL literal — run kgAudit; " +
+        "null-key triples cannot be serialized")))
+      .when(esc.rlike("[\\x00-\\x1f]"),
+        raise_error(concat(
+          lit("ntriples: unencodable control character in literal: "), esc)))
       .otherwise(esc)
   }
 
@@ -755,10 +770,14 @@ object KgPipeline {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // split detection must see UNCHANGED members too: a cluster
         // where one entity keeps old_id as its canon while another
-        // moves away is a split even though only one row drifts
-        val split = j.groupBy("old_id")
-          .agg(countDistinct(col("new_id")).as("n"))
-          .where(col("n") > 1).limit(3).collect()
+        // moves away is a split even though only one row drifts.
+        // (guarded: a transient failure of the detection job itself
+        // must not leave the just-persisted drift frame pinned)
+        val split =
+          try j.groupBy("old_id")
+            .agg(countDistinct(col("new_id")).as("n"))
+            .where(col("n") > 1).limit(3).collect()
+          catch { case t: Throwable => drift.unpersist(); throw t }
         if (split.nonEmpty) {
           drift.unpersist()
           throw new IllegalStateException(

@@ -139,6 +139,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect()
     }
     assert(ex.getMessage != null)
+    // NULL components refuse the same way — concat would otherwise
+    // null the line and the text writer would emit a silent blank
+    intercept[Exception] {
+      KgPipeline.ntriples(
+        Seq[(String, String, String)](("m:z", "hasEntity", null))
+          .toDF("subj", "pred", "obj"))
+        .collect()
+    }
   }
 
   test("ntriples: seeded property roundtrip — every escaped line parses back to its triple") {
