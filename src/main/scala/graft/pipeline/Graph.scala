@@ -225,9 +225,19 @@ object Graph {
     val di = rows.select(col(ctxCol).as("ctx"), col(itemCol).as("item"))
       .where(col("ctx").isNotNull && col("item").isNotNull)
       .distinct()
-    val sets = di.groupBy("ctx")
-      .agg(slice(sort_array(collect_set(col("item"))), 1, maxPerCtx)
-        .as("items"))
+    // the cap is applied BEFORE any per-context collection: a
+    // slice-after-collect_set would buffer a hub context's ENTIRE item
+    // set in the aggregation buffer (unbounded driver-of-OOM at 100-TB
+    // scale) just to throw most of it away. The window's sort spills;
+    // an agg buffer cannot. Same result: the first maxPerCtx items in
+    // item order. The window and the groupBy share one ctx exchange.
+    val ranked = di.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("ctx").orderBy("item")))
+      .where(col("rn") <= maxPerCtx)
+    val sets = ranked.groupBy("ctx")
+      .agg(sort_array(collect_list(col("item"))).as("items"))
     val nCtx = sets.agg(count(lit(1)).as("n_ctx"))
     val capped = sets.select(explode(col("items")).as("item"))
     val cx = capped.groupBy("item").agg(count(lit(1)).as("c"))

@@ -342,6 +342,30 @@ object PipelineQueries {
   private[queries] def nearestCell(cs: Array[Array[Float]], v: Array[Float]): Int =
     VecOps.nearestCell(cs, v)
 
+  /** Related canonical entities of the flagship's own KG
+    * ([[graft.pipeline.Graph.coOccurrence]] over per-file co-mention):
+    * the popularity-normalized "entities that appear together" table a
+    * KG serves next to q83's salience. Same (file, entity) derivation
+    * and cap-32 convention as q83's edge build; pairs needing ≥ 2
+    * shared files, top 50 by lift (exact double) with a full
+    * deterministic tie-break. Rows-only: the derivation rides the NER
+    * pipeline; the lift arithmetic itself is q88-oracled cross-engine
+    * and GraphSpec-pinned.
+    */
+  def q90_related_entities(s: SparkSession, dir: String): DataFrame = {
+    val r = pipelineFor(s, dir)
+    val ment = r.linked
+      .join(broadcast(r.canon), Seq("entity_id"), "left")
+      .select(concat_ws("#", col("repo"), col("path"), col("commit"))
+        .as("file"),
+        coalesce(col("canon_id"), col("entity_id")).as("ent"))
+    graft.pipeline.Graph.coOccurrence(ment, "file", "ent",
+      maxPerCtx = 32, minPairCount = 2)
+      .select(col("x"), col("y"), col("pair_count"), col("lift"))
+      .orderBy(col("lift").desc, col("pair_count").desc, col("x"), col("y"))
+      .limit(50)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ner_mentions" -> (q40_ner_mentions _),
     "q41_linked" -> (q41_linked _),
@@ -355,7 +379,8 @@ object PipelineQueries {
     "q49_ann_ivf" -> (q49_ann_ivf _),
     "q53_cosine_pairs" -> (q53_cosine_pairs _),
     "q83_entity_rank" -> (q83_entity_rank _),
-    "q85_pq_search" -> (q85_pq_search _))
+    "q85_pq_search" -> (q85_pq_search _),
+    "q90_related_entities" -> (q90_related_entities _))
 }
 
 /** Pure vector math, free of any Spark or session state: executor

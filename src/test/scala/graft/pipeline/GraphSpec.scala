@@ -149,6 +149,33 @@ class GraphSpec extends AnyFunSuite {
     assert(pruned == Set(("a", "b")))
   }
 
+  test("coOccurrence: driver recompute parity on a seeded random fixture") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 400).map(_ =>
+      (s"c${rnd.nextInt(40)}", s"i${rnd.nextInt(25)}"))
+    val got = Graph.coOccurrence(rows.toDF("ctx", "item"), "ctx", "item",
+        maxPerCtx = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // driver mirror of the contract: first 8 sorted distinct items per
+    // context, counts and pairs from the same capped view, lift in the
+    // same multiply-then-divide order (bit-equal doubles)
+    val sets = rows.distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.take(8)).toMap
+    val n = sets.size
+    val cx = sets.values.flatten.groupBy(identity).view.mapValues(_.size)
+      .toMap
+    val want = sets.values.toSeq
+      .flatMap(items => for { a <- items; b <- items if a < b } yield (a, b))
+      .groupBy(identity).view.mapValues(_.size).toMap
+      .map { case ((a, b), c) =>
+        (a, b) -> (c.toLong,
+          c.toDouble * n / (cx(a).toDouble * cx(b).toDouble)) }
+    assert(got == want)
+  }
+
   test("coOccurrence: the cap bounds a hub context AND keeps marginals consistent") {
     import spark.implicits._
     // cap c1 to its first 2 sorted items {a,b}: c is dropped from the
