@@ -53,12 +53,15 @@ object Cli {
     */
   private def localSession(appName: String): org.apache.spark.sql.SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val s = org.apache.spark.sql.SparkSession.builder()
+    val b = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CPUS='*' is legal in local[...] but not as a
+    // partition count — size shuffles from it only when numeric
+    cpus.toIntOption.foreach(n =>
+      b.config("spark.sql.shuffle.partitions", n.toString))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -261,10 +264,11 @@ object Cli {
       val lines = graft.pipeline.KgPipeline.ntriples(t)
       lines.write.mode("overwrite").text(outDir)
       val n = spark.read.text(outDir).count()
-      // the path is user input — escape it or a quote/backslash in the
-      // path breaks the one-JSON-line contract scripted consumers parse
-      val safeOut = outDir.replace("\\", "\\\\").replace("\"", "\\\"")
-      utf8Out.println(s"""{"ntriples_written":$n,"out":"$safeOut"}""")
+      // the path is user input — escape it (quotes, backslashes, AND
+      // control chars: a newline is POSIX-legal in a path) or it
+      // breaks the one-JSON-line contract scripted consumers parse
+      utf8Out.println(s"""{"ntriples_written":$n,""" +
+        s""""out":${graft.io.TableIO.jstr(outDir)}}""")
       spark.stop()
 
     case "synth" :: out :: rest =>

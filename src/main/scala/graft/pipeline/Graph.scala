@@ -266,55 +266,63 @@ object Graph {
     * one node-sized block set for the life of the session. Weak session
     * keys: a stopped, dereferenced session drops its entries.
     */
-  // WEAK frame refs: a strong value→frame→session chain would defeat
-  // the weak session key AND pin frames the caller already dropped —
-  // a GC'd frame's LOCAL checkpoint blocks are reclaimed by Spark's
-  // ContextCleaner. Reliable-checkpoint FILES are not (Spark never
-  // deletes them unless cleanCheckpoints is set), so those paths are
-  // held STRONGLY alongside the weak frame ref: a frame that was GC'd
-  // before release still gets its durable directory reclaimed by the
-  // next sweep.
+  // WEAK refs to the backing RDD, not the DataFrame: the RDD is the
+  // correct liveness identity — a derived frame (`pageRank(...)
+  // .orderBy(...)`, the q83 shape) keeps the checkpointed RDD strongly
+  // reachable through its plan even after the raw result OBJECT is
+  // GC'd, so an RDD-weak registry can never reclaim files a live
+  // consumer still reads (a frame-weak one could — GC timing would
+  // nondeterministically break re-collection). When the RDD itself is
+  // unreachable, NO frame can read it: its durable checkpoint
+  // directory (which Spark never deletes unless cleanCheckpoints is
+  // set) is reclaimed by the next sweep, held STRONGLY as a path
+  // string; its local blocks are ContextCleaner's job. All filesystem
+  // deletions run OUTSIDE the registry lock — a hung remote delete
+  // must not stall every other thread's pageRank.
   private final case class TrackedRanks(
-      ref: java.lang.ref.WeakReference[DataFrame],
-      checkpointFiles: Seq[String])
+      ref: java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]],
+      checkpointFile: Option[String])
 
   private val outstandingRanks =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.mutable.ArrayBuffer[TrackedRanks]]
 
-  private def checkpointFilesOf(df: DataFrame): Seq[String] =
+  private def rddsOf(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.logical.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.getCheckpointFile
-    }.flatten
-
-  /** Drop entries whose frame was GC'd, reclaiming their durable
-    * checkpoint files (local blocks are ContextCleaner's job). Caller
-    * holds the registry lock.
-    */
-  private def sweepDead(spark: org.apache.spark.sql.SparkSession,
-                        buf: scala.collection.mutable.ArrayBuffer[TrackedRanks])
-      : Unit =
-    buf.filterInPlace { t =>
-      if (t.ref.get ne null) true
-      else {
-        t.checkpointFiles.foreach(f =>
-          Lineage.dropCheckpointFiles(spark, Some(f)))
-        false
-      }
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
 
+  /** Remove entries whose RDD was GC'd; returns their durable
+    * checkpoint paths for the CALLER to delete after releasing the
+    * lock. Caller holds the registry lock.
+    */
+  private def drainDead(
+      buf: scala.collection.mutable.ArrayBuffer[TrackedRanks])
+      : Seq[String] = {
+    val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+    buf.filterInPlace { t =>
+      if (t.ref.get ne null) true
+      else { t.checkpointFile.foreach(dead += _); false }
+    }
+    dead.toSeq
+  }
+
   private def track(df: DataFrame): DataFrame = {
-    outstandingRanks.synchronized {
+    val entries = rddsOf(df).map(r => TrackedRanks(
+      new java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]](r),
+      r.getCheckpointFile))
+    val deadFiles = outstandingRanks.synchronized {
       val buf = Option(outstandingRanks.get(df.sparkSession)).getOrElse {
         val b = scala.collection.mutable.ArrayBuffer.empty[TrackedRanks]
         outstandingRanks.put(df.sparkSession, b)
         b
       }
-      sweepDead(df.sparkSession, buf)
-      buf += TrackedRanks(new java.lang.ref.WeakReference(df),
-        checkpointFilesOf(df))
+      val d = drainDead(buf)
+      buf ++= entries
+      d
     }
+    deadFiles.foreach(f =>
+      Lineage.dropCheckpointFiles(df.sparkSession, Some(f)))
     df
   }
 
@@ -324,35 +332,45 @@ object Graph {
     * recomputable afterwards — release means "done with it".
     */
   def releaseRanks(ranks: DataFrame, blocking: Boolean = false): Unit = {
-    ranks.queryExecution.logical.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr
-    }.foreach { lr =>
-      lr.rdd.getCheckpointFile match {
+    val rdds = rddsOf(ranks)
+    rdds.foreach { rdd =>
+      rdd.getCheckpointFile match {
         case some @ Some(_) =>
           Lineage.dropCheckpointFiles(ranks.sparkSession, some)
-        case None => Lineage.quietUnpersist(lr.rdd, blocking)
+        case None => Lineage.quietUnpersist(rdd, blocking)
       }
     }
-    outstandingRanks.synchronized {
-      Option(outstandingRanks.get(ranks.sparkSession)).foreach { buf =>
-        buf.filterInPlace(t => t.ref.get ne ranks)
-        sweepDead(ranks.sparkSession, buf)
-      }
+    val released = rdds.toSet
+    val deadFiles = outstandingRanks.synchronized {
+      Option(outstandingRanks.get(ranks.sparkSession)).map { buf =>
+        val d = drainDead(buf)
+        buf.filterInPlace(t => !released.contains(t.ref.get))
+        d
+      }.getOrElse(Seq.empty)
     }
+    deadFiles.foreach(f =>
+      Lineage.dropCheckpointFiles(ranks.sparkSession, Some(f)))
   }
 
   /** Release every outstanding [[pageRank]] checkpoint of this session —
     * bench-trial / session teardown (the [[graft.queries.PipelineQueries]]
-    * `releaseAll` convention). Frames already GC'd have their durable
+    * `releaseAll` convention). RDDs already GC'd have their durable
     * checkpoint files reclaimed here too.
     */
   def releaseAllRanks(spark: org.apache.spark.sql.SparkSession,
                       blocking: Boolean = false): Unit = {
-    val frames = outstandingRanks.synchronized {
+    val entries = outstandingRanks.synchronized {
       val buf = Option(outstandingRanks.get(spark))
-      buf.foreach(sweepDead(spark, _))
-      buf.toSeq.flatMap(_.flatMap(t => Option(t.ref.get)))
+      val out = buf.toSeq.flatMap(_.toSeq)
+      buf.foreach(_.clear())
+      out
     }
-    frames.foreach(releaseRanks(_, blocking))
+    entries.foreach { t =>
+      (Option(t.ref.get), t.checkpointFile) match {
+        case (_, some @ Some(_)) => Lineage.dropCheckpointFiles(spark, some)
+        case (Some(rdd), None) => Lineage.quietUnpersist(rdd, blocking)
+        case (None, None) => () // GC'd local checkpoint: ContextCleaner's
+      }
+    }
   }
 }

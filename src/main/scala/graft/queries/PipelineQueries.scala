@@ -292,14 +292,32 @@ object PipelineQueries {
     * rendition) and GraphSpec pins the general path (damping 0.85,
     * dangling nodes) against a driver recompute.
     */
-  def q83_entity_rank(s: SparkSession, dir: String): DataFrame = {
-    val r = pipelineFor(s, dir)
-    val ment = r.linked
+  /** (file, canonical-entity) co-mention rows of the flagship's own
+    * output — the shared derivation behind q83's salience graph and
+    * q90's related-entities table (one place to change the
+    * canonical-join or file-key convention).
+    */
+  private def fileEntities(r: graft.pipeline.KgPipeline.Result): DataFrame =
+    r.linked
       .join(broadcast(r.canon), Seq("entity_id"), "left")
       .select(concat_ws("#", col("repo"), col("path"), col("commit")).as("file"),
         coalesce(col("canon_id"), col("entity_id")).as("ent"))
-    val perFile = ment.groupBy("file")
-      .agg(slice(sort_array(collect_set(col("ent"))), 1, 32).as("ents"))
+
+  def q83_entity_rank(s: SparkSession, dir: String): DataFrame = {
+    val r = pipelineFor(s, dir)
+    val ment = fileEntities(r)
+    // cap-32 per file BEFORE collection (the Graph.coOccurrence
+    // convention): rank distinct (file, ent) through a spillable
+    // window so a pathological file cannot balloon an agg buffer,
+    // then collect the already-capped list. Same set as the previous
+    // slice(sort_array(collect_set)), 1, 32) — the 32 smallest ents.
+    val ranked = ment.select(col("file"), col("ent")).distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("file").orderBy("ent")))
+      .where(col("rn") <= 32)
+    val perFile = ranked.groupBy("file")
+      .agg(sort_array(collect_list(col("ent"))).as("ents"))
     val pairs = perFile
       .select(explode(col("ents")).as("ea"), col("ents"))
       .select(col("ea"), explode(col("ents")).as("eb"))
@@ -354,12 +372,7 @@ object PipelineQueries {
     */
   def q90_related_entities(s: SparkSession, dir: String): DataFrame = {
     val r = pipelineFor(s, dir)
-    val ment = r.linked
-      .join(broadcast(r.canon), Seq("entity_id"), "left")
-      .select(concat_ws("#", col("repo"), col("path"), col("commit"))
-        .as("file"),
-        coalesce(col("canon_id"), col("entity_id")).as("ent"))
-    graft.pipeline.Graph.coOccurrence(ment, "file", "ent",
+    graft.pipeline.Graph.coOccurrence(fileEntities(r), "file", "ent",
       maxPerCtx = 32, minPairCount = 2)
       .select(col("x"), col("y"), col("pair_count"), col("lift"))
       .orderBy(col("lift").desc, col("pair_count").desc, col("x"), col("y"))
