@@ -541,6 +541,69 @@ object KgPipeline {
     } finally ids.unpersist()
   }
 
+  /** Evaluate a basic graph pattern (the SPARQL-BGP shape) over a
+    * triple frame — the consumer-side QUERY layer a KG-construction
+    * engine stops one step short of useful without. Each pattern is a
+    * (subj, pred, obj) template: a term starting with `?` is a
+    * variable, anything else a bound literal. Returns the DISTINCT
+    * variable bindings, one column per variable (name without the
+    * `?`), evaluated as: per-pattern filtered scans of the triple
+    * table, then hash joins on shared variables in the given pattern
+    * order.
+    *
+    * Semantics notes:
+    *   - a variable repeated WITHIN one pattern (`(?x, p, ?x)`) adds an
+    *     equality filter on that pattern's scan;
+    *   - patterns sharing no variable with what precedes them compose
+    *     as a cross product (legal SPARQL; order patterns so each
+    *     joins on something, and put the most selective first — the
+    *     standard BGP planning advice; this evaluator joins in the
+    *     order given);
+    *   - set semantics: bindings are DISTINCT (the cross-engine
+    *     hashable contract; SPARQL's default bag semantics would make
+    *     the result depend on join multiplicities).
+    *
+    * Scale shape: each pattern is a column-pruned, filter-pushed scan
+    * of the same table (bound positions reach the parquet reader);
+    * joins hash-partition on the shared variable columns (canon-id
+    * strings — short by construction); nothing is collected.
+    */
+  def matchPattern(triples: DataFrame,
+                   patterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "matchPattern needs at least one pattern")
+    def isVar(t: String) = t.startsWith("?")
+    patterns.foreach { case (s, p, o) =>
+      require(Seq(s, p, o).exists(isVar),
+        s"pattern ($s, $p, $o) binds no variable — a fully-ground " +
+          "pattern is a containment CHECK, not a query; use a filter")
+      Seq(s, p, o).filter(isVar).foreach(v =>
+        require(v.length > 1, s"pattern ($s, $p, $o): bare '?' variable"))
+    }
+    def frame(pat: (String, String, String)): DataFrame = {
+      val terms = Seq("subj" -> pat._1, "pred" -> pat._2, "obj" -> pat._3)
+      var df = triples.select(col("subj"), col("pred"), col("obj"))
+      terms.foreach { case (c, t) =>
+        if (!isVar(t)) df = df.where(col(c) === t)
+      }
+      val byVar = terms.filter(t => isVar(t._2)).groupBy(_._2).toSeq
+        .sortBy(_._1)
+      // same variable twice in one pattern = an intra-pattern equality
+      byVar.foreach { case (_, occ) =>
+        occ.map(_._1).sliding(2).foreach {
+          case Seq(a, b) => df = df.where(col(a) === col(b))
+          case _ => ()
+        }
+      }
+      df.select(byVar.map { case (v, occ) =>
+        col(occ.head._1).as(v.stripPrefix("?")) }: _*)
+    }
+    patterns.map(frame).reduce { (acc, next) =>
+      val shared = acc.columns.intersect(next.columns).toSeq
+      if (shared.nonEmpty) acc.join(next, shared)
+      else acc.crossJoin(next)
+    }.distinct()
+  }
+
   /** Percent-encode the characters an IRI cannot carry (RFC 3987 via
     * the N-Triples grammar's IRIREF exclusions): '%' FIRST so the
     * escapes themselves are never re-escaped, then space, `<>"{}|^`,

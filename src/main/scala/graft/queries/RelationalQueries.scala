@@ -2110,6 +2110,23 @@ object RelationalQueries {
       |              ' .') AS line
       |FROM (SELECT DISTINCT * FROM trip)""".stripMargin
 
+  /** Basic-graph-pattern query ([[graft.pipeline.KgPipeline.matchPattern]])
+    * over the q87 synthetic triple set: "every mention, its entity, and
+    * that entity's type" — a two-pattern BGP joining on the entity
+    * variable with an unbound type position. Exercises var↔var hash
+    * joins, bound-predicate pushdown, and the distinct-bindings
+    * contract; the DuckDB mirror is the equivalent self-join.
+    */
+  def q91_pattern_query(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.KgPipeline.matchPattern(syntheticTriples(s, dir),
+      Seq(("?m", "hasEntity", "?e"), ("?e", "hasType", "?t")))
+
+  val q91_sql: String =
+    s"""WITH $syntheticTripCte
+      |SELECT DISTINCT a.obj AS e, a.subj AS m, b.obj AS t
+      |FROM trip a JOIN trip b ON b.subj = a.obj
+      |WHERE a.pred = 'hasEntity' AND b.pred = 'hasType'""".stripMargin
+
   /** All oracle-checked queries: name -> (builder, duckdb sql). */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_dict_build" -> ((q01_dict_build _, q01_sql)),
@@ -2175,5 +2192,6 @@ object RelationalQueries {
     "q86_rrf_fusion" -> ((q86_rrf_fusion _, q86_sql)),
     "q87_kg_audit" -> ((q87_kg_audit _, q87_sql)),
     "q88_comention_lift" -> ((q88_comention_lift _, q88_sql)),
-    "q89_ntriples" -> ((q89_ntriples _, q89_sql)))
+    "q89_ntriples" -> ((q89_ntriples _, q89_sql)),
+    "q91_pattern_query" -> ((q91_pattern_query _, q91_sql)))
 }

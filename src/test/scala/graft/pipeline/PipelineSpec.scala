@@ -116,6 +116,52 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(audit("entities_typed") == typed.size.toLong)
   }
 
+  test("matchPattern: BGP joins, repeated-var equality, cross product, guards") {
+    import spark.implicits._
+    val trip = Seq(
+      ("m:1", "hasEntity", "e:a"),
+      ("m:2", "hasEntity", "e:a"),
+      ("m:3", "hasEntity", "e:b"),
+      ("e:a", "hasType", "person"),
+      ("e:b", "hasType", "org"),
+      ("e:x", "hasEntity", "e:x") // self-reference for the repeated-var case
+    ).toDF("subj", "pred", "obj")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] =
+      df.collect().map(_.toSeq.map(_.asInstanceOf[String])).toSet
+    // two-pattern join on ?e with a bound object
+    val persons = KgPipeline.matchPattern(trip,
+      Seq(("?m", "hasEntity", "?e"), ("?e", "hasType", "person")))
+    assert(persons.columns.toSeq == Seq("e", "m"))
+    assert(rows(persons) == Set(Seq("e:a", "m:1"), Seq("e:a", "m:2")))
+    // unbound type variable rides along
+    val typed = KgPipeline.matchPattern(trip,
+      Seq(("?m", "hasEntity", "?e"), ("?e", "hasType", "?t")))
+    assert(rows(typed) == Set(
+      Seq("e:a", "m:1", "person"), Seq("e:a", "m:2", "person"),
+      Seq("e:b", "m:3", "org")))
+    // a variable repeated WITHIN a pattern is an equality filter
+    val selfRef = KgPipeline.matchPattern(trip,
+      Seq(("?x", "hasEntity", "?x")))
+    assert(rows(selfRef) == Set(Seq("e:x")))
+    // disconnected patterns compose as a cross product (legal SPARQL)
+    val cross = KgPipeline.matchPattern(trip,
+      Seq(("?e", "hasType", "person"), ("?f", "hasType", "org")))
+    assert(rows(cross) == Set(Seq("e:a", "e:b")))
+    // DISTINCT bindings: projecting only ?e collapses the two mentions
+    val justE = KgPipeline.matchPattern(trip,
+      Seq(("e:a", "hasType", "?t")))
+    assert(rows(justE) == Set(Seq("person")))
+    intercept[IllegalArgumentException] { // fully-ground pattern
+      KgPipeline.matchPattern(trip, Seq(("m:1", "hasEntity", "e:a")))
+    }
+    intercept[IllegalArgumentException] { // bare '?'
+      KgPipeline.matchPattern(trip, Seq(("?", "hasEntity", "?e")))
+    }
+    intercept[IllegalArgumentException] { // empty pattern list
+      KgPipeline.matchPattern(trip, Seq.empty)
+    }
+  }
+
   test("ntriples: RDF escaping, distinct-set semantics, loud control-char refusal") {
     import spark.implicits._
     val trip = Seq(
