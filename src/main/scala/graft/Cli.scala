@@ -58,9 +58,12 @@ object Cli {
       .appName(appName)
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_CPUS='*' is legal in local[...] but not as a
-    // partition count — size shuffles from it only when numeric
-    cpus.toIntOption.foreach(n =>
-      b.config("spark.sql.shuffle.partitions", n.toString))
+    // partition count — size shuffles from what local[*] resolves to
+    // (falling back to Spark's 200 default would be exactly the task
+    // overhead this helper exists to avoid)
+    val shufflePartitions = cpus.toIntOption
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -222,22 +222,7 @@ object Graph {
                    maxPerCtx: Int = 64, minPairCount: Long = 1): DataFrame = {
     require(maxPerCtx >= 2, s"maxPerCtx must be >= 2: $maxPerCtx")
     require(minPairCount >= 1, s"minPairCount must be >= 1: $minPairCount")
-    val di = rows.select(col(ctxCol).as("ctx"), col(itemCol).as("item"))
-      .where(col("ctx").isNotNull && col("item").isNotNull)
-      .distinct()
-    // the cap is applied BEFORE any per-context collection: a
-    // slice-after-collect_set would buffer a hub context's ENTIRE item
-    // set in the aggregation buffer (unbounded driver-of-OOM at 100-TB
-    // scale) just to throw most of it away. The window's sort spills;
-    // an agg buffer cannot. Same result: the first maxPerCtx items in
-    // item order. The window and the groupBy share one ctx exchange.
-    val ranked = di.withColumn("rn",
-      org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("ctx").orderBy("item")))
-      .where(col("rn") <= maxPerCtx)
-    val sets = ranked.groupBy("ctx")
-      .agg(sort_array(collect_list(col("item"))).as("items"))
+    val sets = cappedSets(rows, ctxCol, itemCol, maxPerCtx)
     val nCtx = sets.agg(count(lit(1)).as("n_ctx"))
     val capped = sets.select(explode(col("items")).as("item"))
     val cx = capped.groupBy("item").agg(count(lit(1)).as("c"))
@@ -256,6 +241,29 @@ object Graph {
           (col("cx").cast("double") * col("cy").cast("double"))).as("lift"))
       .withColumn("pmi", log(col("lift")))
   }
+
+  /** The capped per-context item-set convention shared by
+    * [[coOccurrence]] and q83's co-mention graph: the first `cap`
+    * DISTINCT items per context in item order, as a sorted array
+    * column `(ctx, items)`. The cap is applied BEFORE any per-context
+    * collection: a slice-after-collect_set would buffer a hub
+    * context's ENTIRE item set in the aggregation buffer (unbounded
+    * OOM at 100-TB scale) just to throw most of it away — the
+    * row_number window's sort spills, an agg buffer cannot. The window
+    * and the groupBy share one ctx exchange.
+    */
+  private[graft] def cappedSets(rows: DataFrame, ctxCol: String,
+                                itemCol: String, cap: Int): DataFrame =
+    rows.select(col(ctxCol).as("ctx"), col(itemCol).as("item"))
+      .where(col("ctx").isNotNull && col("item").isNotNull)
+      .distinct()
+      .withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("ctx").orderBy("item")))
+      .where(col("rn") <= cap)
+      .groupBy("ctx")
+      .agg(sort_array(collect_list(col("item"))).as("items"))
 
   /** Rank frames whose backing checkpoint is not yet released, per
     * session. [[pageRank]]'s output is backed by a checkpoint —

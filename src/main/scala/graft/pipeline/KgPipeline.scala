@@ -561,7 +561,10 @@ object KgPipeline {
     *     order given);
     *   - set semantics: bindings are DISTINCT (the cross-engine
     *     hashable contract; SPARQL's default bag semantics would make
-    *     the result depend on join multiplicities).
+    *     the result depend on join multiplicities);
+    *   - a variable never binds NULL: null-key triples (the kgAudit
+    *     defect class) match no pattern, in single- and multi-pattern
+    *     queries alike.
     *
     * Scale shape: each pattern is a column-pruned, filter-pushed scan
     * of the same table (bound positions reach the parquet reader);
@@ -583,7 +586,14 @@ object KgPipeline {
       val terms = Seq("subj" -> pat._1, "pred" -> pat._2, "obj" -> pat._3)
       var df = triples.select(col("subj"), col("pred"), col("obj"))
       terms.foreach { case (c, t) =>
+        // a variable never binds NULL (SPARQL has no null term, and a
+        // null binding would surface in single-pattern results yet
+        // silently vanish through any join on that variable —
+        // inconsistent semantics over exactly the null-key rows
+        // kgAudit counts); a bound position's equality drops NULLs on
+        // its own
         if (!isVar(t)) df = df.where(col(c) === t)
+        else df = df.where(col(c).isNotNull)
       }
       val byVar = terms.filter(t => isVar(t._2)).groupBy(_._2).toSeq
         .sortBy(_._1)

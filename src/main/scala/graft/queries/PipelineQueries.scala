@@ -306,18 +306,12 @@ object PipelineQueries {
   def q83_entity_rank(s: SparkSession, dir: String): DataFrame = {
     val r = pipelineFor(s, dir)
     val ment = fileEntities(r)
-    // cap-32 per file BEFORE collection (the Graph.coOccurrence
-    // convention): rank distinct (file, ent) through a spillable
-    // window so a pathological file cannot balloon an agg buffer,
-    // then collect the already-capped list. Same set as the previous
-    // slice(sort_array(collect_set)), 1, 32) — the 32 smallest ents.
-    val ranked = ment.select(col("file"), col("ent")).distinct()
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("file").orderBy("ent")))
-      .where(col("rn") <= 32)
-    val perFile = ranked.groupBy("file")
-      .agg(sort_array(collect_list(col("ent"))).as("ents"))
+    // cap-32 per file through the shared spillable-window convention
+    // (Graph.cappedSets — same set as the old slice-after-collect, the
+    // 32 smallest ents, without buffering a pathological file's whole
+    // entity set in an agg buffer)
+    val perFile = graft.pipeline.Graph.cappedSets(ment, "file", "ent", 32)
+      .select(col("ctx").as("file"), col("items").as("ents"))
     val pairs = perFile
       .select(explode(col("ents")).as("ea"), col("ents"))
       .select(col("ea"), explode(col("ents")).as("eb"))

@@ -118,13 +118,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("matchPattern: BGP joins, repeated-var equality, cross product, guards") {
     import spark.implicits._
-    val trip = Seq(
+    val trip = Seq[(String, String, String)](
       ("m:1", "hasEntity", "e:a"),
       ("m:2", "hasEntity", "e:a"),
       ("m:3", "hasEntity", "e:b"),
       ("e:a", "hasType", "person"),
+      ("e:a", "hasType", "person"), // duplicate row: distinct-bindings case
       ("e:b", "hasType", "org"),
-      ("e:x", "hasEntity", "e:x") // self-reference for the repeated-var case
+      ("e:x", "hasEntity", "e:x"), // self-reference for the repeated-var case
+      (null, "hasEntity", "e:a")   // null-key row: must match NO pattern
     ).toDF("subj", "pred", "obj")
     def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] =
       df.collect().map(_.toSeq.map(_.asInstanceOf[String])).toSet
@@ -147,10 +149,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cross = KgPipeline.matchPattern(trip,
       Seq(("?e", "hasType", "person"), ("?f", "hasType", "org")))
     assert(rows(cross) == Set(Seq("e:a", "e:b")))
-    // DISTINCT bindings: projecting only ?e collapses the two mentions
-    val justE = KgPipeline.matchPattern(trip,
+    // DISTINCT bindings: the duplicated (e:a, hasType, person) row
+    // must yield ONE binding row, not two (count, not set — a set
+    // comparison would mask a missing distinct)
+    val justT = KgPipeline.matchPattern(trip,
       Seq(("e:a", "hasType", "?t")))
-    assert(rows(justE) == Set(Seq("person")))
+    assert(justT.count() == 1L && rows(justT) == Set(Seq("person")))
+    // the null-subj mention row binds nothing — not in single-pattern
+    // results (no phantom NULL binding) and not via joins
+    val allMents = KgPipeline.matchPattern(trip,
+      Seq(("?m", "hasEntity", "?e")))
+    assert(!allMents.collect().exists(_.anyNull))
+    assert(allMents.count() == 4L) // m:1, m:2, m:3, e:x — not the null row
     intercept[IllegalArgumentException] { // fully-ground pattern
       KgPipeline.matchPattern(trip, Seq(("m:1", "hasEntity", "e:a")))
     }
