@@ -57,13 +57,18 @@ object Cli {
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.ui.enabled", "false")
-    // SPARK_GRAFT_CPUS='*' is legal in local[...] but not as a
-    // partition count — size shuffles from what local[*] resolves to
-    // (falling back to Spark's 200 default would be exactly the task
-    // overhead this helper exists to avoid)
-    val shufflePartitions = cpus.toIntOption
-      .getOrElse(Runtime.getRuntime.availableProcessors)
-    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // Size shuffles from the THREAD count, not Spark's 200 default
+    // (pure task overhead at laptop scale) — but an EXPLICIT
+    // -Dspark.sql.shuffle.partitions always wins (builder .config()
+    // would silently clobber it otherwise). 'N,M' (local[N,maxFailures])
+    // contributes its N; '*' falls back to the machine width local[*]
+    // resolves to.
+    if (!sys.props.contains("spark.sql.shuffle.partitions")) {
+      val digits = cpus.takeWhile(_.isDigit)
+      val n = if (digits.nonEmpty) digits.toInt
+              else Runtime.getRuntime.availableProcessors
+      b.config("spark.sql.shuffle.partitions", n.toString)
+    }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
