@@ -279,6 +279,36 @@ object Cli {
         s""""out":${graft.io.TableIO.jstr(outDir)}}""")
       spark.stop()
 
+    case "kg-query" :: tableDir :: rest if rest.nonEmpty =>
+      // SPARQL-style BGP over a committed triples table
+      // (KgPipeline.matchPattern): each remaining arg is one pattern,
+      // three whitespace-separated terms, '?'-prefixed = variable.
+      // Buckets via "buckets=<n>" anywhere in the tail (default 16).
+      // Output: a header line of variable names, then TSV binding rows.
+      //   graft kg-query out/triples "?m hasEntity ?e" "?e hasType persName"
+      val buckets = rest.find(_.startsWith("buckets="))
+        .map(_.stripPrefix("buckets=").toInt).getOrElse(16)
+      val patterns = rest.filterNot(_.startsWith("buckets=")).map { a =>
+        a.trim.split("\\s+") match {
+          case Array(s, p, o) => (s, p, o)
+          case other => sys.error(s"pattern '$a' must have exactly 3 " +
+            s"whitespace-separated terms, got ${other.length}")
+        }
+      }
+      val spark = localSession("graft-kg-query")
+      val t = graft.io.TableIO.readCommitted(spark, tableDir, buckets)
+      val bindings = graft.pipeline.KgPipeline.matchPattern(t, patterns)
+      utf8Out.println(bindings.columns.mkString("\t"))
+      // bounded output by contract: an interactive query surface must
+      // not stream a corpus-sized result to a terminal — cap and say so
+      val rows = bindings.limit(10001).collect()
+      rows.take(10000).foreach(r =>
+        utf8Out.println(r.toSeq.map(String.valueOf).mkString("\t")))
+      if (rows.length > 10000)
+        System.err.println("[kg-query] output capped at 10000 binding " +
+          "rows — refine the pattern or use the library API")
+      spark.stop()
+
     case "synth" :: out :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(500)
       val seed = rest.drop(1).headOption.map(_.toLong).getOrElse(42L)
@@ -287,7 +317,7 @@ object Cli {
       System.err.println(s"[cli] $n sentences written to $out")
     case _ =>
       System.err.println(
-        "usage: train|train-file|train-dist|ner|ner-xces|ox|compare|synth|cv|serve|client|curate|kg-audit|kg-export ... (see scaladoc)")
+        "usage: train|train-file|train-dist|ner|ner-xces|ox|compare|synth|cv|serve|client|curate|kg-audit|kg-export|kg-query ... (see scaladoc)")
       sys.exit(2)
   }
 }
