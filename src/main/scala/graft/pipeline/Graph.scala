@@ -133,7 +133,10 @@ object Graph {
     * partial-agg groupBy(dst), one broadcast 1-row dangling aggregate;
     * lineage truncated each round ([[Lineage.chk]]) and the superseded
     * frame released, so iteration count never inflates the plan or
-    * pins unbounded storage.
+    * pins unbounded storage. (Round 7 measured the k=3 truncation
+    * cadence VERDICT r6 #2 proposed and it regressed ~2x — see the
+    * loop comment; the only kept change is that the initial
+    * constant-1.0 frame is no longer checkpointed.)
     *
     * All arithmetic is join-order-independent WHEN the inputs make it
     * exact (see q82: power-of-two out-degrees + dyadic damping give
@@ -165,8 +168,20 @@ object Graph {
     val nNodes = base.count() // materializes the cache; |V| for dangling share
     require(nNodes > 0, "pageRank on an empty graph")
 
-    var ranks = Lineage.chk(
-      base.select(col("node"), col("out_deg"), lit(1.0).as("pr")))
+    // rank init rides on `base` directly (cached above) — round 6 paid
+    // an extra checkpoint job just to materialize the constant-1.0
+    // frame the first iteration immediately superseded. The loop keeps
+    // round 6's checkpoint-EVERY-round cadence deliberately: this
+    // round measured both alternatives VERDICT r6 #2 suggested
+    // (truncate every 3rd round with the interim rounds nested, and
+    // the same with interim rounds lazily cached) and both REGRESSED
+    // q83 ~2x (8.3 s -> 18.8/19.7 s at sf0.1) — the merged adaptive
+    // plans re-derive the dangling branch per nested round and AQE
+    // re-plans every stage of the widened plan, costing more than the
+    // saved per-round action. Evidence: OPTIMIZATION_r07.md §q83.
+    var ranks: DataFrame =
+      base.select(col("node"), col("out_deg"), lit(1.0).as("pr"))
+    var lastChk: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val dangling = ranks.where(col("out_deg") === 0)
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dmass"))
@@ -182,9 +197,10 @@ object Graph {
           (lit(1.0 - damping) + lit(damping) *
             (coalesce(col("in_sum"), lit(0.0)) +
               col("dmass") / lit(nNodes.toDouble))).as("pr"))
-      val prev = ranks
-      ranks = Lineage.chk(next)
-      Lineage.release(prev)
+      val chkd = Lineage.chk(next)
+      lastChk.foreach(Lineage.release(_))
+      lastChk = Some(chkd)
+      ranks = chkd
     }
     val out = ranks.select(col("node"), col("pr"))
     base.unpersist() // `ranks` is checkpointed (materialized), base is dead
@@ -208,11 +224,14 @@ object Graph {
     * consistent under the cap. `minPairCount` prunes the long noise
     * tail BEFORE the join that attaches marginals.
     *
-    * Scale shape: one distinct + one groupBy(ctx) aggregate feed every
-    * downstream consumer (Catalyst reuses the exchange — the scan and
-    * the ctx shuffle run once), the pair explosion is bounded by
-    * maxPerCtx² per context, marginals attach via two item-keyed joins
-    * after the minPairCount prune, and N is a broadcast 1-row
+    * Scale shape: one distinct + one groupBy(ctx) window/aggregate
+    * pass, then ONE half-matrix explode (x <= y, bounded by
+    * maxPerCtx·(maxPerCtx+1)/2 per context) whose diagonal carries the
+    * per-item marginals — pair counts and marginals come out of a
+    * single (x, y)-keyed aggregation, reused by its three readers via
+    * the exchange (the q44 convention); the context count reads the
+    * pre-window distinct exchange; marginals attach via two item-keyed
+    * joins after the minPairCount prune, and N is a broadcast 1-row
     * aggregate. Lift is EXACT in doubles (integer counts < 2^53, one
     * IEEE division) and therefore cross-engine hashable; PMI's `ln`
     * may differ in the last ulp across libm implementations — rank by
@@ -223,14 +242,32 @@ object Graph {
     require(maxPerCtx >= 2, s"maxPerCtx must be >= 2: $maxPerCtx")
     require(minPairCount >= 1, s"minPairCount must be >= 1: $minPairCount")
     val sets = cappedSets(rows, ctxCol, itemCol, maxPerCtx)
-    val nCtx = sets.agg(count(lit(1)).as("n_ctx"))
-    val capped = sets.select(explode(col("items")).as("item"))
-    val cx = capped.groupBy("item").agg(count(lit(1)).as("c"))
-    val pairCounts = sets
+    // Round 6 fed `sets` to THREE consumers (context count, per-item
+    // marginals, pair explosion), re-running the capped-set window per
+    // consumer — and a lazy cache of `sets` measured WORSE (columnar
+    // encode/decode of the array column cost more than the window it
+    // saved). Instead (r7, guide §1.2 "don't compute things twice"):
+    //  - ONE explode pass emits the x <= y half-matrix; its DIAGONAL
+    //    (x, x) appears once per capped set containing x, so marginal
+    //    counts ride the SAME groupBy that counts pairs — no second
+    //    explode, and the (x, y) exchange below the three readers of
+    //    `grid` is computed once (ReuseExchange, the q44 convention);
+    //  - the context count moves BELOW the window: the cap never drops
+    //    a context (only items within one), so counting distinct ctx
+    //    over the pre-window distinct frame is the same number, read
+    //    off the exchange the window pass already shuffles.
+    val nCtx = rows.select(col(ctxCol).as("ctx"), col(itemCol).as("item"))
+      .where(col("ctx").isNotNull && col("item").isNotNull)
+      .distinct()
+      .agg(countDistinct(col("ctx")).as("n_ctx"))
+    val grid = sets
       .select(explode(col("items")).as("x"), col("items"))
       .select(col("x"), explode(col("items")).as("y"))
-      .where(col("x") < col("y"))
+      .where(col("x") <= col("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("pair_count"))
+    val cx = grid.where(col("x") === col("y"))
+      .select(col("x").as("item"), col("pair_count").as("c"))
+    val pairCounts = grid.where(col("x") < col("y"))
       .where(col("pair_count") >= minPairCount)
     pairCounts
       .join(cx.select(col("item").as("x"), col("c").as("cx")), Seq("x"))

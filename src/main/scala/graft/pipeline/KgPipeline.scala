@@ -482,63 +482,86 @@ object KgPipeline {
     *     engine-dependent (SQL `NOT IN` drops NULL probes, a Spark
     *     anti-join keeps them).
     *
-    * EAGER: metrics are computed here (the derived id sets are
-    * persisted for the duration and released before returning — they
-    * are entity-vocabulary-sized, never corpus-sized) and returned as a
-    * 10-row local frame. Scale shape: THREE scans of the table — one
-    * conditional-count aggregate, one pruned pass that derives both id
-    * sets together, and one full-row distinct for the duplicate check
-    * (the only full-width op, and it is what that metric MEANS);
-    * anti-joins and the >1-type count run on the persisted
-    * id-set-sized frames, everything partial-agg friendly.
+    * EAGER: metrics are computed here and returned as a 10-row local
+    * frame, in TWO scans of the table (down from round 6's three scans
+    * and eight actions — guide §1.2 "don't compute things you throw
+    * away", §2.3 "aggregate before you shuffle"):
+    *
+    *   1. one full-row `groupBy(*).count` pass — the exchange carries
+    *      exactly what `distinct()` carried (the duplicate metric IS a
+    *      full-width dedup), and the volume metrics (total / mention /
+    *      type / null-key counts) ride the SAME pass as weighted
+    *      conditional sums over the deduped rows, so the separate
+    *      conditional-count scan round 6 paid is gone;
+    *   2. one pruned scan deriving both id sets, collapsed per id into
+    *      (referenced?, n-distinct-types) flags by a single partial-agg
+    *      friendly aggregation — the five id-set metrics (referenced /
+    *      typed / dangling / orphan / multi-typed) are then ONE final
+    *      aggregate over the flags instead of five separate jobs with
+    *      two anti-joins over persisted id sets.
+    *
+    * No persist, no anti-join, two jobs total; every metric value is
+    * identical to the round-6 formulation (the id-set filter and the
+    * null-key exclusion are unchanged).
     */
   def kgAudit(spark: SparkSession, triples: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val nullKey = col("subj").isNull || col("pred").isNull ||
       col("obj").isNull
-    // both id sets from ONE pruned scan: hasEntity contributes its
-    // object (tp null), hasType its subject + type — the distinct is
-    // then (pred, id[, tp]), exactly the two sets stacked
-    val ids = triples
+    // pass 1: full-width dedup + volume metrics in one aggregation.
+    // groupBy over every column shuffles the distinct rows (what the
+    // duplicate metric means); each group's multiplicity `n` weights
+    // the conditional sums so totals equal the raw-row counts.
+    val allCols = triples.columns.map(col).toSeq
+    val r1 = triples
+      .groupBy(allCols: _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("total"),
+        count(lit(1)).as("n_distinct"),
+        coalesce(sum(when(col("pred") === "hasEntity", col("n"))), lit(0L))
+          .as("mentions"),
+        coalesce(sum(when(col("pred") === "hasType", col("n"))), lit(0L))
+          .as("types"),
+        coalesce(sum(when(nullKey, col("n"))), lit(0L)).as("nullkeys"))
+      .collect()(0)
+    // pass 2: both id sets from ONE pruned scan (hasEntity contributes
+    // its object, hasType its subject + type), folded per id into
+    // (referenced?, distinct-type count) and aggregated once. The
+    // countDistinct's internal dedup replaces round 6's explicit
+    // distinct() over (pred, id, tp).
+    val r2 = triples
       .where((col("pred") === "hasEntity" || col("pred") === "hasType") &&
         !nullKey)
       .select(col("pred"),
         when(col("pred") === "hasEntity", col("obj"))
           .otherwise(col("subj")).as("id"),
         when(col("pred") === "hasType", col("obj")).as("tp"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val referenced = ids.where(col("pred") === "hasEntity").select("id")
-    val typedPairs = ids.where(col("pred") === "hasType").select("id", "tp")
-    try {
-      val typedIds = typedPairs.select("id").distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val c = triples.agg(
-          count(lit(1)).as("total"),
-          count(when(col("pred") === "hasEntity", 1)).as("mentions"),
-          count(when(col("pred") === "hasType", 1)).as("types"),
-          count(when(nullKey, 1)).as("nullkeys"))
-          .collect()(0)
-        val metrics = Seq(
-          "triples_total" -> c.getLong(0),
-          "mention_triples" -> c.getLong(1),
-          "type_triples" -> c.getLong(2),
-          "entities_referenced" -> referenced.count(),
-          "entities_typed" -> typedIds.count(),
-          "dangling_entities" ->
-            referenced.join(typedIds, Seq("id"), "left_anti").count(),
-          "orphan_typed_entities" ->
-            typedIds.join(referenced, Seq("id"), "left_anti").count(),
-          "multi_typed_entities" ->
-            typedPairs.groupBy("id").agg(count(lit(1)).as("n"))
-              .where(col("n") > 1).count(),
-          "duplicate_triples" -> (c.getLong(0) - triples.distinct().count()),
-          "null_key_triples" -> c.getLong(3))
-        import spark.implicits._
-        metrics.toDF("metric", "value")
-      } finally typedIds.unpersist()
-    } finally ids.unpersist()
+      .groupBy("id")
+      .agg(
+        max(when(col("pred") === "hasEntity", 1).otherwise(0)).as("refd"),
+        countDistinct(col("tp")).as("n_types"))
+      .agg(
+        coalesce(sum(col("refd")), lit(0L)).as("referenced"),
+        count(when(col("n_types") > 0, 1)).as("typed"),
+        count(when(col("refd") === 1 && col("n_types") === 0, 1))
+          .as("dangling"),
+        count(when(col("refd") === 0 && col("n_types") > 0, 1))
+          .as("orphan"),
+        count(when(col("n_types") > 1, 1)).as("multi"))
+      .collect()(0)
+    val metrics = Seq(
+      "triples_total" -> r1.getLong(0),
+      "mention_triples" -> r1.getLong(2),
+      "type_triples" -> r1.getLong(3),
+      "entities_referenced" -> r2.getLong(0),
+      "entities_typed" -> r2.getLong(1),
+      "dangling_entities" -> r2.getLong(2),
+      "orphan_typed_entities" -> r2.getLong(3),
+      "multi_typed_entities" -> r2.getLong(4),
+      "duplicate_triples" -> (r1.getLong(0) - r1.getLong(1)),
+      "null_key_triples" -> r1.getLong(4))
+    import spark.implicits._
+    metrics.toDF("metric", "value")
   }
 
   /** Evaluate a basic graph pattern (the SPARQL-BGP shape) over a

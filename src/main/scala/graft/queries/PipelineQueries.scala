@@ -316,14 +316,32 @@ object PipelineQueries {
       .select(explode(col("ents")).as("ea"), col("ents"))
       .select(col("ea"), explode(col("ents")).as("eb"))
       .where(col("ea") < col("eb"))
+    // dedupe + PERSIST the oriented edge set before mirroring: the
+    // union's two branches are the same explode subtree, so without
+    // the persist the whole cappedSets window + pair explode ran
+    // TWICE (round-6 shape; measured ~10 s of task time per extra
+    // pass at sf0.1 — guide §2.4 "remove shuffles outright" /
+    // §5 caching a reused, expensive intermediate). Edge-sized, two
+    // longs — the same working-set class pageRank itself persists.
+    // Released right after pageRank returns (pageRank is eager; its
+    // result is checkpoint-backed and never re-reads the input).
     val edges = pairs.select(xxhash64(col("ea")).as("src"),
       xxhash64(col("eb")).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the outer distinct stays: two distinct oriented pairs can hash
+    // into mirror images of each other, and the round-6 rendition
+    // collapsed those — the (cheap, 2|E|-long) re-distinct preserves
+    // that exact edge multiset
     val undirected = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val names = ment.select(col("ent")).distinct()
       .select(xxhash64(col("ent")).as("node"), col("ent").as("entity"))
-    graft.pipeline.Graph.pageRank(undirected, iters = 8, damping = 0.85)
+    val ranks = graft.pipeline.Graph.pageRank(undirected, iters = 8,
+      damping = 0.85)
+    edges.unpersist()
+    ranks
       .join(names, "node")
       .select(col("entity"), round(col("pr"), 6).as("salience"))
       .orderBy(col("salience").desc, col("entity"))
