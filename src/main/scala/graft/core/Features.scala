@@ -95,12 +95,15 @@ object Features {
     * silently desynchronizing tag-time features from the trained model).
     */
   private final class Pre(toks: IndexedSeq[String], lows: Array[String],
-                          shapes: Array[String], packs: Array[String]) {
+                          shapes: Array[String], packs: Array[String],
+                          lowCps: Array[Int]) {
     private val n = toks.length
     @inline def orth(i: Int): String = if (i >= 0 && i < n) toks(i) else null
     @inline def low(i: Int): String = if (i >= 0 && i < n) lows(i) else null
     @inline def shapeAt(i: Int): String = if (i >= 0 && i < n) shapes(i) else null
     @inline def packAt(i: Int): String = if (i >= 0 && i < n) packs(i) else null
+    /** Code-point count of low(i); only valid where low(i) != null. */
+    @inline def lowCp(i: Int): Int = lowCps(i)
   }
 
   /** Affix helper: non-negative n = take n CODE POINTS; negative n =
@@ -111,18 +114,30 @@ object Features {
     * features would then silently miss the saved weights on any
     * astral-character token (emoji are routine in web text).
     */
-  def prefix(n: Int, w: String): String = {
-    val cps = w.codePointCount(0, w.length)
+  def prefix(n: Int, w: String): String =
+    prefixCp(n, w, w.codePointCount(0, w.length))
+
+  def suffix(n: Int, w: String): String =
+    suffixCp(n, w, w.codePointCount(0, w.length))
+
+  /** [[prefix]] with the code-point count supplied by the caller — the
+    * schema blocks take ~19 affix cuts per token, and recounting code
+    * points per cut was the dominant schematize cost (r7). When the
+    * count equals the UTF-16 length the token holds no surrogate pair,
+    * so the cut index needs no `offsetByCodePoints` walk either.
+    */
+  private[core] def prefixCp(n: Int, w: String, cps: Int): String = {
     val m = if (n >= 0) n else cps + n
-    if (m >= 0 && m <= cps) w.substring(0, w.offsetByCodePoints(0, m))
-    else null
+    if (m < 0 || m > cps) null
+    else if (cps == w.length) w.substring(0, m)
+    else w.substring(0, w.offsetByCodePoints(0, m))
   }
 
-  def suffix(n: Int, w: String): String = {
-    val cps = w.codePointCount(0, w.length)
+  private[core] def suffixCp(n: Int, w: String, cps: Int): String = {
     val m = if (n >= 0) n else cps + n
-    if (m >= 0 && m <= cps) w.substring(w.offsetByCodePoints(0, cps - m))
-    else null
+    if (m < 0 || m > cps) null
+    else if (cps == w.length) w.substring(w.length - m)
+    else w.substring(w.offsetByCodePoints(0, cps - m))
   }
 
   /** Character shape (Schema.hs:156-161), per CODE POINT like the
@@ -228,25 +243,28 @@ object Features {
   private def lowPrefixesB(ox: Ox, pre: Pre, ks: List[Int], ns: List[Int]): Unit =
     ks.foreach { i =>
       val w = pre.low(i)
-      ns.foreach(n => ox.save(if (w == null) null else prefix(n, w)))
+      ns.foreach(n => ox.save(if (w == null) null
+        else prefixCp(n, w, pre.lowCp(i))))
     }
 
   private def lowSuffixesB(ox: Ox, pre: Pre, ks: List[Int], ns: List[Int]): Unit =
     ks.foreach { i =>
       val w = pre.low(i)
-      ns.foreach(n => ox.save(if (w == null) null else suffix(n, w)))
+      ns.foreach(n => ox.save(if (w == null) null
+        else suffixCp(n, w, pre.lowCp(i))))
     }
 
   private def lemmaB(ox: Ox, pre: Pre, ks: List[Int], n: Int): Unit =
     ks.foreach { i =>
       val w = pre.low(i)
+      val cps = if (w == null) 0 else pre.lowCp(i)
       // deltas [0, -1 .. -n] (Schema.hs:152); the reference nests these
       // under an Ox.group — flattened here, identity preserved by the
       // sequential site numbering
       var d = 0
-      while (d >= -n) { ox.save(if (w == null) null else prefix(d, w)); d -= 1 }
+      while (d >= -n) { ox.save(if (w == null) null else prefixCp(d, w, cps)); d -= 1 }
       d = 0
-      while (d >= -n) { ox.save(if (w == null) null else suffix(d, w)); d -= 1 }
+      while (d >= -n) { ox.save(if (w == null) null else suffixCp(d, w, cps)); d -= 1 }
     }
 
   private def shapeB(ox: Ox, pre: Pre, ks: List[Int]): Unit =
@@ -295,9 +313,14 @@ object Features {
     val lows = if (needLow)
       Array.tabulate(n)(i => tokens(i).toLowerCase(java.util.Locale.ROOT))
       else null
+    // code-point count per lowercased token, counted ONCE — the affix
+    // blocks cut each token ~19 times and recounting per cut dominated
+    val lowCps = if (needLow)
+      Array.tabulate(n)(i => lows(i).codePointCount(0, lows(i).length))
+      else null
     val shapes = if (needShape) Array.tabulate(n)(i => shape(tokens(i))) else null
     val packs = if (needPack) Array.tabulate(n)(i => pack(shapes(i))) else null
-    val pre = new Pre(tokens, lows, shapes, packs)
+    val pre = new Pre(tokens, lows, shapes, packs, lowCps)
     Array.tabulate(n) { k =>
       val ox = new Ox
       def abs(range: List[Int]): List[Int] = range.map(_ + k)

@@ -20,8 +20,14 @@ object Tokenizer {
 
   private val UriRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://\\S+$".r
 
-  /** True when the token should be protected from punctuation splitting. */
-  private def isUri(s: String): Boolean = UriRe.findFirstIn(s).isDefined
+  /** True when the token should be protected from punctuation splitting.
+    * The regex REQUIRES a literal "://", so the cheap substring probe
+    * rejects the overwhelmingly common non-URI token without entering
+    * the regex engine (r7: this ran once per token of the corpus and
+    * the engine invocation dominated the tokenizer's cost).
+    */
+  private def isUri(s: String): Boolean =
+    s.length >= 4 && s.indexOf("://") > 0 && UriRe.findFirstIn(s).isDefined
 
   /** The single whitespace definition: Java whitespace ∪ Unicode Zs
     * (NBSP, EM SPACE, ...), matching Haskell's Data.Char.isSpace.

@@ -153,10 +153,16 @@ object KgPipeline {
     // of silently dropping out of the graph.
     val scored = m
       .join(broadcast(kb), Seq("block_key"), "left_outer")
+      // threshold form (r7): only distances <= 4 ever matter (the
+      // `valid` gate), and Spark's 3-arg levenshtein bails out early —
+      // length-diff fast reject + banded DP — returning -1 beyond the
+      // threshold. Values 0..4 are identical to the unbounded form, so
+      // scores are unchanged; this expression runs once per candidate
+      // PAIR (~30x mention count), the hottest scalar in the link stage
       .withColumn("lev",
         when(col("alias_norm").isNotNull,
-          levenshtein(col("surface_norm"), col("alias_norm"))))
-      .withColumn("valid", col("lev").isNotNull && col("lev") <= 4)
+          levenshtein(col("surface_norm"), col("alias_norm"), 4)))
+      .withColumn("valid", col("lev").isNotNull && col("lev") >= 0)
       .withColumn("type_match",
         when(!col("valid"), 0)
           .when(col("neType") === col("entity_type"), 1)
@@ -593,7 +599,51 @@ object KgPipeline {
     * of the same table (bound positions reach the parquet reader);
     * joins hash-partition on the shared variable columns (canon-id
     * strings — short by construction); nothing is collected.
+    *
+    * Join ORDER is chosen by the engine (r7, VERDICT r6 #5), not by
+    * the pattern order the caller wrote: patterns are joined
+    * most-selective-first, estimating selectivity from bound-position
+    * counts (2 bound terms ≪ 1 ≪ 0 — the standard BGP static
+    * heuristic), and a pattern sharing a variable with the bound-so-far
+    * set is always preferred over opening a cross product. Inner joins
+    * plus the final DISTINCT make the binding SET independent of join
+    * order, and the output columns are projected back into the order
+    * the caller's pattern sequence implies — results are byte-identical
+    * to the round-6 caller-order evaluation ([[orderPatterns]] is
+    * unit-pinned; q91 is oracle-pinned).
     */
+  /** Greedy most-selective-first pattern order (package-visible for the
+    * spec): start from the most-bound pattern, then repeatedly take
+    * the most-bound pattern CONNECTED to the variables bound so far,
+    * falling back to the most-bound disconnected pattern (a cross
+    * product) only when no connected pattern remains. Ties break on
+    * caller order, so the plan is deterministic.
+    */
+  private[graft] def orderPatterns(patterns: Seq[(String, String, String)])
+      : Seq[(String, String, String)] = {
+    def isVar(t: String) = t.startsWith("?")
+    def vars(p: (String, String, String)): Set[String] =
+      Seq(p._1, p._2, p._3).filter(isVar).toSet
+    def bound(p: (String, String, String)): Int =
+      Seq(p._1, p._2, p._3).count(t => !isVar(t))
+    val remaining = scala.collection.mutable.ArrayBuffer(
+      patterns.zipWithIndex: _*)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
+    var boundVars = Set.empty[String]
+    while (remaining.nonEmpty) {
+      val connected = remaining.filter { case (p, _) =>
+        (vars(p) & boundVars).nonEmpty }
+      val pool = if (out.nonEmpty && connected.nonEmpty) connected
+                 else remaining
+      val pick = pool.minBy { case (p, i) => (-bound(p), i) }
+      remaining -= pick
+      out += pick._1
+      boundVars ++= vars(pick._1)
+    }
+    out.toSeq
+  }
+
   def matchPattern(triples: DataFrame,
                    patterns: Seq[(String, String, String)]): DataFrame = {
     require(patterns.nonEmpty, "matchPattern needs at least one pattern")
@@ -630,11 +680,25 @@ object KgPipeline {
       df.select(byVar.map { case (v, occ) =>
         col(occ.head._1).as(v.stripPrefix("?")) }: _*)
     }
-    patterns.map(frame).reduce { (acc, next) =>
+    // the output column order the CALLER's sequence implies (round-6
+    // contract) — replay the original reduce's accumulation exactly:
+    // each pattern contributes its variables name-sorted, and a
+    // using-columns join puts the shared columns first, then the
+    // accumulator's others, then the new frame's others
+    val callerCols = patterns
+      .map { case (s, p, o) =>
+        Seq(s, p, o).filter(isVar).map(_.stripPrefix("?")).distinct.sorted }
+      .reduce { (accCols, nextCols) =>
+        val shared = accCols.intersect(nextCols)
+        if (shared.nonEmpty)
+          shared ++ accCols.diff(shared) ++ nextCols.diff(shared)
+        else accCols ++ nextCols
+      }
+    orderPatterns(patterns).map(frame).reduce { (acc, next) =>
       val shared = acc.columns.intersect(next.columns).toSeq
       if (shared.nonEmpty) acc.join(next, shared)
       else acc.crossJoin(next)
-    }.distinct()
+    }.select(callerCols.map(col): _*).distinct()
   }
 
   /** Percent-encode the characters an IRI cannot carry (RFC 3987 via

@@ -297,11 +297,28 @@ object PipelineQueries {
     * q90's related-entities table (one place to change the
     * canonical-join or file-key convention).
     */
-  private def fileEntities(r: graft.pipeline.KgPipeline.Result): DataFrame =
+  /** Broadcast row budget for the canon map in [[fileEntities]] —
+    * the house guarded-broadcast convention (CompactDict budget,
+    * MaxEvalShingles; VERDICT r6 #3): `canon` is KB-vocabulary-sized
+    * by design, but a silent `broadcast()` would degrade to an 8 GB
+    * broadcast failure at some future KB size. Above the budget the
+    * join falls back to a plain shuffle join (AQE picks the strategy).
+    * 5M rows ≈ low hundreds of MB framed — inside every default
+    * driver/executor budget.
+    */
+  private[queries] val CanonBroadcastRows = 5000000L
+
+  private def fileEntities(r: graft.pipeline.KgPipeline.Result): DataFrame = {
+    // canon is cached and already materialized by the pipeline build,
+    // so the size probe is a cheap cache-scan count, not a recompute
+    val canonJoin =
+      if (r.canon.count() <= CanonBroadcastRows) broadcast(r.canon)
+      else r.canon
     r.linked
-      .join(broadcast(r.canon), Seq("entity_id"), "left")
+      .join(canonJoin, Seq("entity_id"), "left")
       .select(concat_ws("#", col("repo"), col("path"), col("commit")).as("file"),
         coalesce(col("canon_id"), col("entity_id")).as("ent"))
+  }
 
   def q83_entity_rank(s: SparkSession, dir: String): DataFrame = {
     val r = pipelineFor(s, dir)

@@ -172,6 +172,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("matchPattern: joins reorder most-selective-first, results unchanged") {
+    import spark.implicits._
+    // deliberately WORST-ordered: the unbound scan first, the 2-bound
+    // pattern last — the engine must start from the 2-bound pattern,
+    // then stay connected (?e), and only then take the rest
+    val worst = Seq(
+      ("?m", "?p", "?e"),            // 0 bound
+      ("?m", "hasEntity", "?e"),     // 1 bound
+      ("?e", "hasType", "person"))   // 2 bound
+    assert(KgPipeline.orderPatterns(worst) == Seq(
+      ("?e", "hasType", "person"),
+      ("?m", "hasEntity", "?e"),
+      ("?m", "?p", "?e")))
+    // after the (disconnected) most-bound start, connectivity keeps
+    // the ?e chain together — the cross product opens once, not twice
+    val grouped = Seq(
+      ("?m", "hasEntity", "?e"),     // 1 bound
+      ("?f", "hasType", "org"),      // 2 bound, disconnected from ?e/?m
+      ("?e", "hasType", "?t"))       // 1 bound, connected via ?e
+    assert(KgPipeline.orderPatterns(grouped) == Seq(
+      ("?f", "hasType", "org"),      // most bound overall starts
+      ("?m", "hasEntity", "?e"),     // then caller order among 1-bound
+      ("?e", "hasType", "?t")))
+    // ties break on caller order — deterministic plans
+    val tied = Seq(("?a", "hasType", "?b"), ("?b", "hasType", "?c"))
+    assert(KgPipeline.orderPatterns(tied) == tied)
+    // end-to-end: worst-ordered call returns the same columns and the
+    // same binding set as the caller-ordered round-6 evaluation
+    val trip = Seq[(String, String, String)](
+      ("m:1", "hasEntity", "e:a"), ("m:2", "hasEntity", "e:b"),
+      ("e:a", "hasType", "person"), ("e:b", "hasType", "org")
+    ).toDF("subj", "pred", "obj")
+    val bad = KgPipeline.matchPattern(trip,
+      Seq(("?m", "?p", "?e"), ("?e", "hasType", "person")))
+    assert(bad.columns.toSeq == Seq("e", "m", "p"))
+    assert(bad.collect().map(_.toSeq).toSet ==
+      Set(Seq("e:a", "m:1", "hasEntity")))
+  }
+
   test("ntriples: RDF escaping, distinct-set semantics, loud control-char refusal") {
     import spark.implicits._
     val trip = Seq(
