@@ -78,6 +78,14 @@ object Features {
     }
 
     def result(): PosObs = new PosObs(siteBuf.result(), valueBuf.toArray)
+
+    /** Reuse across positions (r7): [[result]] always hands out fresh
+      * arrays (ofInt.result either copies or relinquishes its backing
+      * array, zeroing capacity; ArrayBuffer.toArray copies), so
+      * clearing the builders is safe and saves two buffer allocations
+      * plus growth churn per position of the 100-TB hot loop.
+      */
+    def reset(): Unit = { siteBuf.clear(); valueBuf.clear(); site = 0 }
   }
 
   // ---------------- basic accessors ----------------
@@ -94,7 +102,7 @@ object Features {
     * JVM regardless of default locale (tr_TR lowercases I to dotless ı,
     * silently desynchronizing tag-time features from the trained model).
     */
-  private final class Pre(toks: IndexedSeq[String], lows: Array[String],
+  private final class Pre(toks: Array[String], lows: Array[String],
                           shapes: Array[String], packs: Array[String],
                           lowCps: Array[Int]) {
     private val n = toks.length
@@ -217,16 +225,24 @@ object Features {
   // ---------------- blocks ----------------
   // Each mirrors the reference's save-call order exactly so that site
   // ids are stable (fromBlock: absolute positions = range.map(_ + k),
-  // Schema.hs:99-102).
+  // Schema.hs:99-102). Ranges arrive as pre-flattened Int arrays and
+  // the position offset `k` is added inline (r7): the previous
+  // per-position `range.map(_ + k)` allocated ~10 small lists per
+  // token of the 100-TB hot loop.
 
-  private def orthB(ox: Ox, pre: Pre, ks: List[Int]): Unit =
-    ks.foreach(i => ox.save(pre.orth(i)))
+  private def orthB(ox: Ox, pre: Pre, ks: Array[Int], k: Int): Unit = {
+    var j = 0
+    while (j < ks.length) { ox.save(pre.orth(ks(j) + k)); j += 1 }
+  }
 
-  private def splitOrthB(ox: Ox, pre: Pre, ks: List[Int]): Unit = {
-    ks.foreach(i => ox.save(pre.low(i)))
-    ks.foreach { i =>
-      val w = pre.orth(i)
+  private def splitOrthB(ox: Ox, pre: Pre, ks: Array[Int], k: Int): Unit = {
+    var j = 0
+    while (j < ks.length) { ox.save(pre.low(ks(j) + k)); j += 1 }
+    j = 0
+    while (j < ks.length) {
+      val w = pre.orth(ks(j) + k)
       ox.save(if (w != null && hasUpper(w)) w else null)
+      j += 1
     }
   }
 
@@ -240,22 +256,40 @@ object Features {
     false
   }
 
-  private def lowPrefixesB(ox: Ox, pre: Pre, ks: List[Int], ns: List[Int]): Unit =
-    ks.foreach { i =>
+  private def lowPrefixesB(ox: Ox, pre: Pre, ks: Array[Int], ns: Array[Int],
+                           k: Int): Unit = {
+    var j = 0
+    while (j < ks.length) {
+      val i = ks(j) + k
       val w = pre.low(i)
-      ns.foreach(n => ox.save(if (w == null) null
-        else prefixCp(n, w, pre.lowCp(i))))
+      var m = 0
+      while (m < ns.length) {
+        ox.save(if (w == null) null else prefixCp(ns(m), w, pre.lowCp(i)))
+        m += 1
+      }
+      j += 1
     }
+  }
 
-  private def lowSuffixesB(ox: Ox, pre: Pre, ks: List[Int], ns: List[Int]): Unit =
-    ks.foreach { i =>
+  private def lowSuffixesB(ox: Ox, pre: Pre, ks: Array[Int], ns: Array[Int],
+                           k: Int): Unit = {
+    var j = 0
+    while (j < ks.length) {
+      val i = ks(j) + k
       val w = pre.low(i)
-      ns.foreach(n => ox.save(if (w == null) null
-        else suffixCp(n, w, pre.lowCp(i))))
+      var m = 0
+      while (m < ns.length) {
+        ox.save(if (w == null) null else suffixCp(ns(m), w, pre.lowCp(i)))
+        m += 1
+      }
+      j += 1
     }
+  }
 
-  private def lemmaB(ox: Ox, pre: Pre, ks: List[Int], n: Int): Unit =
-    ks.foreach { i =>
+  private def lemmaB(ox: Ox, pre: Pre, ks: Array[Int], n: Int, k: Int): Unit = {
+    var j = 0
+    while (j < ks.length) {
+      val i = ks(j) + k
       val w = pre.low(i)
       val cps = if (w == null) 0 else pre.lowCp(i)
       // deltas [0, -1 .. -n] (Schema.hs:152); the reference nests these
@@ -265,44 +299,69 @@ object Features {
       while (d >= -n) { ox.save(if (w == null) null else prefixCp(d, w, cps)); d -= 1 }
       d = 0
       while (d >= -n) { ox.save(if (w == null) null else suffixCp(d, w, cps)); d -= 1 }
+      j += 1
     }
+  }
 
-  private def shapeB(ox: Ox, pre: Pre, ks: List[Int]): Unit =
-    ks.foreach(i => ox.save(pre.shapeAt(i)))
+  private def shapeB(ox: Ox, pre: Pre, ks: Array[Int], k: Int): Unit = {
+    var j = 0
+    while (j < ks.length) { ox.save(pre.shapeAt(ks(j) + k)); j += 1 }
+  }
 
-  private def packedB(ox: Ox, pre: Pre, ks: List[Int]): Unit =
-    ks.foreach(i => ox.save(pre.packAt(i)))
+  private def packedB(ox: Ox, pre: Pre, ks: Array[Int], k: Int): Unit = {
+    var j = 0
+    while (j < ks.length) { ox.save(pre.packAt(ks(j) + k)); j += 1 }
+  }
 
-  private def shapePairB(ox: Ox, pre: Pre, ks: List[Int]): Unit =
-    ks.foreach { i =>
+  private def shapePairB(ox: Ox, pre: Pre, ks: Array[Int], k: Int): Unit = {
+    var j = 0
+    while (j < ks.length) {
+      val i = ks(j) + k
       val a = pre.shapeAt(i); val b = pre.shapeAt(i - 1)
       ox.save(if (a == null || b == null) null else a + "-" + b)
+      j += 1
     }
+  }
 
-  private def packedPairB(ox: Ox, pre: Pre, ks: List[Int]): Unit =
-    ks.foreach { i =>
+  private def packedPairB(ox: Ox, pre: Pre, ks: Array[Int], k: Int): Unit = {
+    var j = 0
+    while (j < ks.length) {
+      val i = ks(j) + k
       val a = pre.packAt(i); val b = pre.packAt(i - 1)
       ox.save(if (a == null || b == null) null else a + "-" + b)
+      j += 1
     }
+  }
 
   private val noHits: List[String] = Nil
 
-  private def dictB(ox: Ox, pre: Pre, ks: List[Int],
-                    dict: CompactDict): Unit =
-    ks.foreach { i =>
-      val w = pre.orth(i)
+  private def dictB(ox: Ox, pre: Pre, ks: Array[Int],
+                    dict: CompactDict, k: Int): Unit = {
+    var j = 0
+    while (j < ks.length) {
+      val w = pre.orth(ks(j) + k)
       val hits = if (w == null) noHits else dict.getOrElse(w, noHits)
       ox.saves(hits) // dict lists are pre-sorted (S.toList, Schema.hs:206-212)
+      j += 1
     }
+  }
 
   // ---------------- schematize ----------------
 
   /** Extract per-position observations for a sentence
-    * (Schema.hs:341-362: blocks composed in fixed order; fresh Ox per
-    * position).
+    * (Schema.hs:341-362: blocks composed in fixed order; one reused Ox,
+    * reset per position — identical output to a fresh Ox per position,
+    * [[Ox.result]] always copies out).
     */
   def schematize(conf: SchemaConf, tokens: IndexedSeq[String]): Array[PosObs] = {
     val n = tokens.length
+    // monomorphic array view of the sentence (r7): the blocks read each
+    // token many times per position, and a Vector's trie walk (plus the
+    // megamorphic IndexedSeq.apply call site) taxes every read of the
+    // 100-TB hot loop; one up-front copy makes them plain array loads
+    val toks = new Array[String](n)
+    var ti = 0
+    while (ti < n) { toks(ti) = tokens(ti); ti += 1 }
     // per-sentence derivations, computed once and only if the config
     // uses them (see Pre)
     val needLow = conf.splitOrthC.isDefined || conf.lowPrefixesC.isDefined ||
@@ -311,35 +370,57 @@ object Features {
       conf.shapePairC.isDefined || conf.packedPairC.isDefined
     val needPack = conf.packedC.isDefined || conf.packedPairC.isDefined
     val lows = if (needLow)
-      Array.tabulate(n)(i => tokens(i).toLowerCase(java.util.Locale.ROOT))
+      Array.tabulate(n)(i => toks(i).toLowerCase(java.util.Locale.ROOT))
       else null
     // code-point count per lowercased token, counted ONCE — the affix
     // blocks cut each token ~19 times and recounting per cut dominated
     val lowCps = if (needLow)
       Array.tabulate(n)(i => lows(i).codePointCount(0, lows(i).length))
       else null
-    val shapes = if (needShape) Array.tabulate(n)(i => shape(tokens(i))) else null
+    val shapes = if (needShape) Array.tabulate(n)(i => shape(toks(i))) else null
     val packs = if (needPack) Array.tabulate(n)(i => pack(shapes(i))) else null
-    val pre = new Pre(tokens, lows, shapes, packs, lowCps)
-    Array.tabulate(n) { k =>
-      val ox = new Ox
-      def abs(range: List[Int]): List[Int] = range.map(_ + k)
-      conf.orthC.foreach(r => orthB(ox, pre, abs(r)))
-      conf.splitOrthC.foreach(r => splitOrthB(ox, pre, abs(r)))
-      conf.lowPrefixesC.foreach { case (r, ns) => lowPrefixesB(ox, pre, abs(r), ns) }
-      conf.lowSuffixesC.foreach { case (r, ns) => lowSuffixesB(ox, pre, abs(r), ns) }
-      conf.lemmaC.foreach { case (r, m) => lemmaB(ox, pre, abs(r), m) }
-      conf.shapeC.foreach(r => shapeB(ox, pre, abs(r)))
-      conf.packedC.foreach(r => packedB(ox, pre, abs(r)))
-      conf.shapePairC.foreach(r => shapePairB(ox, pre, abs(r)))
-      conf.packedPairC.foreach(r => packedPairB(ox, pre, abs(r)))
-      conf.dictC.foreach { case (r, dicts) =>
-        dicts.foreach(d => dictB(ox, pre, abs(r), d))
+    val pre = new Pre(toks, lows, shapes, packs, lowCps)
+    // ranges flattened to Int arrays once per sentence; block order and
+    // save-call order are exactly the round-6 sequence
+    def arr(r: List[Int]): Array[Int] = r.toArray
+    val orthR = conf.orthC.map(arr).orNull
+    val splitR = conf.splitOrthC.map(arr).orNull
+    val lowPreR = conf.lowPrefixesC.map(p => (arr(p._1), arr(p._2))).orNull
+    val lowSufR = conf.lowSuffixesC.map(p => (arr(p._1), arr(p._2))).orNull
+    val lemmaR = conf.lemmaC.map(p => (arr(p._1), p._2)).orNull
+    val shapeR = conf.shapeC.map(arr).orNull
+    val packedR = conf.packedC.map(arr).orNull
+    val shapePairR = conf.shapePairC.map(arr).orNull
+    val packedPairR = conf.packedPairC.map(arr).orNull
+    val dictR = conf.dictC.map(p => (arr(p._1), p._2.toArray)).orNull
+    val intTrigR = conf.intTrigsC.map(p => (arr(p._1), p._2)).orNull
+    val extTrigR = conf.extTrigsC.map(p => (arr(p._1), p._2)).orNull
+    val out = new Array[PosObs](n)
+    val ox = new Ox
+    var k = 0
+    while (k < n) {
+      ox.reset()
+      if (orthR != null) orthB(ox, pre, orthR, k)
+      if (splitR != null) splitOrthB(ox, pre, splitR, k)
+      if (lowPreR != null) lowPrefixesB(ox, pre, lowPreR._1, lowPreR._2, k)
+      if (lowSufR != null) lowSuffixesB(ox, pre, lowSufR._1, lowSufR._2, k)
+      if (lemmaR != null) lemmaB(ox, pre, lemmaR._1, lemmaR._2, k)
+      if (shapeR != null) shapeB(ox, pre, shapeR, k)
+      if (packedR != null) packedB(ox, pre, packedR, k)
+      if (shapePairR != null) shapePairB(ox, pre, shapePairR, k)
+      if (packedPairR != null) packedPairB(ox, pre, packedPairR, k)
+      if (dictR != null) {
+        var d = 0
+        while (d < dictR._2.length) {
+          dictB(ox, pre, dictR._1, dictR._2(d), k); d += 1
+        }
       }
-      conf.intTrigsC.foreach { case (r, d) => dictB(ox, pre, abs(r), d) }
-      conf.extTrigsC.foreach { case (r, d) => dictB(ox, pre, abs(r), d) }
-      ox.result()
+      if (intTrigR != null) dictB(ox, pre, intTrigR._1, intTrigR._2, k)
+      if (extTrigR != null) dictB(ox, pre, extTrigR._1, extTrigR._2, k)
+      out(k) = ox.result()
+      k += 1
     }
+    out
   }
 
   /** Total number of save sites for a config (site ids are < this). */

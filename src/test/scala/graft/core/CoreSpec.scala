@@ -210,6 +210,25 @@ class FeaturesSpec extends AnyFunSuite {
     val maxSite = obs.flatMap(_.sites).max
     assert(maxSite < n)
   }
+  test("reused Ox never aliases results across reset rounds") {
+    // schematize reuses one Ox across positions (r7); result() must hand
+    // out arrays a later round can never mutate. Rounds sweep sizes
+    // 1..40 across the builder's 32 sizeHint, crossing the
+    // exact-capacity boundary where ArrayBuilder.ofInt.result()
+    // relinquishes (not copies) its backing array.
+    val ox = new Features.Ox
+    val outs = (0 until 100).map { round =>
+      ox.reset()
+      (0 to round % 40).foreach(i => ox.save(s"v${round}_$i"))
+      ox.result()
+    }
+    outs.zipWithIndex.foreach { case (p, round) =>
+      assert(p.sites.toSeq == (0 to round % 40),
+        s"sites aliased at round $round")
+      assert(p.values.toSeq == (0 to round % 40).map(i => s"v${round}_$i"),
+        s"values aliased at round $round")
+    }
+  }
 }
 
 class CrfSpec extends AnyFunSuite {
